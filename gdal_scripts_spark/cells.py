@@ -1,0 +1,382 @@
+"""Tile / cell index math — native Spark Column expressions (zero UDFs).
+
+Reimplements, Spark-first, the coordinate machinery of the public
+``osgeo_utils/gdal2tiles.py`` (GDAL 3.8.x tree):
+
+- ``GlobalMercator.LatLonToMeters / MetersToLatLon  (≈L260-L300)``
+- ``GlobalMercator.Resolution / MetersToPixels / PixelsToTile (≈L300-L360)``
+- ``GlobalMercator.TileBounds / TileLatLonBounds (≈L360-L400)``
+- ``GlobalMercator.QuadTree (quadkey) (≈L430-L450)``
+- ``GlobalGeodetic.LonLatToTile (≈L500-L540)``
+- TMS↔XYZ y flip: ``gdal2tiles.py : --xyz handling (≈L1600)``
+
+Every function returns a Column built from ``pyspark.sql.functions`` so the
+whole tile-assignment stage stays inside whole-stage codegen: at 100 TB this
+is a pure map stage with zero Python, zero shuffle, and full parquet column
+pruning (only lon/lat are read).
+
+Each Spark expression has a numpy twin (``np_*``) used as the sequential
+golden oracle in tests (SURVEY.md §5.1 golden-checksum style), and the twins
+are also what ``fixtures.py`` uses, so Spark output is pinned against an
+independent implementation path.
+
+Cell ids: a Morton (Z-order) interleave of the (tx, ty_xyz) tile coordinates
+with the zoom in the top bits — an S2-style space-filling-curve cell id that
+is computable in closed form with shift/mask Columns. This replaces the
+reference's file-local quadtree index (``ogr/ogrsf_frmts/shape/shptree.c :
+SHPTreeFindLikelyShapes``) with a cluster-shuffle-friendly equi-join key
+(SURVEY.md §4). A Hilbert variant is provided for locality-sensitive
+applications; joins only need *some* deterministic cell key.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS = 6378137.0
+ORIGIN_SHIFT = 2 * math.pi * EARTH_RADIUS / 2.0  # 20037508.342789244
+TILE_SIZE = 256
+INITIAL_RESOLUTION = 2 * math.pi * EARTH_RADIUS / TILE_SIZE
+HAVERSINE_RADIUS = 6371008.8  # mean earth radius for distance metrics
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator (EPSG:4326 <-> 3857) — GlobalMercator.LatLonToMeters ≈L260
+# ---------------------------------------------------------------------------
+
+def lon_to_mx(lon) -> Column:
+    return _c(lon) * (ORIGIN_SHIFT / 180.0)
+
+
+def lat_to_my(lat) -> Column:
+    lat = _c(lat)
+    return (
+        F.log(F.tan((F.lit(90.0) + lat) * math.pi / 360.0))
+        / (math.pi / 180.0)
+        * (ORIGIN_SHIFT / 180.0)
+    )
+
+
+def mx_to_lon(mx) -> Column:
+    return _c(mx) / ORIGIN_SHIFT * 180.0
+
+
+def my_to_lat(my) -> Column:
+    my = _c(my)
+    lat_deg = my / ORIGIN_SHIFT * 180.0
+    return (
+        F.lit(180.0 / math.pi)
+        * (F.atan(F.exp(lat_deg * (math.pi / 180.0))) * 2.0 - math.pi / 2.0)
+    )
+
+
+def resolution(z: int) -> float:
+    """meters/pixel at zoom z — GlobalMercator.Resolution ≈L310."""
+    return INITIAL_RESOLUTION / (2**z)
+
+
+# ---------------------------------------------------------------------------
+# Tile coordinates — GlobalMercator.MetersToTile via PixelsToTile ≈L330-L360
+# GDAL parity note: PixelsToTile is ceil(p/256)-1, NOT floor(p/256); the two
+# differ exactly on tile boundaries (a point on the seam belongs to the tile
+# below/left). SURVEY.md §7 hard-part #2 — pinned by test_cells.
+# ---------------------------------------------------------------------------
+
+def meters_to_tile(mx, my, z: int) -> tuple[Column, Column]:
+    res = resolution(z)
+    px = (_c(mx) + ORIGIN_SHIFT) / res
+    py = (_c(my) + ORIGIN_SHIFT) / res
+    tx = (F.ceil(px / TILE_SIZE) - 1).cast("long")
+    ty = (F.ceil(py / TILE_SIZE) - 1).cast("long")
+    return tx, ty
+
+
+def lonlat_to_tile_tms(lon, lat, z: int) -> tuple[Column, Column]:
+    """(tx, ty) in TMS convention (y-up, origin bottom-left)."""
+    return meters_to_tile(lon_to_mx(lon), lat_to_my(lat), z)
+
+
+def tms_to_xyz_y(ty, z: int) -> Column:
+    """XYZ/Google y (y-down) — gdal2tiles --xyz flip ≈L1600."""
+    return F.lit((1 << z) - 1) - _c(ty)
+
+
+def lonlat_to_tile_xyz(lon, lat, z: int) -> tuple[Column, Column]:
+    tx, ty = lonlat_to_tile_tms(lon, lat, z)
+    return tx, tms_to_xyz_y(ty, z)
+
+
+def tile_bounds_meters(tx, ty, z: int) -> Column:
+    """struct(xmin,ymin,xmax,ymax) in EPSG:3857 — GlobalMercator.TileBounds ≈L360.
+
+    ty is TMS (y-up)."""
+    res = resolution(z)
+    sz = float(TILE_SIZE * res)
+    tx, ty = _c(tx).cast("double"), _c(ty).cast("double")
+    return F.struct(
+        (tx * sz - ORIGIN_SHIFT).alias("xmin"),
+        (ty * sz - ORIGIN_SHIFT).alias("ymin"),
+        ((tx + 1) * sz - ORIGIN_SHIFT).alias("xmax"),
+        ((ty + 1) * sz - ORIGIN_SHIFT).alias("ymax"),
+    )
+
+
+def tile_bounds_lonlat(tx, ty, z: int) -> Column:
+    """struct(lon_min,lat_min,lon_max,lat_max) — TileLatLonBounds ≈L380."""
+    res = resolution(z)
+    sz = float(TILE_SIZE * res)
+    tx, ty = _c(tx).cast("double"), _c(ty).cast("double")
+    return F.struct(
+        mx_to_lon(tx * sz - ORIGIN_SHIFT).alias("lon_min"),
+        my_to_lat(ty * sz - ORIGIN_SHIFT).alias("lat_min"),
+        mx_to_lon((tx + 1) * sz - ORIGIN_SHIFT).alias("lon_max"),
+        my_to_lat((ty + 1) * sz - ORIGIN_SHIFT).alias("lat_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geodetic (EPSG:4326) tiles — GlobalGeodetic.LonLatToTile ≈L500
+# ---------------------------------------------------------------------------
+
+def lonlat_to_tile_geodetic(lon, lat, z: int) -> tuple[Column, Column]:
+    res = 180.0 / TILE_SIZE / (2**z)
+    px = (F.lit(180.0) + _c(lon)) / res
+    py = (F.lit(90.0) + _c(lat)) / res
+    tx = (F.ceil(px / TILE_SIZE) - 1).cast("long")
+    ty = (F.ceil(py / TILE_SIZE) - 1).cast("long")
+    return tx, ty
+
+
+# ---------------------------------------------------------------------------
+# Quadkey — GlobalMercator.QuadTree ≈L430 (digits over (tx, y_xyz))
+# ---------------------------------------------------------------------------
+
+def quadkey(tx, ty_tms, z: int) -> Column:
+    """Bing-style quadkey string of length z, built with unrolled bit ops.
+
+    Matches GlobalMercator.QuadTree: flips TMS y to XYZ then emits one digit
+    per zoom bit (msb first): digit = bit(tx) + 2*bit(y_xyz).
+    """
+    tx = _c(tx)
+    ty = tms_to_xyz_y(_c(ty_tms), z)
+    digits = []
+    for i in range(z, 0, -1):
+        d = (
+            F.shiftright(tx, i - 1).bitwiseAND(F.lit(1))
+            + F.shiftright(ty, i - 1).bitwiseAND(F.lit(1)) * 2
+        )
+        digits.append(d.cast("string"))
+    if not digits:
+        return F.lit("")
+    return F.concat(*digits)
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) cell id — S2-style space-filling-curve key.
+# Replaces shapefile .qix quadtree (shptree.c) with an equi-join key.
+# ---------------------------------------------------------------------------
+
+_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_bits(col: Column) -> Column:
+    """Interleave-ready bit spread: 32-bit int -> even bit positions of 64."""
+    x = _c(col).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    for shift, mask in _SPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_interleave(tx, ty) -> Column:
+    return _spread_bits(tx).bitwiseOR(F.shiftleft(_spread_bits(ty), 1))
+
+
+def cell_id(lon, lat, z: int) -> Column:
+    """64-bit cell id: zoom in bits 58..62, Morton(tx, y_xyz) below.
+
+    Valid for z <= 29. Pure Column math → stays in codegen; at 100 TB the
+    cell-encode stage is a zero-shuffle map over the parquet scan.
+    """
+    if not 0 <= z <= 29:
+        raise ValueError(f"zoom {z} out of range 0..29")
+    tx, ty = lonlat_to_tile_xyz(lon, lat, z)
+    return F.shiftleft(F.lit(z).cast("long"), 58).bitwiseOR(morton_interleave(tx, ty))
+
+
+def cell_id_from_tile(tx, ty_xyz, z: int) -> Column:
+    return F.shiftleft(F.lit(z).cast("long"), 58).bitwiseOR(
+        morton_interleave(_c(tx), _c(ty_xyz))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ring neighbors (constant offset explode — used by knn.py)
+# ---------------------------------------------------------------------------
+
+def ring_offsets(r: int) -> list[tuple[int, int]]:
+    """Chebyshev ring r perimeter offsets (8r cells for r>=1, 1 for r=0)."""
+    if r == 0:
+        return [(0, 0)]
+    out = []
+    for dx in range(-r, r + 1):
+        for dy in (-r, r):
+            out.append((dx, dy))
+    for dy in range(-r + 1, r):
+        for dx in (-r, r):
+            out.append((dx, dy))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Haversine distance (meters) — native expr; used by kNN and golden oracles
+# ---------------------------------------------------------------------------
+
+def haversine_m(lon1, lat1, lon2, lat2) -> Column:
+    rad = math.pi / 180.0
+    la1, la2 = _c(lat1) * rad, _c(lat2) * rad
+    dlat = (_c(lat2) - _c(lat1)) * rad / 2.0
+    dlon = (_c(lon2) - _c(lon1)) * rad / 2.0
+    a = F.pow(F.sin(dlat), 2) + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlon), 2)
+    return F.lit(2.0 * HAVERSINE_RADIUS) * F.asin(F.sqrt(a))
+
+
+# ===========================================================================
+# numpy twins — sequential golden oracle (independent implementation path)
+# ===========================================================================
+
+def np_lonlat_to_meters(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    mx = lon * ORIGIN_SHIFT / 180.0
+    my = np.log(np.tan((90.0 + lat) * math.pi / 360.0)) / (math.pi / 180.0)
+    my = my * ORIGIN_SHIFT / 180.0
+    return mx, my
+
+
+def np_meters_to_lonlat(mx, my):
+    lon = np.asarray(mx, dtype=np.float64) / ORIGIN_SHIFT * 180.0
+    lat = np.asarray(my, dtype=np.float64) / ORIGIN_SHIFT * 180.0
+    lat = (
+        180.0
+        / math.pi
+        * (2.0 * np.arctan(np.exp(lat * math.pi / 180.0)) - math.pi / 2.0)
+    )
+    return lon, lat
+
+
+def np_meters_to_tile(mx, my, z: int):
+    res = resolution(z)
+    px = (np.asarray(mx) + ORIGIN_SHIFT) / res
+    py = (np.asarray(my) + ORIGIN_SHIFT) / res
+    tx = np.ceil(px / TILE_SIZE).astype(np.int64) - 1
+    ty = np.ceil(py / TILE_SIZE).astype(np.int64) - 1
+    return tx, ty
+
+
+def np_lonlat_to_tile_tms(lon, lat, z: int):
+    mx, my = np_lonlat_to_meters(lon, lat)
+    return np_meters_to_tile(mx, my, z)
+
+
+def np_tile_bounds_meters(tx, ty, z: int):
+    sz = TILE_SIZE * resolution(z)
+    tx = np.asarray(tx, dtype=np.float64)
+    ty = np.asarray(ty, dtype=np.float64)
+    return (
+        tx * sz - ORIGIN_SHIFT,
+        ty * sz - ORIGIN_SHIFT,
+        (tx + 1) * sz - ORIGIN_SHIFT,
+        (ty + 1) * sz - ORIGIN_SHIFT,
+    )
+
+
+def np_quadkey(tx: int, ty_tms: int, z: int) -> str:
+    ty = (1 << z) - 1 - int(ty_tms)
+    tx = int(tx)
+    out = []
+    for i in range(z, 0, -1):
+        mask = 1 << (i - 1)
+        out.append(str((1 if tx & mask else 0) + (2 if ty & mask else 0)))
+    return "".join(out)
+
+
+def np_spread_bits(x):
+    x = np.asarray(x, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+    for shift, mask in _SPREAD:
+        x = (x | (x << np.uint64(shift))) & np.uint64(mask)
+    return x
+
+
+def np_cell_id(lon, lat, z: int):
+    tx, ty = np_lonlat_to_tile_tms(lon, lat, z)
+    ty_xyz = (1 << z) - 1 - ty
+    morton = np_spread_bits(tx) | (np_spread_bits(ty_xyz) << np.uint64(1))
+    return (np.uint64(z << 58) | morton).astype(np.int64)
+
+
+def np_cell_id_from_tile(tx, ty_xyz, z: int):
+    morton = np_spread_bits(np.asarray(tx)) | (
+        np_spread_bits(np.asarray(ty_xyz)) << np.uint64(1)
+    )
+    return (np.uint64(z << 58) | morton).astype(np.int64)
+
+
+def np_haversine_m(lon1, lat1, lon2, lat2):
+    rad = math.pi / 180.0
+    lon1, lat1 = np.asarray(lon1) * rad, np.asarray(lat1) * rad
+    lon2, lat2 = np.asarray(lon2) * rad, np.asarray(lat2) * rad
+    a = (
+        np.sin((lat2 - lat1) / 2) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2.0 * HAVERSINE_RADIUS * np.arcsin(np.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (numpy) — S2-style locality-preserving alternative to Morton.
+# Classic Lam-Shapiro xy->d transform, vectorized.
+# ---------------------------------------------------------------------------
+
+def np_hilbert_d(tx, ty, z: int):
+    x = np.asarray(tx, dtype=np.int64).copy()
+    y = np.asarray(ty, dtype=np.int64).copy()
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.int64(1 << (z - 1)) if z > 0 else np.int64(0)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x = np.where(swap, y_f, x)
+        y = np.where(swap, x_f, y)
+        x = np.where(flip, (s - 1) - x, x)
+        y = np.where(flip, (s - 1) - y, y)
+        s >>= 1
+    return d
+
+
+def np_hilbert_cell_id(lon, lat, z: int):
+    tx, ty = np_lonlat_to_tile_tms(lon, lat, z)
+    ty_xyz = (1 << z) - 1 - ty
+    tx = np.clip(tx, 0, (1 << z) - 1)
+    ty_xyz = np.clip(ty_xyz, 0, (1 << z) - 1)
+    return (np.int64(z) << np.int64(58)) | np_hilbert_d(tx, ty_xyz, z)

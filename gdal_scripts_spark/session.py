@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Local-mode tuning notes (tests run on one JVM, ``local[N]``):
+- shuffle partitions default to core count, not 200 — at 100 TB deployment
+  this is overridden per-job to ~2-3x total cores or managed by AQE.
+- Arrow batches kept small: image rows are fat (binary pixel payloads), so
+  ``maxRecordsPerBatch`` is lowered to bound executor/Python-worker memory
+  (SURVEY.md §4 "Physical-execution decisions").
+- AQE on: runtime coalescing + skew-join splitting complement the explicit
+  hot-cell salting in :mod:`gdal_scripts_spark.joins`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gdal_scripts_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local SparkSession.
+
+    ``cpus`` controls ``local[N]``; on a real cluster the same conf block is
+    passed to ``spark-submit`` and master/executor counts come from the
+    cluster manager — nothing here is local-mode-only except the master URL.
+    """
+    n = cpus or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,166 @@
+"""Tile/cell math: Spark native exprs vs the sequential numpy oracle, plus
+pinned GDAL-parity anchors (TMS↔XYZ flip, ceil-1 boundary rule, quadkey)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import cells
+
+
+def _rng_points(n=500, seed=7):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-84.0, 84.0, n)
+    return lon, lat
+
+
+# ---- oracle-level pinned anchors (hand-computed GlobalMercator values) ----
+
+def test_np_mercator_known_values():
+    mx, my = cells.np_lonlat_to_meters(0.0, 0.0)
+    assert abs(mx) < 1e-9 and abs(my) < 1e-6
+    mx, my = cells.np_lonlat_to_meters(180.0, 0.0)
+    assert abs(mx - cells.ORIGIN_SHIFT) < 1e-6
+    # gdal2tiles GlobalMercator.LatLonToMeters(lat=45, lon=90)
+    mx, my = cells.np_lonlat_to_meters(90.0, 45.0)
+    assert abs(mx - 10018754.171394622) < 1e-5
+    assert abs(my - 5621521.486192067) < 1e-5
+    lon, lat = cells.np_meters_to_lonlat(mx, my)
+    assert abs(lon - 90.0) < 1e-9 and abs(lat - 45.0) < 1e-9
+
+
+def test_np_tile_boundary_ceil_rule():
+    # PixelsToTile = ceil(p/256)-1: a point exactly on the seam belongs to
+    # the lower/left tile (SURVEY.md §7 hard part #2). The equator at z=1 is
+    # the seam between ty=0 and ty=1 and is exactly representable in FP
+    # ((0+ORIGIN_SHIFT)/res == 256 exactly).
+    _, ty = cells.np_meters_to_tile(0.0, 0.0, 1)
+    assert int(ty) == 0
+    _, ty = cells.np_meters_to_tile(0.0, 1e-3, 1)
+    assert int(ty) == 1
+
+
+def test_np_quadkey_known():
+    # z=3, google tile (3,5) -> tms ty = 7-5 = 2 ; quadkey digits from
+    # (tx=3, y_xyz=5): bits msb->lsb: (0,1)->2, (1,0)->1, (1,1)->3
+    assert cells.np_quadkey(3, 2, 3) == "213"
+    assert cells.np_quadkey(0, (1 << 5) - 1, 5) == "00000"
+
+
+def test_np_tms_xyz_flip():
+    lon, lat = 13.4, 52.5  # Berlin-ish
+    z = 10
+    tx, ty = cells.np_lonlat_to_tile_tms(np.array([lon]), np.array([lat]), z)
+    y_xyz = (1 << z) - 1 - ty
+    # well-known OSM tile for Berlin at z=10 is x=550, y=335
+    assert int(tx[0]) == 550
+    assert int(y_xyz[0]) == 335
+
+
+def test_np_hilbert_small_grid():
+    # z=1: order must be the classic U: (0,0)=0,(0,1)=1,(1,1)=2,(1,0)=3
+    d = cells.np_hilbert_d(np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]), 1)
+    assert d.tolist() == [0, 1, 2, 3]
+    # bijectivity at z=4
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    d = cells.np_hilbert_d(xs.ravel(), ys.ravel(), 4)
+    assert sorted(d.tolist()) == list(range(256))
+
+
+# ---- Spark exprs match the numpy oracle ----
+
+@pytest.fixture(scope="module")
+def pts_df(spark):
+    lon, lat = _rng_points()
+    return (
+        spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        ),
+        lon,
+        lat,
+    )
+
+
+def test_spark_tile_matches_oracle(pts_df):
+    df, lon, lat = pts_df
+    for z in (0, 3, 8, 12):
+        tx_c, ty_c = cells.lonlat_to_tile_tms(F.col("lon"), F.col("lat"), z)
+        rows = df.select(
+            tx_c.alias("tx"), ty_c.alias("ty"), F.col("lon"), F.col("lat")
+        ).collect()
+        got = {(r["lon"], r["lat"]): (r["tx"], r["ty"]) for r in rows}
+        otx, oty = cells.np_lonlat_to_tile_tms(lon, lat, z)
+        for i in range(len(lon)):
+            assert got[(lon[i], lat[i])] == (otx[i], oty[i]), (z, lon[i], lat[i])
+
+
+def test_spark_cell_and_quadkey_match_oracle(pts_df):
+    df, lon, lat = pts_df
+    z = 8
+    tx_c, ty_c = cells.lonlat_to_tile_tms(F.col("lon"), F.col("lat"), z)
+    rows = (
+        df.select(
+            F.col("lon"),
+            cells.cell_id(F.col("lon"), F.col("lat"), z).alias("cell"),
+            cells.quadkey(tx_c, ty_c, z).alias("qk"),
+        )
+        .collect()
+    )
+    ocell = cells.np_cell_id(lon, lat, z)
+    otx, oty = cells.np_lonlat_to_tile_tms(lon, lat, z)
+    by_lon = {r["lon"]: r for r in rows}
+    for i in range(len(lon)):
+        r = by_lon[lon[i]]
+        assert r["cell"] == int(ocell[i])
+        assert r["qk"] == cells.np_quadkey(int(otx[i]), int(oty[i]), z)
+
+
+def test_spark_bounds_roundtrip(spark):
+    z = 8
+    df = spark.range(1).select(
+        cells.tile_bounds_meters(F.lit(100), F.lit(37), z).alias("b"),
+        cells.tile_bounds_lonlat(F.lit(100), F.lit(37), z).alias("g"),
+    )
+    r = df.collect()[0]
+    bx0, by0, bx1, by1 = cells.np_tile_bounds_meters(100, 37, z)
+    assert abs(r["b"]["xmin"] - bx0) < 1e-6 and abs(r["b"]["ymax"] - by1) < 1e-6
+    lon0, lat0 = cells.np_meters_to_lonlat(bx0, by0)
+    assert abs(r["g"]["lon_min"] - lon0) < 1e-9
+    assert abs(r["g"]["lat_min"] - lat0) < 1e-9
+
+
+def test_spark_haversine_matches_oracle(pts_df):
+    df, lon, lat = pts_df
+    r = (
+        df.select(
+            cells.haversine_m(F.col("lon"), F.col("lat"), F.lit(0.0), F.lit(0.0)).alias(
+                "d"
+            ),
+            "lon",
+        )
+        .collect()
+    )
+    od = cells.np_haversine_m(lon, lat, 0.0, 0.0)
+    by_lon = {x["lon"]: x["d"] for x in r}
+    for i in range(len(lon)):
+        assert abs(by_lon[lon[i]] - od[i]) < 1e-6
+
+
+def test_geodetic_tiles(spark):
+    tx_c, ty_c = cells.lonlat_to_tile_geodetic(F.lit(0.1), F.lit(0.1), 1)
+    r = spark.range(1).select(tx_c.alias("tx"), ty_c.alias("ty")).collect()[0]
+    # z=1 geodetic: 4x2 tiles of 90°; (0.1,0.1) -> tx=2, ty=1
+    assert (r["tx"], r["ty"]) == (2, 1)
+
+
+def test_ring_offsets():
+    assert cells.ring_offsets(0) == [(0, 0)]
+    assert len(cells.ring_offsets(1)) == 8
+    assert len(cells.ring_offsets(3)) == 24
+    assert len(set(cells.ring_offsets(3))) == 24
+    assert all(max(abs(a), abs(b)) == 3 for a, b in cells.ring_offsets(3))
