@@ -1,0 +1,261 @@
+"""Deterministic seeded fixtures (FIXTURES.md) — the engine's test universe.
+
+Mirrors the role of GDAL autotest's tiny golden inputs (``autotest/gcore/
+data/byte.tif`` 20x20 uint8, ``autotest/ogr/data/poly.shp`` 10 attributed
+polygons — SURVEY.md §5.1): small, hand-checkable, fully deterministic from
+one seed. The `images` schema is the authoritative input shape
+(BASELINE.json : input_hint) extended with the lon/lat spatial key; the
+Zipf-skewed hot clusters produce the "skewed H3 cells" the baseline metric
+requires.
+
+Everything here is plain numpy/pandas — no Spark dependency — so the same
+generators feed the sequential oracles and the Spark tests. ``*_spark``
+helpers wrap them into DataFrames with explicit schemas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import codecs, geom
+
+SEED = 42
+
+# 8 hot centers (lon, lat) inside the Web-Mercator domain; Zipf s=1.5 weights
+HOT_CENTERS = np.array(
+    [
+        (139.7, 35.7),   # Tokyo-ish
+        (-74.0, 40.7),   # NYC-ish
+        (2.35, 48.85),   # Paris-ish
+        (-118.2, 34.05), # LA-ish
+        (116.4, 39.9),   # Beijing-ish
+        (-43.2, -22.9),  # Rio-ish
+        (28.0, -26.2),   # Joburg-ish
+        (77.2, 28.6),    # Delhi-ish
+    ]
+)
+ZIPF_S = 1.5
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu amber basalt cedar dune ember fjord glade harbor isle "
+    "jetty knoll lagoon mesa nadir oasis prairie quarry ridge summit tundra "
+    "upland vale wharf xenon yonder zephyr crater basin estuary fault geyser "
+    "horizon inlet jungle karst loess scree môrãine"
+).split()
+assert len(WORDS) == 64
+
+
+def _zipf_choice(rng: np.random.Generator, n: int) -> np.ndarray:
+    w = 1.0 / np.arange(1, len(HOT_CENTERS) + 1) ** ZIPF_S
+    return rng.choice(len(HOT_CENTERS), size=n, p=w / w.sum())
+
+
+def _skewed_lonlat(rng: np.random.Generator, n: int) -> tuple[np.ndarray, np.ndarray]:
+    idx = _zipf_choice(rng, n)
+    lon = HOT_CENTERS[idx, 0] + rng.normal(0, 0.5, n)
+    lat = HOT_CENTERS[idx, 1] + rng.normal(0, 0.5, n)
+    return np.clip(lon, -179.9, 179.9), np.clip(lat, -84.0, 84.0)
+
+
+def make_pixels(i: int, w: int, h: int, rng: np.random.Generator) -> np.ndarray:
+    """Deterministic gradient + one rng-permuted noise tile (FIXTURES.md §1)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = (
+        (xs[:, :, None] * 3 + ys[:, :, None] * 5 + np.arange(3)[None, None, :] * 7 + i)
+        % 256
+    ).astype(np.uint8)
+    ty, tx = int(rng.integers(0, max(h - 4, 1))), int(rng.integers(0, max(w - 4, 1)))
+    img[ty : ty + 4, tx : tx + 4] = rng.integers(0, 256, (min(4, h - ty), min(4, w - tx), 3), dtype=np.uint8)
+    return img
+
+
+def _caption(i: int, rng: np.random.Generator) -> str:
+    k = int(rng.integers(3, 8))
+    picks = rng.integers(0, 64, k)
+    return f"caption {i} " + " ".join(WORDS[j] for j in picks)
+
+
+def make_images_pdf(n: int = 1000, seed: int = SEED, fmts=("ppm", "png")) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    lon, lat = _skewed_lonlat(rng, n)
+    sizes = np.array([16, 20, 32, 64])
+    ws = sizes[rng.integers(0, 4, n)]
+    hs = sizes[rng.integers(0, 4, n)]
+    rows = []
+    for i in range(n):
+        w, h = int(ws[i]), int(hs[i])
+        fmt = fmts[i % len(fmts)]
+        img = make_pixels(i, w, h, rng)
+        buf = codecs.encode(img, fmt)
+        rows.append(
+            {
+                "image_id": f"img{i:08d}",
+                "bytes": buf,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": _caption(i, rng),
+                "phash": codecs.ahash64(img),
+                "lon": float(lon[i]),
+                "lat": float(lat[i]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lon double, lat double"
+)
+
+
+def images_spark(spark, n: int = 1000, seed: int = SEED, fmts=("ppm", "png")):
+    pdf = make_images_pdf(n, seed, fmts)
+    return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# polygons (analog of autotest poly.shp)
+# ---------------------------------------------------------------------------
+
+CATEGORIES = ("park", "water", "urban", "farm")
+
+
+def make_polygon_rings(rng: np.random.Generator) -> list[np.ndarray]:
+    c = HOT_CENTERS[int(_zipf_choice(rng, 1)[0])]
+    cx = float(np.clip(c[0] + rng.normal(0, 2.0), -175, 175))
+    cy = float(np.clip(c[1] + rng.normal(0, 2.0), -80, 80))
+    k = int(rng.integers(5, 13))
+    radius = float(rng.uniform(0.2, 3.0))
+    ang = np.linspace(0, 2 * np.pi, k, endpoint=False) + rng.uniform(0, 2 * np.pi / k)
+    ext = np.column_stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)])
+    rings = [ext]
+    if rng.random() < 0.2:
+        hole = np.column_stack(
+            [cx + 0.5 * radius * np.cos(ang[::-1]), cy + 0.5 * radius * np.sin(ang[::-1])]
+        )
+        rings.append(hole)
+    return rings
+
+
+def make_polygons_records(p: int = 10, seed: int = SEED + 1) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for pid in range(p):
+        rings = make_polygon_rings(rng)
+        allpts = np.vstack(rings)
+        out.append(
+            {
+                "poly_id": pid,
+                "rings": [[(float(x), float(y)) for x, y in r] for r in rings],
+                "rings_np": rings,
+                "bbox": (
+                    float(allpts[:, 0].min()),
+                    float(allpts[:, 1].min()),
+                    float(allpts[:, 0].max()),
+                    float(allpts[:, 1].max()),
+                ),
+                "wkt": geom.polygon_wkt(rings),
+                "category": CATEGORIES[int(rng.integers(0, 4))],
+                "area": geom.polygon_area(rings),
+            }
+        )
+    return out
+
+
+POLYGONS_SCHEMA = (
+    "poly_id long, rings array<array<struct<x:double,y:double>>>, "
+    "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+    "wkt string, category string, area double"
+)
+
+
+def polygons_spark(spark, p: int = 10, seed: int = SEED + 1):
+    recs = make_polygons_records(p, seed)
+    rows = [
+        (r["poly_id"], r["rings"], r["bbox"], r["wkt"], r["category"], r["area"])
+        for r in recs
+    ]
+    return spark.createDataFrame(rows, schema=POLYGONS_SCHEMA)
+
+
+def polygons_pack(p: int = 10, seed: int = SEED + 1) -> geom.PolygonPack:
+    recs = make_polygons_records(p, seed)
+    return geom.PolygonPack.from_rings([(r["poly_id"], r["rings_np"]) for r in recs])
+
+
+# ---------------------------------------------------------------------------
+# query points (kNN)
+# ---------------------------------------------------------------------------
+
+def make_query_points_pdf(q: int = 500, seed: int = SEED + 2, k: int = 5) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n_hot = q // 2
+    lon_h, lat_h = _skewed_lonlat(rng, n_hot)
+    lon_u = rng.uniform(-179.9, 179.9, q - n_hot)
+    lat_u = rng.uniform(-84.0, 84.0, q - n_hot)
+    return pd.DataFrame(
+        {
+            "qid": np.arange(q, dtype=np.int64),
+            "lon": np.concatenate([lon_h, lon_u]),
+            "lat": np.concatenate([lat_h, lat_u]),
+            "k": np.full(q, k, dtype=np.int32),
+        }
+    )
+
+
+def query_points_spark(spark, q: int = 500, seed: int = SEED + 2, k: int = 5):
+    return spark.createDataFrame(
+        make_query_points_pdf(q, seed, k), schema="qid long, lon double, lat double, k int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# labels raster (polygonize/rasterize golden input; analog of byte.tif)
+# ---------------------------------------------------------------------------
+
+def make_label_image(rng: np.random.Generator, w: int = 20, h: int = 20) -> np.ndarray:
+    img = np.zeros((h, w), dtype=np.uint8)
+    nblobs = int(rng.integers(3, 7))
+    vals = rng.choice(np.arange(1, 256), nblobs, replace=False)
+    for b in range(nblobs):
+        if rng.random() < 0.5:  # rectangle
+            y0, x0 = int(rng.integers(0, h - 3)), int(rng.integers(0, w - 3))
+            bh, bw = int(rng.integers(2, 8)), int(rng.integers(2, 8))
+            img[y0 : min(y0 + bh, h), x0 : min(x0 + bw, w)] = vals[b]
+        else:  # ellipse
+            cy, cx = rng.uniform(2, h - 2), rng.uniform(2, w - 2)
+            ry, rx = rng.uniform(1.5, 5), rng.uniform(1.5, 5)
+            ys, xs = np.mgrid[0:h, 0:w]
+            mask = ((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2 <= 1.0
+            img[mask] = vals[b]
+    return img
+
+
+def make_labels_pdf(n: int = 8, seed: int = SEED + 3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    lon, lat = _skewed_lonlat(rng, n)
+    rows = []
+    for i in range(n):
+        img = make_label_image(rng)
+        rows.append(
+            {
+                "image_id": f"lab{i:04d}",
+                "bytes": codecs.encode(img, "pgm"),
+                "w": 20,
+                "h": 20,
+                "fmt": "pgm",
+                "caption": f"labels {i}",
+                "phash": codecs.ahash64(img),
+                "lon": float(lon[i]),
+                "lat": float(lat[i]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def labels_spark(spark, n: int = 8, seed: int = SEED + 3):
+    return spark.createDataFrame(make_labels_pdf(n, seed), schema=IMAGES_SCHEMA)

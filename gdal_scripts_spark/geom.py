@@ -1,0 +1,328 @@
+"""Geometry kernels — numpy, even-odd semantics, broadcast-friendly packs.
+
+Reference parity (public GDAL 3.8.x tree):
+- even-odd point-in-polygon / scanline rule: ``alg/llrasterize.cpp :
+  GDALdllImageFilledPolygon (≈L60-200)`` and ``ogr/ogrgeometry.cpp :
+  Contains/Within (≈L5000)`` (GEOS-backed in GDAL; reimplemented here as a
+  vectorized ray cast — SURVEY.md §2.2 P4).
+- bbox short-circuit: ``ogr/ogrgeometry.cpp : Intersects (≈L400)``,
+  ``ogrlayer.cpp : FilterGeometry (≈L800)``.
+- shoelace area / centroid: ``ogr/ogrgeometry.cpp : get_Area (OGRSurface),
+  Centroid (≈L2600)``.
+- rectangle clip (tile bounds are axis-aligned): Sutherland–Hodgman, the
+  closed-form case of ``apps/ogr2ogr_lib.cpp : -clipsrc (≈L1500)``.
+
+Spark-first design: polygons are packed into flat numpy arrays
+(:class:`PolygonPack`) that serialize once and ship to every executor as a
+Spark broadcast — the analog of the reference's in-process prepared-geometry
+cache (``ogrlayer.cpp : USE_PREPARED_GEOMETRIES``). The PiP kernel is called
+from Arrow-batched pandas UDFs only; no per-row Python. A bbox-sorted
+uniform grid over the pack plays the R-tree's role (``shptree.c :
+SHPTreeFindLikelyShapes``) for candidate pruning inside a batch.
+
+Boundary rule (pinned by tests): strict even-odd ray cast with half-open
+edges — a point exactly on a horizontal lower edge counts as inside-adjacent
+per the `(yi > y) != (yj > y)` convention; fixture coordinates are
+irrational-ish floats so golden outputs never sit on edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# scalar-polygon kernels
+# ---------------------------------------------------------------------------
+
+def shoelace_area(ring: np.ndarray) -> float:
+    """Signed area of a ring (Nx2, closed or open)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """|exterior| - sum |holes| (even-odd consistent)."""
+    if not rings:
+        return 0.0
+    a = abs(shoelace_area(rings[0]))
+    for hole in rings[1:]:
+        a -= abs(shoelace_area(hole))
+    return a
+
+
+def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def ring_wkt_coords(ring: np.ndarray) -> str:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) == 0:
+        return "()"
+    if not np.array_equal(r[0], r[-1]):
+        r = np.vstack([r, r[0]])
+    return "(" + ", ".join(f"{p[0]:.10g} {p[1]:.10g}" for p in r) + ")"
+
+
+def polygon_wkt(rings: list[np.ndarray]) -> str:
+    """Canonical WKT: closed rings, exterior CCW, holes CW."""
+    norm = []
+    for i, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        signed = shoelace_area(r)
+        want_ccw = i == 0
+        if (signed > 0) != want_ccw:
+            r = r[::-1]
+        norm.append(r)
+    return "POLYGON (" + ", ".join(ring_wkt_coords(r) for r in norm) + ")"
+
+
+def pip_even_odd(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd ray cast of many points against one (multi-ring) polygon.
+
+    Vectorized over points; edges of all rings toggle the parity
+    (holes subtract automatically). Mirrors the fill rule of
+    ``alg/llrasterize.cpp : GDALdllImageFilledPolygon``.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) > 1 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        x1, y1 = r[:, 0], r[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for i in range(len(r)):
+            cond = (y1[i] > py) != (y2[i] > py)
+            if not cond.any():
+                continue
+            xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
+            inside ^= cond & (px < xint)
+    return inside
+
+
+def clip_ring_rect(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of one ring to an axis-aligned rect."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+
+    def clip_edge(poly, inside_fn, intersect_fn):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, nxt = poly[i], poly[(i + 1) % n]
+            ci, ni = inside_fn(cur), inside_fn(nxt)
+            if ci:
+                out.append(cur)
+                if not ni:
+                    out.append(intersect_fn(cur, nxt))
+            elif ni:
+                out.append(intersect_fn(cur, nxt))
+        return out
+
+    def ix_v(xv):
+        def f(a, b):
+            t = (xv - a[0]) / (b[0] - a[0])
+            return (xv, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def ix_h(yv):
+        def f(a, b):
+            t = (yv - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), yv)
+        return f
+
+    poly = [tuple(p) for p in pts]
+    for inside_fn, ifn in (
+        (lambda p: p[0] >= xmin, ix_v(xmin)),
+        (lambda p: p[0] <= xmax, ix_v(xmax)),
+        (lambda p: p[1] >= ymin, ix_h(ymin)),
+        (lambda p: p[1] <= ymax, ix_h(ymax)),
+    ):
+        if not poly:
+            break
+        poly = clip_edge(poly, inside_fn, ifn)
+    return np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# PolygonPack — flat broadcastable polygon set + uniform grid index
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PolygonPack:
+    """Flat-array polygon set: one numpy blob, broadcast once per job.
+
+    coords:       (C,2) all ring vertices, rings concatenated, unclosed
+    ring_starts:  (R+1,) offsets into coords per ring
+    poly_rings:   (P+1,) offsets into ring_starts per polygon
+    poly_ids:     (P,) external ids
+    bbox:         (P,4) xmin,ymin,xmax,ymax
+    """
+
+    coords: np.ndarray
+    ring_starts: np.ndarray
+    poly_rings: np.ndarray
+    poly_ids: np.ndarray
+    bbox: np.ndarray
+    _grid: dict | None = field(default=None, repr=False)
+
+    @classmethod
+    def from_rings(cls, polys: list[tuple[int, list[np.ndarray]]]) -> "PolygonPack":
+        coords, ring_starts, poly_rings, ids, boxes = [], [0], [0], [], []
+        for pid, rings in polys:
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if len(r) > 1 and np.array_equal(r[0], r[-1]):
+                    r = r[:-1]
+                coords.append(r)
+                ring_starts.append(ring_starts[-1] + len(r))
+            poly_rings.append(poly_rings[-1] + len(rings))
+            ids.append(pid)
+            ext = np.vstack([np.asarray(r, dtype=np.float64) for r in rings])
+            boxes.append(
+                [ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max()]
+            )
+        return cls(
+            coords=np.vstack(coords) if coords else np.zeros((0, 2)),
+            ring_starts=np.asarray(ring_starts, dtype=np.int64),
+            poly_rings=np.asarray(poly_rings, dtype=np.int64),
+            poly_ids=np.asarray(ids, dtype=np.int64),
+            bbox=np.asarray(boxes, dtype=np.float64).reshape(-1, 4),
+        )
+
+    @property
+    def n_polys(self) -> int:
+        return len(self.poly_ids)
+
+    def rings_of(self, p: int) -> list[np.ndarray]:
+        out = []
+        for r in range(self.poly_rings[p], self.poly_rings[p + 1]):
+            out.append(self.coords[self.ring_starts[r] : self.ring_starts[r + 1]])
+        return out
+
+    # --- uniform grid over polygon bboxes (in-batch R-tree stand-in) ---
+    def build_grid(self, nx: int = 64, ny: int = 32) -> None:
+        if self.n_polys == 0:
+            self._grid = {"nx": nx, "ny": ny, "cells": {}}
+            return
+        x0, y0 = self.bbox[:, 0].min(), self.bbox[:, 1].min()
+        x1, y1 = self.bbox[:, 2].max(), self.bbox[:, 3].max()
+        sx = (x1 - x0) / nx or 1.0
+        sy = (y1 - y0) / ny or 1.0
+        cells: dict[tuple[int, int], list[int]] = {}
+        for p in range(self.n_polys):
+            cx0 = int((self.bbox[p, 0] - x0) / sx)
+            cx1 = int((self.bbox[p, 2] - x0) / sx)
+            cy0 = int((self.bbox[p, 1] - y0) / sy)
+            cy1 = int((self.bbox[p, 3] - y0) / sy)
+            for cx in range(max(cx0, 0), min(cx1, nx - 1) + 1):
+                for cy in range(max(cy0, 0), min(cy1, ny - 1) + 1):
+                    cells.setdefault((cx, cy), []).append(p)
+        self._grid = {
+            "nx": nx, "ny": ny, "x0": x0, "y0": y0, "sx": sx, "sy": sy,
+            "cells": {k: np.asarray(v, dtype=np.int64) for k, v in cells.items()},
+        }
+
+    def candidates(self, px: float, py: float) -> np.ndarray:
+        if self._grid is None:
+            self.build_grid()
+        g = self._grid
+        if not g["cells"]:
+            return np.zeros(0, dtype=np.int64)
+        cx = int((px - g["x0"]) / g["sx"])
+        cy = int((py - g["y0"]) / g["sy"])
+        if not (0 <= cx < g["nx"] and 0 <= cy < g["ny"]):
+            return np.zeros(0, dtype=np.int64)
+        return g["cells"].get((cx, cy), np.zeros(0, dtype=np.int64))
+
+
+def np_pip_pairs(
+    px: np.ndarray, py: np.ndarray, pack: PolygonPack
+) -> list[tuple[int, int]]:
+    """Sequential oracle: all (point_idx, poly_id) even-odd containments.
+
+    bbox prefilter per polygon then exact ray cast — the reference's
+    FilterGeometry-then-GEOS two-step."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pairs: list[tuple[int, int]] = []
+    for p in range(pack.n_polys):
+        x0, y0, x1, y1 = pack.bbox[p]
+        cand = np.nonzero((px >= x0) & (px <= x1) & (py >= y0) & (py <= y1))[0]
+        if len(cand) == 0:
+            continue
+        hit = pip_even_odd(px[cand], py[cand], pack.rings_of(p))
+        for i in cand[hit]:
+            pairs.append((int(i), int(pack.poly_ids[p])))
+    return pairs
+
+
+def pip_batch(
+    px: np.ndarray, py: np.ndarray, pack: PolygonPack
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch kernel for pandas UDFs: returns (point_row_idx, poly_id) arrays.
+
+    Same semantics as np_pip_pairs; kept separate so the oracle and the
+    engine path stay two implementations (grid-pruned here)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if pack._grid is None:
+        pack.build_grid()
+    out_i: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    # group points by grid cell, test each candidate polygon against the group
+    g = pack._grid
+    if g["cells"]:
+        cx = np.floor((px - g["x0"]) / g["sx"]).astype(np.int64)
+        cy = np.floor((py - g["y0"]) / g["sy"]).astype(np.int64)
+        ok = (cx >= 0) & (cx < g["nx"]) & (cy >= 0) & (cy < g["ny"])
+        key = cx * g["ny"] + cy
+        key[~ok] = -1
+        order = np.argsort(key, kind="stable")
+        sorted_key = key[order]
+        bounds = np.nonzero(np.diff(sorted_key))[0] + 1
+        groups = np.split(order, bounds)
+        for grp in groups:
+            if len(grp) == 0 or key[grp[0]] < 0:
+                continue
+            k = int(key[grp[0]])
+            cand = g["cells"].get((k // g["ny"], k % g["ny"]))
+            if cand is None:
+                continue
+            gx, gy = px[grp], py[grp]
+            for p in cand:
+                x0, y0, x1, y1 = pack.bbox[p]
+                m = (gx >= x0) & (gx <= x1) & (gy >= y0) & (gy <= y1)
+                if not m.any():
+                    continue
+                sub = grp[m]
+                hit = pip_even_odd(px[sub], py[sub], pack.rings_of(p))
+                if hit.any():
+                    out_i.append(sub[hit])
+                    out_p.append(np.full(int(hit.sum()), pack.poly_ids[p], np.int64))
+    if not out_i:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(out_i), np.concatenate(out_p)

@@ -1,0 +1,234 @@
+"""Spatial joins — the engine's signature operator family (SURVEY.md §2.3).
+
+Reference semantics (public GDAL 3.8.x tree):
+- ``ogr/ogrsf_frmts/generic/ogrlayer.cpp : OGRLayer::Intersection (≈L3000)``
+  — nested-loop overlay: per input feature, SetSpatialFilter on the method
+  layer (bbox pretest, ``FilterGeometry ≈L800``) then exact GEOS test.
+- ``ogrlayer.cpp : Clip (≈L3800) / Erase (≈L4000)`` — semi / anti variants.
+
+Spark-first redesign (NOT a port): the O(N·M) nested loop becomes either
+
+1. **broadcast PiP join** — polygons packed flat (:class:`geom.PolygonPack`)
+   and broadcast; one ``mapInPandas`` pass over the points emits (point,
+   polygon) pairs. Zero shuffle of the big side; the whole join is one map
+   stage. Right choice whenever the polygon side fits in executor memory
+   (the reference's entire use case). At 100 TB of points this is the plan
+   you want: scan → Arrow batch → numpy ray cast → pairs.
+
+2. **cell-keyed equi-join** — both sides keyed by the Morton cell of a fixed
+   zoom (points: native expr; polygons: bbox tile cover, exploded), then a
+   plain Catalyst equi-join + exact PiP refine. This is the scale path when
+   BOTH sides are large (polygon side too big to broadcast): the spatial
+   predicate becomes a shuffle join Catalyst can plan, with AQE skew
+   splitting plus explicit **hot-cell salting** (north_rule: "partitioning /
+   shuffle / skew handled explicitly"): cells whose point count exceeds a
+   threshold get a salt from ``pmod(xxhash64(id), S)`` on the point side and
+   an ``explode(0..S-1)`` replica on the polygon side, so one hot Tokyo cell
+   spreads over S reducers instead of one straggler.
+
+Result-shape contract: pairs (point id, poly_id), deduplicated, matching the
+sequential oracle ``geom.np_pip_pairs`` exactly (BASELINE.json : north_star
+"join result rows ... exactly").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells, geom
+
+
+def with_cell(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat",
+              cell_col: str = "cell") -> DataFrame:
+    """Attach the Morton cell id (native expr, codegen — SURVEY.md §2.8 F7)."""
+    return df.withColumn(cell_col, cells.cell_id(F.col(lon), F.col(lat), z))
+
+
+# ---------------------------------------------------------------------------
+# polygon-side cell cover (bbox-conservative)
+# ---------------------------------------------------------------------------
+
+def polygon_cover_cells(pack: geom.PolygonPack, z: int) -> list[tuple[int, int]]:
+    """(poly_id, cell) for every z-tile whose bounds intersect the bbox.
+
+    Conservative (bbox, not exact outline) — false candidates are removed by
+    the PiP refine, never false negatives. Mirrors the bbox pretest of
+    ``ogrlayer.cpp : FilterGeometry``."""
+    out: list[tuple[int, int]] = []
+    n = 1 << z
+    for p in range(pack.n_polys):
+        x0, y0, x1, y1 = pack.bbox[p]
+        tx0, ty0 = cells.np_lonlat_to_tile_tms(np.array([x0]), np.array([y0]), z)
+        tx1, ty1 = cells.np_lonlat_to_tile_tms(np.array([x1]), np.array([y1]), z)
+        txa, txb = int(min(tx0[0], tx1[0])), int(max(tx0[0], tx1[0]))
+        tya, tyb = int(min(ty0[0], ty1[0])), int(max(ty0[0], ty1[0]))
+        txa, txb = max(txa, 0), min(txb, n - 1)
+        tya, tyb = max(tya, 0), min(tyb, n - 1)
+        pid = int(pack.poly_ids[p])
+        for tx in range(txa, txb + 1):
+            for ty in range(tya, tyb + 1):
+                ty_xyz = n - 1 - ty
+                cell = int(cells.np_cell_id_from_tile(np.array([tx]), np.array([ty_xyz]), z)[0])
+                out.append((pid, cell))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 1) broadcast PiP join (small/medium polygon side — the default)
+# ---------------------------------------------------------------------------
+
+def spatial_join_broadcast(
+    points: DataFrame,
+    pack: geom.PolygonPack,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """(id_col, poly_id) pairs via one mapInPandas pass over the points.
+
+    The pack rides the closure → Spark broadcasts it once per executor;
+    pixels/captions never enter the stage (column pruning keeps the scan to
+    id+lon+lat)."""
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(pack)
+    id_field = points.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, poly_id long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pk = bc.value
+        if pk._grid is None:
+            pk.build_grid()
+        for b in batches:
+            if len(b) == 0:
+                continue
+            idx, pid = geom.pip_batch(
+                b[lon].to_numpy(np.float64), b[lat].to_numpy(np.float64), pk
+            )
+            if len(idx) == 0:
+                continue
+            yield pd.DataFrame(
+                {id_col: b[id_col].to_numpy()[idx], "poly_id": pid}
+            )
+
+    return points.select(id_col, lon, lat).mapInPandas(run, schema=out_schema)
+
+
+def spatial_semi_join(points: DataFrame, pack: geom.PolygonPack, **kw) -> DataFrame:
+    """OGRLayer::Clip analog — rows of `points` inside ANY polygon."""
+    id_col = kw.get("id_col", "image_id")
+    hits = spatial_join_broadcast(points, pack, **kw).select(id_col).distinct()
+    return points.join(F.broadcast(hits), id_col, "left_semi")
+
+
+def spatial_anti_join(points: DataFrame, pack: geom.PolygonPack, **kw) -> DataFrame:
+    """OGRLayer::Erase analog — rows of `points` inside NO polygon."""
+    id_col = kw.get("id_col", "image_id")
+    hits = spatial_join_broadcast(points, pack, **kw).select(id_col).distinct()
+    return points.join(F.broadcast(hits), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# 2) cell-keyed equi-join with explicit hot-cell salting (the scale path)
+# ---------------------------------------------------------------------------
+
+def _refine_pip(candidates: DataFrame, pack: geom.PolygonPack,
+                id_col: str, lon: str, lat: str) -> DataFrame:
+    """Exact even-odd refine of (point, poly) candidate pairs."""
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(pack)
+    id_field = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, poly_id long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pk = bc.value
+        pos = {int(pid): i for i, pid in enumerate(pk.poly_ids)}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            keep_ids, keep_pids = [], []
+            px = b[lon].to_numpy(np.float64)
+            py = b[lat].to_numpy(np.float64)
+            pids = b["poly_id"].to_numpy(np.int64)
+            ids = b[id_col].to_numpy()
+            for pid in np.unique(pids):
+                m = pids == pid
+                hit = geom.pip_even_odd(px[m], py[m], pk.rings_of(pos[int(pid)]))
+                if hit.any():
+                    keep_ids.append(ids[m][hit])
+                    keep_pids.append(np.full(int(hit.sum()), pid, np.int64))
+            if keep_ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(keep_ids), "poly_id": np.concatenate(keep_pids)}
+                )
+
+    return candidates.mapInPandas(run, schema=out_schema)
+
+
+def spatial_join_cells(
+    points: DataFrame,
+    pack: geom.PolygonPack,
+    z: int = 8,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: bool = False,
+    n_salts: int = 8,
+    hot_cell_threshold: int = 10_000,
+    force_shuffle_join: bool = False,
+) -> DataFrame:
+    """(id_col, poly_id) via cell equi-join + exact refine.
+
+    ``salt=True`` demonstrates the explicit skew defense: hot cells (point
+    count > threshold) are computed with one cheap count-by-cell pass, the
+    point side gets ``salt = pmod(xxhash64(id), S)`` and the polygon side is
+    exploded xS for those cells only, so the shuffle key becomes (cell, salt).
+    ``force_shuffle_join`` adds a merge-join hint so the A/B bench can show
+    the effect even when the polygon side would otherwise broadcast."""
+    spark = points.sparkSession
+    pts = with_cell(points.select(id_col, lon, lat), z)
+    cover = spark.createDataFrame(
+        polygon_cover_cells(pack, z), schema="poly_id long, cell long"
+    )
+
+    if salt:
+        hot = (
+            pts.groupBy("cell").count()
+            .filter(F.col("count") > hot_cell_threshold)
+            .select("cell", F.lit(True).alias("is_hot"))
+        )
+        pts = (
+            pts.join(F.broadcast(hot), "cell", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("is_hot").isNotNull(),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("is_hot")
+        )
+        cover = (
+            cover.join(F.broadcast(hot), "cell", "left")
+            .withColumn(
+                "salts",
+                F.when(
+                    F.col("is_hot").isNotNull(),
+                    F.array([F.lit(i) for i in range(n_salts)]),
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("salt", F.explode("salts"))
+            .drop("is_hot", "salts")
+        )
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+
+    if force_shuffle_join:
+        cover = cover.hint("merge")
+    cand = pts.join(cover, join_keys, "inner").select(id_col, lon, lat, "poly_id")
+    return _refine_pip(cand, pack, id_col, lon, lat).distinct()

@@ -1,0 +1,472 @@
+"""Raster operators over the images table (SURVEY.md §2.1/2.4/2.9).
+
+Reference semantics (public GDAL 3.8.x tree), re-expressed Spark-first:
+
+- stats:      ``gcore/gdalrasterband.cpp : ComputeStatistics (≈L4000)`` —
+              streaming min/max/mean/stddev. Here: per-image numpy partials
+              in one Arrow pass, combined by a native sum/count/min/max agg
+              (the classic partial+final aggregate, so a 100 TB scan computes
+              global stats with one tiny shuffle of per-image partials).
+- histogram:  ``gcore/gdalrasterband.cpp : GetHistogram (≈L3500)`` —
+              per-image ``np.bincount`` then posexplode + groupBy(bin) (a
+              256-row shuffle per image, never a per-pixel shuffle).
+- checksum:   ``alg/gdalchecksum.cpp : GDALChecksumImage (≈L40)`` — the
+              golden-test invariant (see codecs.gdal_style_checksum).
+- retile:     ``osgeo_utils/gdal_retile.py : tileImage/createTile (≈L400)``
+              — fixed W×H grid per image, edge tiles padded.
+- tile cut:   ``osgeo_utils/gdal2tiles.py : generate_base_tiles (≈L1900),
+              scale_query_to_tile (≈L1000)`` composed from clip-to-tile
+              (``apps/gdal_translate_lib.cpp : -srcwin (≈L1500)``) + inverse-
+              map resample (``alg/gdalwarpkernel.cpp : GWKNearestNoMasks /
+              GWKBilinear``) + mosaic overlay (``osgeo_utils/gdal_merge.py :
+              raster_copy_with_nodata (≈L100)``).
+- pyramid:    ``alg/overview.cpp : GDALRegenerateOverviews (≈L2000)`` 2x2
+              average + ``gdal2tiles.py : create_overview_tile (≈L800)`` —
+              one groupBy(parent) job per zoom level (same per-level barrier
+              the reference has).
+- band math:  ``osgeo_utils/gdal_calc.py : doit() (≈L200-400)`` — numpy
+              expression over bands inside Arrow batches.
+- translate:  ``apps/gdal_translate_lib.cpp : GDALTranslate (≈L900)`` —
+              format/band-select conversion by re-encode.
+- gdal2xyz:   ``osgeo_utils/gdal2xyz.py (≈L100)`` — pixel explode.
+
+Georeferencing convention (pinned; the synthetic images table carries a
+point anchor, not a geotransform): an image's top-left corner sits at its
+(lon, lat) anchor in EPSG:3857, north-up, square pixels of ``pix_m`` meters:
+``mx(u) = mx0 + u*pix_m``, ``my(v) = my0 - v*pix_m``.
+
+Tile table convention: ``(z int, tx long, ty long)`` with ty in **TMS**
+(y-up); ``y_xyz = 2^z - 1 - ty`` exposed as a column. PNG-encoded payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, codecs
+
+DEFAULT_PIX_M = 100.0
+TILE = 256
+_DEC_COLS = ["image_id", "bytes", "fmt"]
+
+
+def _decode_row(b: bytes, fmt: str) -> np.ndarray:
+    img = codecs.decode(bytes(b), fmt)
+    return img if img.ndim == 3 else img[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A7 — stats, histogram, checksum
+# ---------------------------------------------------------------------------
+
+def per_image_stats(images: DataFrame) -> DataFrame:
+    """(image_id, band, n, vmin, vmax, vsum, vsumsq) — partial aggregates."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"]).astype(np.float64)
+                for band in range(img.shape[2]):
+                    a = img[:, :, band]
+                    rows.append(
+                        (r["image_id"], band, a.size, float(a.min()),
+                         float(a.max()), float(a.sum()), float((a * a).sum()))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "band", "n", "vmin", "vmax", "vsum", "vsumsq"],
+                )
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, band int, n long, vmin double, vmax double, "
+               "vsum double, vsumsq double",
+    )
+
+
+def global_band_stats(images: DataFrame) -> DataFrame:
+    """ComputeStatistics analog: exact global per-band stats via partials."""
+    p = per_image_stats(images)
+    return (
+        p.groupBy("band")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+            F.sum("vsumsq").alias("vsumsq"),
+        )
+        .select(
+            "band", "n", "vmin", "vmax",
+            (F.col("vsum") / F.col("n")).alias("mean"),
+            F.sqrt(F.col("vsumsq") / F.col("n") - F.pow(F.col("vsum") / F.col("n"), 2)
+                   ).alias("stddev"),
+        )
+    )
+
+
+def histogram(images: DataFrame, band: int = 0) -> DataFrame:
+    """Global 256-bin histogram of one band: per-image bincount -> bin agg."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])
+                counts = np.bincount(img[:, :, band].ravel(), minlength=256)
+                rows.append((r["image_id"], counts.astype(np.int64).tolist()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "hist"])
+
+    per_img = images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, hist array<long>"
+    )
+    return (
+        per_img.select(F.posexplode("hist").alias("bin", "count"))
+        .groupBy("bin")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def checksums(images: DataFrame) -> DataFrame:
+    """GDAL-style per-image checksum (golden-test workhorse)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                (r["image_id"], codecs.gdal_style_checksum(_decode_row(r["bytes"], r["fmt"])))
+                for _, r in b.iterrows()
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "checksum"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, checksum int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — retile (gdal_retile: fixed grid, edge pad)
+# ---------------------------------------------------------------------------
+
+def retile(images: DataFrame, tile_w: int = 10, tile_h: int = 10,
+           pad_value: int = 0) -> DataFrame:
+    """One row per (image, tile window); edge tiles padded to full size.
+
+    Output: image_id, tile_col, tile_row, tw, th, n_bands, tile_bytes (raw
+    uint8 HxWxC) — the tile-index table (S9) is this DataFrame itself."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])
+                h, w, c = img.shape
+                for ty in range((h + tile_h - 1) // tile_h):
+                    for tx in range((w + tile_w - 1) // tile_w):
+                        window = img[ty * tile_h : (ty + 1) * tile_h,
+                                     tx * tile_w : (tx + 1) * tile_w]
+                        if window.shape[:2] != (tile_h, tile_w):
+                            padded = np.full((tile_h, tile_w, c), pad_value, np.uint8)
+                            padded[: window.shape[0], : window.shape[1]] = window
+                            window = padded
+                        rows.append(
+                            (r["image_id"], tx, ty, tile_w, tile_h, c,
+                             np.ascontiguousarray(window).tobytes())
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "tile_col", "tile_row", "tw", "th",
+                             "n_bands", "tile_bytes"],
+                )
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, tile_col int, tile_row int, tw int, th int, "
+               "n_bands int, tile_bytes binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4+R5+R6 — XYZ tile cutting: assign (native) -> clip+resample (Arrow) ->
+#            mosaic overlay (grouped Arrow) -> PNG tiles
+# ---------------------------------------------------------------------------
+
+def image_mercator_bounds(images: DataFrame, pix_m: float = DEFAULT_PIX_M) -> DataFrame:
+    """Native columns mx0,my1 (top-left) + mx1,my0 from the anchor + size."""
+    mx0 = cells.lon_to_mx(F.col("lon"))
+    my1 = cells.lat_to_my(F.col("lat"))
+    return (
+        images.withColumn("mx0", mx0)
+        .withColumn("my1", my1)
+        .withColumn("mx1", F.col("mx0") + F.col("w") * pix_m)
+        .withColumn("my0", F.col("my1") - F.col("h") * pix_m)
+    )
+
+
+def assign_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M) -> DataFrame:
+    """Explode each image to its covering (z, tx, ty_tms) tiles — all native
+    Columns (sequence+explode), zero Python. The gdal2tiles tile-range loops
+    (generate_base_tiles ≈L1900) as a declarative plan."""
+    b = image_mercator_bounds(images, pix_m)
+    n = 1 << z
+    txa, tya = cells.meters_to_tile(F.col("mx0"), F.col("my0"), z)
+    txb, tyb = cells.meters_to_tile(F.col("mx1"), F.col("my1"), z)
+    b = (
+        b.withColumn("txa", F.greatest(txa, F.lit(0)))
+        .withColumn("txb", F.least(txb, F.lit(n - 1)))
+        .withColumn("tya", F.greatest(tya, F.lit(0)))
+        .withColumn("tyb", F.least(tyb, F.lit(n - 1)))
+    )
+    return (
+        b.withColumn("tx", F.explode(F.sequence(F.col("txa"), F.col("txb"))))
+        .withColumn("ty", F.explode(F.sequence(F.col("tya"), F.col("tyb"))))
+        .withColumn("z", F.lit(z))
+        .withColumn("y_xyz", cells.tms_to_xyz_y(F.col("ty"), z))
+        .drop("txa", "txb", "tya", "tyb")
+    )
+
+
+def _resample_fragment(img: np.ndarray, mx0: float, my1: float, pix_m: float,
+                       tx: int, ty: int, z: int, method: str):
+    """Inverse-map one source image into one 256² tile; returns
+    (px0, py0, crop) or None. crop is uint8 (py1-py0, px1-px0, c)."""
+    h, w, c = img.shape
+    res = cells.resolution(z)
+    txmin = tx * TILE * res - cells.ORIGIN_SHIFT
+    tymax = (ty + 1) * TILE * res - cells.ORIGIN_SHIFT
+    # target pixel centers -> source pixel coords (affine)
+    # u(i) = (txmin + (i+.5)res - mx0)/pix_m ; v(j) = (my1 - tymax + (j+.5)res)/pix_m
+    i = np.arange(TILE)
+    j = np.arange(TILE)
+    u = (txmin + (i + 0.5) * res - mx0) / pix_m
+    v = (my1 - tymax + (j + 0.5) * res) / pix_m
+    if method == "nearest":
+        ui = np.floor(u).astype(np.int64)
+        vi = np.floor(v).astype(np.int64)
+        iok = np.nonzero((ui >= 0) & (ui < w))[0]
+        jok = np.nonzero((vi >= 0) & (vi < h))[0]
+        if len(iok) == 0 or len(jok) == 0:
+            return None
+        crop = img[np.ix_(vi[jok], ui[iok], np.arange(c))]
+        return int(iok[0]), int(jok[0]), np.ascontiguousarray(crop)
+    if method == "bilinear":
+        uf = u - 0.5
+        vf = v - 0.5
+        iok = np.nonzero((uf >= 0) & (uf <= w - 1))[0]
+        jok = np.nonzero((vf >= 0) & (vf <= h - 1))[0]
+        if len(iok) == 0 or len(jok) == 0:
+            return None
+        u0 = np.floor(uf[iok]).astype(np.int64)
+        v0 = np.floor(vf[jok]).astype(np.int64)
+        u0 = np.clip(u0, 0, w - 2) if w > 1 else u0 * 0
+        v0 = np.clip(v0, 0, h - 2) if h > 1 else v0 * 0
+        du = (uf[iok] - u0)[None, :, None]
+        dv = (vf[jok] - v0)[:, None, None]
+        u1 = np.minimum(u0 + 1, w - 1)
+        v1 = np.minimum(v0 + 1, h - 1)
+        a = img[np.ix_(v0, u0)].astype(np.float64)
+        bq = img[np.ix_(v0, u1)].astype(np.float64)
+        cq = img[np.ix_(v1, u0)].astype(np.float64)
+        d = img[np.ix_(v1, u1)].astype(np.float64)
+        out = (a * (1 - du) * (1 - dv) + bq * du * (1 - dv)
+               + cq * (1 - du) * dv + d * du * dv)
+        return int(iok[0]), int(jok[0]), np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown resampling {method!r}")
+
+
+def cut_base_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
+                   resampling: str = "nearest") -> DataFrame:
+    """gdal2tiles base-tile stage: (z, tx, ty, y_xyz, tile_bytes PNG, checksum,
+    n_src) — fragments mosaicked last-wins in image_id order (gdal_merge)."""
+    assigned = assign_tiles(images, z, pix_m).select(
+        "image_id", "bytes", "fmt", "mx0", "my1", "z", "tx", "ty"
+    )
+
+    def frag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])
+                got = _resample_fragment(
+                    img, float(r["mx0"]), float(r["my1"]), pix_m,
+                    int(r["tx"]), int(r["ty"]), z, resampling,
+                )
+                if got is None:
+                    continue
+                px0, py0, crop = got
+                rows.append(
+                    (r["image_id"], int(r["tx"]), int(r["ty"]), px0, py0,
+                     crop.shape[1], crop.shape[0], crop.shape[2], crop.tobytes())
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "tx", "ty", "px0", "py0", "fw", "fh",
+                             "c", "frag"],
+                )
+
+    frags = assigned.mapInPandas(
+        frag,
+        schema="image_id string, tx long, ty long, px0 int, py0 int, "
+               "fw int, fh int, c int, frag binary",
+    )
+
+    def overlay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        c = int(pdf["c"].iloc[0])
+        canvas = np.zeros((TILE, TILE, c), dtype=np.uint8)
+        pdf = pdf.sort_values("image_id")  # deterministic input order
+        for _, r in pdf.iterrows():
+            a = np.frombuffer(r["frag"], np.uint8).reshape(r["fh"], r["fw"], r["c"])
+            canvas[r["py0"] : r["py0"] + r["fh"], r["px0"] : r["px0"] + r["fw"]] = a
+        img = canvas[:, :, 0] if c == 1 else canvas
+        png = codecs.encode_png(img)
+        return pd.DataFrame(
+            [(z, tx, ty, (1 << z) - 1 - ty, png,
+              codecs.gdal_style_checksum(img), len(pdf))],
+            columns=["z", "tx", "ty", "y_xyz", "tile_bytes", "checksum", "n_src"],
+        )
+
+    return frags.groupBy("tx", "ty").applyInPandas(
+        overlay,
+        schema="z int, tx long, ty long, y_xyz long, tile_bytes binary, "
+               "checksum int, n_src int",
+    )
+
+
+def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
+    """One pyramid step: z_child tiles -> z_child-1 tiles by 2x2 average.
+
+    TMS orientation: the child with the LARGER ty is the TOP half of the
+    parent image (y-up grid vs y-down pixels — pinned by test)."""
+    zp = z_child - 1
+
+    def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty = int(key[0]), int(key[1])
+        first = codecs.decode_png(bytes(pdf["tile_bytes"].iloc[0]))
+        c = 1 if first.ndim == 2 else first.shape[2]
+        canvas = np.zeros((2 * TILE, 2 * TILE, c), dtype=np.uint8)
+        for _, r in pdf.iterrows():
+            img = codecs.decode_png(bytes(r["tile_bytes"]))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            dx = int(r["tx"]) - 2 * ptx          # 0 or 1
+            dy = int(r["ty"]) - 2 * pty          # 0 (bottom) or 1 (top)
+            row0 = (1 - dy) * TILE               # ty parity 1 -> top half
+            canvas[row0 : row0 + TILE, dx * TILE : (dx + 1) * TILE] = img
+        # 2x2 average downsample
+        small = canvas.reshape(TILE, 2, TILE, 2, c).mean(axis=(1, 3))
+        small = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+        img = small[:, :, 0] if c == 1 else small
+        return pd.DataFrame(
+            [(zp, ptx, pty, (1 << zp) - 1 - pty, codecs.encode_png(img),
+              codecs.gdal_style_checksum(img), len(pdf))],
+            columns=["z", "tx", "ty", "y_xyz", "tile_bytes", "checksum", "n_src"],
+        )
+
+    return (
+        tiles.withColumn("ptx", F.floor(F.col("tx") / 2))
+        .withColumn("pty", F.floor(F.col("ty") / 2))
+        .groupBy("ptx", "pty")
+        .applyInPandas(
+            combine,
+            schema="z int, tx long, ty long, y_xyz long, tile_bytes binary, "
+                   "checksum int, n_src int",
+        )
+    )
+
+
+def build_pyramid(base_tiles: DataFrame, z_base: int, z_min: int) -> dict[int, DataFrame]:
+    """gdal2tiles generate_overview_tiles: one Spark job per level (the same
+    per-zoom barrier the reference has). Caches each level before reducing."""
+    out = {z_base: base_tiles.persist()}
+    cur = out[z_base]
+    for z in range(z_base, z_min, -1):
+        cur = overview_tiles(cur, z).persist()
+        out[z - 1] = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F2 — band math (gdal_calc) ; S4 — translate ; R9 — gdal2xyz ; P7 — probe
+# ---------------------------------------------------------------------------
+
+_CALC_GLOBALS = {
+    "__builtins__": {},
+    "np": np, "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+    "sqrt": np.sqrt, "log": np.log, "exp": np.exp, "where": np.where,
+    "sin": np.sin, "cos": np.cos, "clip": np.clip,
+}
+
+
+def band_calc(images: DataFrame, calc: str, out_fmt: str = "pgm") -> DataFrame:
+    """gdal_calc --calc analog: numpy expression over bands A,B,C (uint8 out).
+
+    The expression is evaluated with an empty __builtins__ and a numpy-only
+    namespace (same trust model as the reference, which evals --calc)."""
+    code = compile(calc, "<band_calc>", "eval")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"]).astype(np.float64)
+                ns = {chr(ord("A") + i): img[:, :, i] for i in range(img.shape[2])}
+                val = eval(code, _CALC_GLOBALS, ns)  # noqa: S307 — sandboxed ns
+                out = np.clip(np.rint(np.asarray(val, np.float64)), 0, 255).astype(np.uint8)
+                rows.append((r["image_id"], codecs.encode(out, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, bytes binary, fmt string, w int, h int"
+    )
+
+
+def translate(images: DataFrame, dst_fmt: str, bands: list[int] | None = None) -> DataFrame:
+    """gdal_translate: format conversion + band select (lossless tier)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])
+                if bands is not None:
+                    img = img[:, :, bands]
+                sq = img[:, :, 0] if img.shape[2] == 1 else img
+                rows.append((r["image_id"], codecs.encode(sq, dst_fmt), dst_fmt,
+                             img.shape[1], img.shape[0]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, bytes binary, fmt string, w int, h int"
+    )
+
+
+def to_xyz(images: DataFrame, band: int = 0, sample_stride: int = 1) -> DataFrame:
+    """gdal2xyz: every (stride-th) pixel as a row. Explodes h*w rows per
+    image — guard with stride at scale."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])[::sample_stride, ::sample_stride, band]
+                h, w = img.shape
+                ys, xs = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame(
+                    {
+                        "image_id": r["image_id"],
+                        "px": (xs.ravel() * sample_stride).astype(np.int32),
+                        "py": (ys.ravel() * sample_stride).astype(np.int32),
+                        "value": img.ravel().astype(np.int32),
+                    }
+                )
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, px int, py int, value int"
+    )

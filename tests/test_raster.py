@@ -1,0 +1,227 @@
+"""Raster operators vs sequential numpy references (independent loop-style
+implementations inside the tests, mirroring GDAL autotest's golden style)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import cells, codecs, fixtures, raster
+
+N = 24
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = fixtures.images_spark(spark, n=N).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return fixtures.make_images_pdf(N)
+
+
+def _decoded(pdf):
+    out = {}
+    for _, r in pdf.iterrows():
+        img = codecs.decode(r["bytes"], r["fmt"])
+        out[r["image_id"]] = img if img.ndim == 3 else img[:, :, None]
+    return out
+
+
+def test_global_stats_match_numpy(images, pdf):
+    got = {r["band"]: r for r in raster.global_band_stats(images).collect()}
+    dec = _decoded(pdf)
+    for band in range(3):
+        vals = np.concatenate([img[:, :, band].ravel() for img in dec.values()]).astype(np.float64)
+        g = got[band]
+        assert g["n"] == vals.size
+        assert g["vmin"] == vals.min() and g["vmax"] == vals.max()
+        assert abs(g["mean"] - vals.mean()) < 1e-9
+        assert abs(g["stddev"] - vals.std()) < 1e-6
+
+
+def test_histogram_matches_numpy(images, pdf):
+    got = {r["bin"]: r["count"] for r in raster.histogram(images, band=0).collect()}
+    dec = _decoded(pdf)
+    exp = np.zeros(256, np.int64)
+    for img in dec.values():
+        exp += np.bincount(img[:, :, 0].ravel(), minlength=256)
+    for b in range(256):
+        assert got.get(b, 0) == exp[b]
+
+
+def test_checksums_match(images, pdf):
+    got = {r["image_id"]: r["checksum"] for r in raster.checksums(images).collect()}
+    dec = _decoded(pdf)
+    for iid, img in dec.items():
+        assert got[iid] == codecs.gdal_style_checksum(img)
+
+
+def test_retile_roundtrip(images, pdf):
+    tiles = raster.retile(images, tile_w=10, tile_h=10).collect()
+    dec = _decoded(pdf)
+    by_img: dict[str, list] = {}
+    for r in tiles:
+        by_img.setdefault(r["image_id"], []).append(r)
+    for iid, img in dec.items():
+        h, w, c = img.shape
+        ncols = (w + 9) // 10
+        nrows = (h + 9) // 10
+        assert len(by_img[iid]) == ncols * nrows
+        canvas = np.zeros((nrows * 10, ncols * 10, c), np.uint8)
+        for t in by_img[iid]:
+            a = np.frombuffer(t["tile_bytes"], np.uint8).reshape(10, 10, c)
+            canvas[t["tile_row"] * 10 : t["tile_row"] * 10 + 10,
+                   t["tile_col"] * 10 : t["tile_col"] * 10 + 10] = a
+        assert np.array_equal(canvas[:h, :w], img)
+        assert (canvas[h:] == 0).all() and (canvas[:, w:] == 0).all()
+
+
+def test_assign_tiles_matches_numpy(images, pdf):
+    z = 12
+    rows = raster.assign_tiles(images, z).select("image_id", "tx", "ty", "y_xyz").collect()
+    got: dict[str, set] = {}
+    for r in rows:
+        got.setdefault(r["image_id"], set()).add((r["tx"], r["ty"]))
+        assert r["y_xyz"] == (1 << z) - 1 - r["ty"]
+    n = 1 << z
+    for _, r in pdf.iterrows():
+        mx0, my1 = cells.np_lonlat_to_meters(r["lon"], r["lat"])
+        mx1 = mx0 + r["w"] * raster.DEFAULT_PIX_M
+        my0 = my1 - r["h"] * raster.DEFAULT_PIX_M
+        txa, tya = cells.np_meters_to_tile(mx0, my0, z)
+        txb, tyb = cells.np_meters_to_tile(mx1, my1, z)
+        exp = {
+            (tx, ty)
+            for tx in range(max(int(txa), 0), min(int(txb), n - 1) + 1)
+            for ty in range(max(int(tya), 0), min(int(tyb), n - 1) + 1)
+        }
+        assert got[r["image_id"]] == exp, r["image_id"]
+
+
+def _seq_nearest_tile(img, mx0, my1, pix_m, tx, ty, z):
+    """Independent scalar-loop nearest-resample reference."""
+    h, w, c = img.shape
+    res = cells.resolution(z)
+    txmin = tx * 256 * res - cells.ORIGIN_SHIFT
+    tymax = (ty + 1) * 256 * res - cells.ORIGIN_SHIFT
+    out = np.zeros((256, 256, c), np.uint8)
+    for j in range(256):
+        for i in range(256):
+            mx = txmin + (i + 0.5) * res
+            my = tymax - (j + 0.5) * res
+            u = int(np.floor((mx - mx0) / pix_m))
+            v = int(np.floor((my1 - my) / pix_m))
+            if 0 <= u < w and 0 <= v < h:
+                out[j, i] = img[v, u]
+    return out
+
+
+def test_cut_base_tiles_nearest_matches_scalar_reference(spark):
+    # one synthetic image, z chosen so the image spans a few tiles
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    lon, lat = 10.0, 45.0
+    pdf = pd.DataFrame(
+        [{
+            "image_id": "t0", "bytes": codecs.encode(img, "ppm"), "w": 56, "h": 40,
+            "fmt": "ppm", "caption": "x", "phash": 0, "lon": lon, "lat": lat,
+        }]
+    )
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    z = 14
+    tiles = raster.cut_base_tiles(df, z=z, resampling="nearest").collect()
+    assert len(tiles) >= 1
+    mx0, my1 = (float(x) for x in cells.np_lonlat_to_meters(lon, lat))
+    for t in tiles:
+        exp = _seq_nearest_tile(img, mx0, my1, raster.DEFAULT_PIX_M,
+                                t["tx"], t["ty"], z)
+        got = codecs.decode_png(bytes(t["tile_bytes"]))
+        assert np.array_equal(got, exp), (t["tx"], t["ty"])
+        assert t["checksum"] == codecs.gdal_style_checksum(exp)
+        assert t["y_xyz"] == (1 << z) - 1 - t["ty"]
+
+
+def test_mosaic_last_wins_order(spark):
+    # two images covering the same tile; img B (later id) must win on overlap
+    a = np.full((20, 20, 3), 50, np.uint8)
+    b = np.full((20, 20, 3), 200, np.uint8)
+    lon, lat = 10.0, 45.0
+    rows = []
+    for iid, img in (("a_img", a), ("b_img", b)):
+        rows.append({
+            "image_id": iid, "bytes": codecs.encode(img, "ppm"), "w": 20, "h": 20,
+            "fmt": "ppm", "caption": "x", "phash": 0, "lon": lon, "lat": lat,
+        })
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=fixtures.IMAGES_SCHEMA)
+    z = 14
+    tiles = raster.cut_base_tiles(df, z=z, resampling="nearest").collect()
+    assert all(t["n_src"] == 2 for t in tiles)
+    seen200 = False
+    for t in tiles:
+        img = codecs.decode_png(bytes(t["tile_bytes"]))
+        vals = set(np.unique(img).tolist())
+        assert 50 not in vals  # b overwrote a everywhere (same footprint)
+        seen200 |= 200 in vals
+    assert seen200
+
+
+def test_pyramid_orientation_and_average(spark):
+    # image spanning >= 2x2 tiles at base zoom; one overview step must equal
+    # the sequential compose-and-average, with TMS y-up orientation.
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    lon, lat = 10.0, 45.0
+    pdf = pd.DataFrame([{
+        "image_id": "p0", "bytes": codecs.encode(img, "ppm"), "w": 64, "h": 64,
+        "fmt": "ppm", "caption": "x", "phash": 0, "lon": lon, "lat": lat,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    z = 15
+    base = raster.cut_base_tiles(df, z=z, resampling="nearest")
+    levels = raster.build_pyramid(base, z_base=z, z_min=z - 1)
+    base_rows = {(r["tx"], r["ty"]): codecs.decode_png(bytes(r["tile_bytes"]))
+                 for r in levels[z].collect()}
+    for r in levels[z - 1].collect():
+        ptx, pty = r["tx"], r["ty"]
+        canvas = np.zeros((512, 512, 3), np.float64)
+        for (ctx, cty), cimg in base_rows.items():
+            if ctx // 2 == ptx and cty // 2 == pty:
+                dx, dy = ctx - 2 * ptx, cty - 2 * pty
+                row0 = (1 - dy) * 256
+                canvas[row0:row0 + 256, dx * 256:(dx + 1) * 256] = cimg
+        exp = np.clip(np.rint(canvas.reshape(256, 2, 256, 2, 3).mean(axis=(1, 3))),
+                      0, 255).astype(np.uint8)
+        got = codecs.decode_png(bytes(r["tile_bytes"]))
+        assert np.array_equal(got, exp), (ptx, pty)
+
+
+def test_band_calc_and_translate(images, pdf):
+    got = {r["image_id"]: r for r in raster.band_calc(images, "minimum(A*2+B, 255)").collect()}
+    dec = _decoded(pdf)
+    for iid, img in dec.items():
+        exp = np.minimum(img[:, :, 0].astype(np.float64) * 2 + img[:, :, 1], 255)
+        out = codecs.decode(bytes(got[iid]["bytes"]), "pgm")
+        assert np.array_equal(out, np.clip(np.rint(exp), 0, 255).astype(np.uint8))
+    conv = {r["image_id"]: r for r in raster.translate(images, "png").collect()}
+    for iid, img in dec.items():
+        out = codecs.decode(bytes(conv[iid]["bytes"]), "png")
+        assert np.array_equal(out if out.ndim == 3 else out[:, :, None], img)
+
+
+def test_to_xyz(spark):
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pdf = pd.DataFrame([{
+        "image_id": "x0", "bytes": codecs.encode(img, "pgm"), "w": 4, "h": 3,
+        "fmt": "pgm", "caption": "x", "phash": 0, "lon": 0.0, "lat": 0.0,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    rows = raster.to_xyz(df).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r["value"] == img[r["py"], r["px"]]
