@@ -335,6 +335,30 @@ def np_cell_id_from_tile(tx, ty_xyz, z: int):
     return (np.uint64(z << 58) | morton).astype(np.int64)
 
 
+def np_unspread_bits(x):
+    """Inverse of np_spread_bits: gather even bit positions into an int."""
+    x = np.asarray(x, dtype=np.uint64) & np.uint64(0x5555555555555555)
+    for shift, mask in [
+        (1, 0x3333333333333333),
+        (2, 0x0F0F0F0F0F0F0F0F),
+        (4, 0x00FF00FF00FF00FF),
+        (8, 0x0000FFFF0000FFFF),
+        (16, 0x00000000FFFFFFFF),
+    ]:
+        x = (x | (x >> np.uint64(shift))) & np.uint64(mask)
+    return x.astype(np.int64)
+
+
+def np_cell_to_tile(cell):
+    """(z, tx, ty_xyz) from a Morton cell id (inverse of np_cell_id)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    z = (cell >> np.uint64(58)).astype(np.int64)
+    morton = cell & np.uint64((1 << 58) - 1)
+    tx = np_unspread_bits(morton)
+    ty = np_unspread_bits(morton >> np.uint64(1))
+    return z, tx, ty
+
+
 def np_haversine_m(lon1, lat1, lon2, lat2):
     rad = math.pi / 180.0
     lon1, lat1 = np.asarray(lon1) * rad, np.asarray(lat1) * rad

@@ -1,0 +1,88 @@
+"""Polygonize: distributed tile-CCL + cross-tile label fixpoint must match
+the sequential BFS flood-fill oracle exactly, 4- and 8-connected (the two
+classic GDAL traps are pinned: connectivity + cross-tile merge)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_scripts_spark import fixtures, polygonize
+
+
+@pytest.fixture(scope="module")
+def labels(spark):
+    df = fixtures.labels_spark(spark, n=8).persist()
+    df.count()
+    return df, fixtures.make_labels_pdf(n=8)
+
+
+def _decode(pdf):
+    from gdal_scripts_spark import codecs
+
+    return {r["image_id"]: codecs.decode(r["bytes"], r["fmt"]) for _, r in pdf.iterrows()}
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_polygonize_matches_flood_fill_oracle(labels, conn):
+    df, pdf = labels
+    got_rows = polygonize.polygonize(df, connectivity=conn, tile=10).collect()
+    got: dict[str, dict[int, tuple]] = {}
+    for r in got_rows:
+        got.setdefault(r["image_id"], {})[r["label"]] = (
+            r["value"], r["pixel_count"], r["min_y"], r["min_x"], r["wkt"]
+        )
+    imgs = _decode(pdf)
+    assert set(got) == set(imgs)
+    for iid, img in imgs.items():
+        oracle = polygonize.np_polygonize(img, connectivity=conn)
+        assert len(oracle) > 0
+        assert set(got[iid]) == {c["label"] for c in oracle}, iid
+        for c in oracle:
+            v, n, my, mx, wkt = got[iid][c["label"]]
+            assert v == c["value"], (iid, c["label"])
+            assert n == c["pixel_count"], (iid, c["label"])
+            assert (my, mx) == c["min_pixel_yx"], (iid, c["label"])
+            assert wkt == c["wkt"], (iid, c["label"])
+
+
+def test_connectivity_pinned():
+    # two pixels touching only diagonally: 2 components at 4-conn, 1 at 8-conn
+    img = np.zeros((4, 4), np.uint8)
+    img[1, 1] = 7
+    img[2, 2] = 7
+    assert len(polygonize.np_polygonize(img, 4)) == 2
+    assert len(polygonize.np_polygonize(img, 8)) == 1
+
+
+def test_cross_tile_blob(spark):
+    # one rectangle spanning the 10x10 tile seam of a 20x20 image must come
+    # out as ONE component (exercises the fixpoint merge)
+    from gdal_scripts_spark import codecs
+    import pandas as pd
+
+    img = np.zeros((20, 20), np.uint8)
+    img[4:16, 6:15] = 9  # crosses both seams
+    pdf = pd.DataFrame([{
+        "image_id": "seam", "bytes": codecs.encode(img, "pgm"), "w": 20, "h": 20,
+        "fmt": "pgm", "caption": "x", "phash": 0, "lon": 0.0, "lat": 0.0,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    rows = polygonize.polygonize(df, connectivity=4, tile=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["pixel_count"] == 12 * 9
+    assert (r["min_y"], r["min_x"]) == (4, 6)
+    assert r["wkt"] == polygonize.np_polygonize(img, 4)[0]["wkt"]
+
+
+def test_exterior_ring_shapes():
+    # L-shape: ring must have 6 corners
+    img = np.zeros((5, 5), np.uint8)
+    img[0:4, 0:2] = 3
+    img[3, 0:4] = 3
+    c = polygonize.np_polygonize(img, 4)
+    assert len(c) == 1
+    ring = c[0]["wkt"]
+    n_pts = ring.count(",")  # closed ring: corners == commas
+    assert n_pts == 6
