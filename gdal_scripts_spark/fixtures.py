@@ -112,6 +112,28 @@ IMAGES_SCHEMA = (
 )
 
 
+def make_points_pdf(n: int, seed: int = SEED) -> pd.DataFrame:
+    """Vectorized metadata-only images table (no pixel payload) — the
+    spatial-bench workload: same Zipf-skewed cells, millions of rows fast."""
+    rng = np.random.default_rng(seed)
+    lon, lat = _skewed_lonlat(rng, n)
+    return pd.DataFrame(
+        {
+            "image_id": np.char.add("img", np.arange(n).astype("U10")),
+            "lon": lon,
+            "lat": lat,
+            "phash": rng.integers(-(2**62), 2**62, n, dtype=np.int64),
+        }
+    )
+
+
+def points_spark(spark, n: int, seed: int = SEED, partitions: int | None = None):
+    df = spark.createDataFrame(
+        make_points_pdf(n, seed), schema="image_id string, lon double, lat double, phash long"
+    )
+    return df.repartition(partitions) if partitions else df
+
+
 def images_spark(spark, n: int = 1000, seed: int = SEED, fmts=("ppm", "png")):
     pdf = make_images_pdf(n, seed, fmts)
     return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)

@@ -76,12 +76,95 @@ def _rect_bound_m(lon, lat, qtx, qty, r: int, z: int):
     return F.least(d_n, d_s, d_e, d_w)
 
 
+def auto_zoom(n_points: int, k: int) -> int:
+    """Pick the grid zoom so an average tile holds ~8k points: fine enough
+    to prune, coarse enough that round 0 satisfies most queries. The world
+    has 4^z tiles; solve n / 4^z ≈ 8k."""
+    import math as _m
+
+    target_tiles = max(n_points / max(8 * k, 1), 1.0)
+    return max(2, min(14, int(_m.log(target_tiles, 4)) + 1))
+
+
+def _fallback_partition_topk(
+    rem: DataFrame, points: DataFrame, k: int, qid: str, pid: str,
+) -> DataFrame:
+    """Exact kNN for straggler queries: broadcast the (small) query set,
+    one numpy pass over the points partitions keeping a running top-k per
+    query per PARTITION (vectorized haversine matrix per Arrow batch), then
+    a global top-k window over only n_partitions * k rows per query.
+
+    This is the scale-correct brute force: the big side is scanned once and
+    never shuffled; shuffle volume is O(partitions * k * |Q|)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = rem.sparkSession
+    qrows = rem.select(qid, "_qlon", "_qlat").collect()
+    if not qrows:
+        return None
+    qids = np.array([r[0] for r in qrows])
+    qlon = np.array([r[1] for r in qrows])
+    qlat = np.array([r[2] for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, qlon, qlat))
+    id_field = points.schema[pid].dataType.simpleString()
+    qid_field = rem.schema[qid].dataType.simpleString()
+
+    def run(batches):
+        ids, lon, lat = bc.value
+        nq = len(ids)
+        acc_d = None
+        acc_p = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            plon = b["_plon"].to_numpy(np.float64)
+            plat = b["_plat"].to_numpy(np.float64)
+            pids = np.asarray(b[pid].tolist(), dtype=object)
+            if acc_d is None:
+                acc_d = np.full((nq, k), np.inf)
+                acc_p = np.full((nq, k), pids[0], dtype=object)
+            d = np_haversine_matrix(lon, lat, plon, plat)
+            cat_d = np.concatenate([acc_d, d], axis=1)
+            cat_p = np.concatenate(
+                [acc_p, np.broadcast_to(pids, (nq, len(pids)))], axis=1
+            )
+            # ties by pid asc: lexsort per row on (pid, dist) -> stable topk
+            for i in range(nq):
+                order = np.lexsort((cat_p[i], cat_d[i]))[:k]
+                acc_d[i, : len(order)] = cat_d[i][order]
+                acc_p[i, : len(order)] = cat_p[i][order]
+        rows = []
+        if acc_d is not None:
+            for i in range(nq):
+                for j in range(k):
+                    if np.isfinite(acc_d[i, j]):
+                        rows.append((ids[i], acc_p[i, j], float(acc_d[i, j])))
+        yield pd.DataFrame(rows, columns=[qid, pid, "dist_m"])
+
+    return points.select(pid, "_plon", "_plat").mapInPandas(
+        run, schema=f"{qid} {qid_field}, {pid} {id_field}, dist_m double"
+    )
+
+
+def np_haversine_matrix(qlon, qlat, plon, plat):
+    import numpy as np
+
+    rad = np.pi / 180.0
+    ql = qlat[:, None] * rad
+    pl = plat[None, :] * rad
+    dlat = (plat[None, :] - qlat[:, None]) * rad / 2.0
+    dlon = (plon[None, :] - qlon[:, None]) * rad / 2.0
+    a = np.sin(dlat) ** 2 + np.cos(ql) * np.cos(pl) * np.sin(dlon) ** 2
+    return 2.0 * cells.HAVERSINE_RADIUS * np.arcsin(np.sqrt(a))
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
     k: int = 5,
-    z: int = 8,
-    rounds: tuple[int, ...] = (0, 2, 8, 32),
+    z: int | None = None,
+    rounds: tuple[int, ...] = (0, 2),
     qid: str = "qid",
     pid: str = "image_id",
     q_lon: str = "lon",
@@ -96,8 +179,11 @@ def knn_join(
     long as the schedule reaches the data's empty-region scale — dense-region
     queries finish in round 0). Each round ends with ``localCheckpoint`` so
     the iterative plan's lineage stays flat (driver-side planning would
-    otherwise grow exponentially with rounds)."""
+    otherwise grow exponentially with rounds). ``z=None`` picks a zoom from
+    the point count so an average tile holds ~8k points."""
     spark = queries.sparkSession
+    if z is None:
+        z = auto_zoom(points.count(), k)
     pts = _with_tile(
         points.select(F.col(pid), F.col(p_lon).alias("_plon"), F.col(p_lat).alias("_plat")),
         z, "_plon", "_plat", "p_",
@@ -161,22 +247,20 @@ def knn_join(
         if n_rem == 0:
             break
         if round_idx == len(rounds) - 1 or world_covered:
-            # brute-force fallback for stragglers (sparse world regions)
-            bf = rem.crossJoin(pts.select(pid, "_plon", "_plat")).select(
-                qid, "_qlon", "_qlat",
-                F.lit(0).cast("long").alias("q_tx"), F.lit(0).cast("long").alias("q_ty"),
-                pid,
-                cells.haversine_m(
-                    F.col("_qlon"), F.col("_qlat"), F.col("_plon"), F.col("_plat")
-                ).alias("dist_m"),
+            # distributed brute force for stragglers: broadcast the (small)
+            # query set, one numpy pass over points, k rows per partition
+            bf = _fallback_partition_topk(rem, pts, k, qid, pid)
+            slim = acc.join(rem.select(qid), qid, "left_anti").select(
+                qid, pid, "dist_m"
             )
-            acc = acc.join(rem.select(qid), qid, "left_anti").unionByName(bf)
+            acc = slim.unionByName(bf) if bf is not None else slim
             break
         remaining = rem
         prev_r = r
 
     out = (
-        acc.withColumn("rank", F.row_number().over(wnd))
+        acc.select(qid, pid, "dist_m")
+        .withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= k)
         .select(qid, "rank", pid, "dist_m")
     )

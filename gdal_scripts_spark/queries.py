@@ -1,0 +1,604 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage → __spark_entry__).
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The driver runs the Spark side and the oracle (DuckDB) side at sf=0.01 and
+compares row-count + schema + order-insensitive value-hash, so:
+
+- every computed column is aliased identically on both sides;
+- float literals are written in e-notation so DuckDB parses DOUBLE (its
+  plain decimal literals are DECIMAL and would change the arithmetic);
+- float outputs are rounded (sums @1dp, avgs @4dp, ratios/cosines @6dp,
+  meters @2dp) so cross-engine last-ulp differences (JVM Math vs libm,
+  partitioned vs sequential summation order) can't flip the hash;
+- every window has a total-order tie-break.
+
+Many relational entries run the SAME SQL text on both engines (the A2
+"SQLite dialect == spark.sql" mapping, SURVEY.md §2.4): parser parity is
+part of what's tested. Engine-module entries (spatial join, kNN, minhash,
+LSH) use the DataFrame implementations from joins/knn/textops/vectorops with
+independently written oracle SQL, or rows-only checks where genuinely not
+SQL-expressible (minhash/simhash/LSH candidates, image-fixture pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures, joins, knn, multimodal, polygonize, raster, textops, vectorops
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(text: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(text)
+    return fn
+
+
+# shared derived point table (valid in BOTH dialects; e-notation = DOUBLE)
+PTS_CTE = """
+pts AS (
+  SELECT event_id,
+         CAST(event_id * 7919 % 3600 AS DOUBLE) / 1.0e1 - 1.7995e2 AS lon,
+         CAST(event_id * 104729 % 1680 AS DOUBLE) / 1.0e1 - 8.395e1 AS lat
+  FROM events
+)
+"""
+
+# Web-Mercator helpers as SQL fragments (GlobalMercator math, shared text)
+_OS = "2.0037508342789244e7"
+_IRES = "1.5654303392804097e5"
+
+
+def _merc(zoom: int) -> str:
+    """SQL fragment defining mx,my,res,tx,ty (TMS) at a zoom for pts."""
+    return f"""
+merc AS (
+  SELECT event_id, lon, lat,
+         lon * ({_OS} / 1.8e2) AS mx,
+         ln(tan((9.0e1 + lat) * pi() / 3.6e2)) / (pi() / 1.8e2) * ({_OS} / 1.8e2) AS my
+  FROM pts
+),
+tiles AS (
+  SELECT event_id, lon, lat, mx, my,
+         CAST(ceil((mx + {_OS}) / ({_IRES} / {1 << zoom}) / 2.56e2) AS BIGINT) - 1 AS tx,
+         CAST(ceil((my + {_OS}) / ({_IRES} / {1 << zoom}) / 2.56e2) AS BIGINT) - 1 AS ty
+  FROM merc
+)
+"""
+
+
+QUERIES: dict[str, tuple] = {}
+
+
+def _add_shared(name: str, text: str) -> None:
+    QUERIES[name] = (_sql(text), text)
+
+
+def _add(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = (fn, oracle)
+
+
+# ===========================================================================
+# relational surface (P1/P2, J1, J3, A1/A2, O1-O3, U1/U3, F1-F4, W2/W3)
+# ===========================================================================
+
+_add_shared("filter_project", """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1.0e0 - l_discount) * 1.0e4) AS BIGINT) AS net_price_e4
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 2.4e1
+""")
+
+_add_shared("like_ilike", """
+SELECT p_partkey, p_name
+FROM part
+WHERE p_name ILIKE '%aqua%' OR p_name LIKE '%steel%'
+""")
+
+_add_shared("in_between", """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1.0e4 AND 2.0e5
+  AND o_custkey IS NOT NULL
+""")
+
+_add_shared("cast_case", """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+       CASE WHEN o_orderstatus = 'F' THEN 'final'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'other' END AS status_word
+FROM orders
+""")
+
+_add_shared("left_join_basic", """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+
+_add_shared("semi_exists", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+
+_add_shared("anti_not_exists", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+
+_add_shared("agg_global", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(round(min(l_quantity), 2) AS DOUBLE) AS min_qty,
+       CAST(round(max(l_quantity), 2) AS DOUBLE) AS max_qty,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price
+FROM lineitem
+""")
+
+_add_shared("agg_groupby_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 1.0e2) AS BIGINT) AS sum_base_price_e2,
+       CAST(round(sum(l_extendedprice * (1.0e0 - l_discount)) * 1.0e4) AS BIGINT) AS sum_disc_price_e4,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+_add_shared("agg_having", """
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_suppkey HAVING count(*) > 30
+""")
+
+_add_shared("distinct_vals", """
+SELECT DISTINCT c_mktsegment FROM customer
+""")
+
+_add_shared("orderby_limit_topk", """
+SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+
+_add_shared("union_all_names", """
+SELECT c_name AS name FROM customer WHERE c_custkey <= 50
+UNION ALL
+SELECT s_name AS name FROM supplier WHERE s_suppkey <= 50
+""")
+
+_add_shared("intersect_except", """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""")
+
+_add_shared("string_funcs", """
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lower(c_mktsegment) AS lo_seg,
+       substr(c_name, 1, 8) AS name8,
+       length(c_name) AS name_len,
+       c_name || '/' || c_mktsegment AS joined
+FROM customer WHERE c_custkey <= 100
+""")
+
+_add_shared("date_funcs", """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS oyear,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS omonth,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start
+FROM orders WHERE o_orderkey <= 500
+""")
+
+_add_shared("window_rank", """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS prio_rank
+FROM orders WHERE o_custkey <= 200
+""")
+
+_add_shared("window_topk_per_group", """
+SELECT * FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice, 2) AS DOUBLE) AS price,
+         CAST(row_number() OVER (PARTITION BY l_suppkey
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+  FROM lineitem
+) t WHERE rn <= 3
+""")
+
+_add_shared("join3_agg", """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(l.l_extendedprice) * 1.0e2) AS BIGINT) AS revenue_e2
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+
+_add_shared("conditional_pivot", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM lineitem GROUP BY l_returnflag
+""")
+
+_add_shared("rollup_counts", """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+
+_add_shared("events_type_stats", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 1) AS DOUBLE) AS sum_value,
+       CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+
+_add_shared("events_user_lag", """
+SELECT user_id, event_id,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+FROM events WHERE user_id <= 100
+""")
+
+
+# ===========================================================================
+# spatial surface over derived points (F6/F7, P3/P4, J4/W2) — shared text
+# ===========================================================================
+
+_add_shared("mercator_coords", f"""
+WITH {PTS_CTE}
+SELECT event_id,
+       CAST(round(lon * ({_OS} / 1.8e2), 4) AS DOUBLE) AS mx,
+       CAST(round(ln(tan((9.0e1 + lat) * pi() / 3.6e2)) / (pi() / 1.8e2)
+                  * ({_OS} / 1.8e2), 4) AS DOUBLE) AS my
+FROM pts
+""")
+
+_add_shared("tile_assign_z8", f"""
+WITH {PTS_CTE}, {_merc(8)}
+SELECT event_id, tx, ty, CAST({(1 << 8) - 1} - ty AS BIGINT) AS y_xyz
+FROM tiles
+""")
+
+_add_shared("tile_assign_z12_xyz", f"""
+WITH {PTS_CTE}, {_merc(12)}
+SELECT event_id, tx, CAST({(1 << 12) - 1} - ty AS BIGINT) AS y_xyz
+FROM tiles
+""")
+
+_add_shared("cell_pack_z8", f"""
+WITH {PTS_CTE}, {_merc(8)}
+SELECT event_id,
+       CAST({8 * (1 << 58)} + ({(1 << 8) - 1} - ty) * {1 << 29} + tx AS BIGINT) AS cell_pack
+FROM tiles
+""")
+
+_add_shared("quadkey_z4", f"""
+WITH {PTS_CTE}, {_merc(4)},
+g AS (
+  SELECT event_id, tx, CAST({(1 << 4) - 1} - ty AS BIGINT) AS gy FROM tiles
+)
+SELECT event_id,
+       CAST(tx % 2 + (gy % 2) * 2 AS BIGINT) AS d0,
+       CAST(CAST(floor(tx / 2.0e0) AS BIGINT) % 2 + (CAST(floor(gy / 2.0e0) AS BIGINT) % 2) * 2 AS BIGINT) AS d1,
+       CAST(CAST(floor(tx / 4.0e0) AS BIGINT) % 2 + (CAST(floor(gy / 4.0e0) AS BIGINT) % 2) * 2 AS BIGINT) AS d2,
+       CAST(CAST(floor(tx / 8.0e0) AS BIGINT) % 2 + (CAST(floor(gy / 8.0e0) AS BIGINT) % 2) * 2 AS BIGINT) AS d3
+FROM g
+""")
+
+_add_shared("geodetic_tile_z6", f"""
+WITH {PTS_CTE}
+SELECT event_id,
+       CAST(ceil((1.8e2 + lon) / (1.8e2 / 2.56e2 / {1 << 6}) / 2.56e2) AS BIGINT) - 1 AS gtx,
+       CAST(ceil((9.0e1 + lat) / (1.8e2 / 2.56e2 / {1 << 6}) / 2.56e2) AS BIGINT) - 1 AS gty
+FROM pts
+""")
+
+_add_shared("bbox_filter", f"""
+WITH {PTS_CTE}
+SELECT event_id, CAST(round(lon, 6) AS DOUBLE) AS lon, CAST(round(lat, 6) AS DOUBLE) AS lat
+FROM pts
+WHERE lon >= -1.0e1 AND lon <= 4.0e1 AND lat >= 2.0e1 AND lat <= 6.0e1
+""")
+
+# convex quadrilateral PiP via half-plane sign tests (even-odd equivalent
+# for convex shapes) — vertices CCW: (0,20) (30,25) (25,55) (-5,50)
+_PIP_EDGES = [
+    ((0.0, 20.0), (30.0, 25.0)),
+    ((30.0, 25.0), (25.0, 55.0)),
+    ((25.0, 55.0), (-5.0, 50.0)),
+    ((-5.0, 50.0), (0.0, 20.0)),
+]
+_pip_cond = " AND ".join(
+    f"(({bx:.1e} - {ax:.1e}) * (lat - {ay:.1e}) - ({by:.1e} - {ay:.1e}) * (lon - {ax:.1e})) > 0.0e0"
+    for (ax, ay), (bx, by) in _PIP_EDGES
+)
+_add_shared("pip_convex", f"""
+WITH {PTS_CTE}
+SELECT event_id FROM pts WHERE {_pip_cond}
+""")
+
+_HAV = (
+    "2.0e0 * 6.3710088e6 * asin(sqrt("
+    "power(sin((q.lat - p.lat) * pi() / 3.6e2), 2)"
+    " + cos(p.lat * pi() / 1.8e2) * cos(q.lat * pi() / 1.8e2)"
+    " * power(sin((q.lon - p.lon) * pi() / 3.6e2), 2)))"
+)
+
+_add_shared("knn_brute_topk", f"""
+WITH {PTS_CTE},
+q AS (
+  SELECT c_custkey AS qid,
+         CAST(c_custkey * 104729 % 3600 AS DOUBLE) / 1.0e1 - 1.7995e2 AS lon,
+         CAST(c_custkey * 7919 % 1680 AS DOUBLE) / 1.0e1 - 8.395e1 AS lat
+  FROM customer WHERE c_custkey <= 20
+),
+d AS (
+  SELECT q.qid, p.event_id, {_HAV} AS dist_m
+  FROM q, pts p
+)
+SELECT qid, event_id, CAST(rn AS BIGINT) AS rank,
+       CAST(round(dist_m, 2) AS DOUBLE) AS dist_m
+FROM (
+  SELECT qid, event_id, dist_m,
+         row_number() OVER (PARTITION BY qid ORDER BY dist_m, event_id) AS rn
+  FROM d
+) t WHERE rn <= 5
+""")
+
+_add_shared("haversine_buckets", f"""
+WITH {PTS_CTE},
+d AS (
+  SELECT p.event_id,
+         2.0e0 * 6.3710088e6 * asin(sqrt(
+           power(sin((0.0e0 - p.lat) * pi() / 3.6e2), 2)
+           + cos(p.lat * pi() / 1.8e2) * cos(0.0e0)
+           * power(sin((0.0e0 - p.lon) * pi() / 3.6e2), 2))) AS dist_m
+  FROM pts p
+)
+SELECT CAST(floor(dist_m / 1.0e6) AS BIGINT) AS mm_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1
+""")
+
+
+# ===========================================================================
+# documents: dedup + text analysis
+# ===========================================================================
+
+_add_shared("dedup_exact", """
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+""")
+
+_add_shared("doc_fingerprint", """
+SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id <= 100
+""")
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textops.quality_columns("text")
+    return docs.select(
+        "doc_id", q["n_chars_q"].alias("n_chars_q"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+    )
+
+_add("doc_quality", _q_doc_quality, """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / greatest(CAST(length(text) AS DOUBLE), 1.0e0), 6) AS DOUBLE) AS digit_ratio,
+       CAST(round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / greatest(CAST(length(text) AS DOUBLE), 1.0e0), 6) AS DOUBLE) AS punct_ratio
+FROM documents
+""")
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textops.token_count_ws("text").cast("long").alias("n_tokens_ws"),
+        textops.token_count_bpe_ish("text").alias("n_tokens_bpe"),
+    )
+
+_add("token_counts", _q_token_counts, """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0e0)
+            + len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens_bpe
+FROM documents
+""")
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", textops.lang_id(docs, "text").alias("pred_lang"))
+
+def _langid_sql() -> str:
+    score = {}
+    for lang, words in textops.LANG_MARKERS.items():
+        parts = [
+            f"(length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0e0"
+            for w in words
+        ]
+        score[lang] = "(" + " + ".join(parts) + ")"
+    # mirror textops.lang_id fold order: es, fr, de, en (later wins ties)
+    expr = "'unknown'"
+    best = "0.0e0"
+    for lang in ("es", "fr", "de", "en"):
+        expr = (f"CASE WHEN {score[lang]} >= greatest({best}, 1.0e-9) "
+                f"THEN '{lang}' ELSE {expr} END")
+        best = f"greatest({best}, {score[lang]})"
+    return f"SELECT doc_id, {expr} AS pred_lang FROM documents"
+
+_add("lang_id_pred", _q_lang_id, _langid_sql())
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    return textops.ngram_jaccard_pairs(docs, threshold=0.5, n=8)
+
+_add("ngram_jaccard_pairs", _q_ngram_jaccard, """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
+sh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 8) AS gram
+  FROM docs, range(1, 4096) t(i)
+  WHERE i <= greatest(length(text) - 7, 1)
+    AND length(substr(text, CAST(i AS INT), 8)) = 8
+),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.id = inter.id_a
+JOIN sz sb ON sb.id = inter.id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 5.0e-1
+""")
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 120")
+    return textops.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=8)
+
+_add("minhash_lsh_pairs", _q_minhash, None)  # hash-seeded; rows-only check
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 200")
+    return textops.simhash_pairs(docs, max_hamming=8)
+
+_add("simhash_pairs", _q_simhash, None)  # hash-seeded; rows-only check
+
+
+# ===========================================================================
+# embeddings: similarity search + dedup
+# ===========================================================================
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.cosine_topk_bruteforce(emb.filter("vec_id < 10"), emb, k=5)
+
+_add("cosine_topk_brute", _q_cosine_topk, """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+d AS (
+  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+)
+SELECT qid, CAST(rn AS BIGINT) AS rank, neighbor_id,
+       CAST(round(cos, 6) AS DOUBLE) AS cos
+FROM (
+  SELECT qid, neighbor_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rn
+  FROM d
+) t WHERE rn <= 5
+""")
+
+def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.cosine_near_dup_pairs(emb, threshold=0.9, group="label")
+
+_add("cosine_near_dup", _q_cosine_neardup, """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 9.0e-1
+""")
+
+def _q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.cosine_topk_lsh(emb.filter("vec_id < 10"), emb, k=5)
+
+_add("cosine_topk_lsh", _q_cosine_lsh, None)  # approximate; rows-only
+
+
+# ===========================================================================
+# image-fixture pipelines (no DuckDB-side table -> rows-only checks)
+# ===========================================================================
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=800)
+    pack = fixtures.polygons_pack(p=20)
+    pairs = joins.spatial_join_cells(images, pack, z=8, salt=True,
+                                     hot_cell_threshold=100, n_salts=4)
+    return (
+        pairs.groupBy("poly_id").agg(F.count("*").alias("n_images"))
+        .orderBy("poly_id")
+    )
+
+_add("flagship_spatial_join", _q_flagship, None)
+
+def _q_tile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=60)
+    return raster.cut_base_tiles(images, z=10, resampling="nearest").select(
+        "z", "tx", "ty", "y_xyz", "checksum", "n_src"
+    )
+
+_add("images_tile_cut", _q_tile_cut, None)
+
+def _q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = fixtures.labels_spark(spark, n=8)
+    return polygonize.polygonize(labels, connectivity=4, tile=10)
+
+_add("images_polygonize", _q_polygonize, None)
+
+def _q_knn_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=500)
+    queries = fixtures.query_points_spark(spark, q=60)
+    return knn.knn_join(queries, images, k=5, z=8)
+
+_add("images_knn", _q_knn_images, None)
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=80)
+    return multimodal.extract_features(images).select(
+        "image_id", "ok", "h", "w", "c", "phash"
+    )
+
+_add("multimodal_features", _q_multimodal, None)
+
+def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=120)
+    return raster.global_band_stats(images).select(
+        "band", "n", "vmin", "vmax",
+        F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
+    )
+
+_add("image_band_stats", _q_image_stats, None)
+
+
+def all_queries() -> dict:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

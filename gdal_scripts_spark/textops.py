@@ -1,0 +1,269 @@
+"""Text/dedup operators for large-scale training-data pipelines over the
+``documents`` table — first-class engine components alongside SURVEY.md §2
+(driver prompt: dedup, text analysis).
+
+All hot paths are native Column expressions or array functions (JVM-side);
+the only Python is in nothing here — minhash/simhash are built from
+``F.xxhash64`` over exploded shingles, so the whole pipeline stays in
+whole-stage codegen and scales as plain shuffles.
+
+Operators:
+- exact dedup:        hash-groupBy on text (keep min doc_id)
+- n-gram Jaccard:     exact character-3-gram Jaccard via shingle explode +
+                      pair join (the verification oracle for the LSH paths)
+- MinHash + LSH:      k hash functions simulated by xxhash64(gram, seed);
+                      signature banding -> candidate pairs via band-bucket
+                      equi-join (never an n^2 cross join)
+- SimHash:            64-bit sign-aggregated token hash; near-dup = small
+                      hamming distance, bucketed by rotated prefixes
+- language id:        marker-stopword count argmax (n-gram heuristic)
+- quality scoring:    length / punctuation / digit / stopword ratios
+- token counting:     whitespace tokens + a BPE-ish subword regex estimate
+- fingerprinting:     md5 content fingerprint + shingle-set cardinality
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper = min id, n_dups = group size."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups")
+    ).select("keeper_id", "n_dups")
+
+
+# ---------------------------------------------------------------------------
+# character shingles (3-grams) — the substrate for jaccard/minhash
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, gram) distinct character n-grams — native sequence+explode."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+                        lambda i: F.col(text_col).substr(i, F.lit(n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") == n)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs (id_a < id_b) via shingle join.
+
+    Scale path note: the gram join explodes by document length; at 100 TB
+    this runs AFTER minhash banding prunes candidates — provided here as the
+    exact verifier and for modest corpora."""
+    sh = shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "gram")
+    b = sh.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>) — k minhashes via xxhash64(gram, seed k)."""
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs by banded minhash (id_a < id_b, distinct).
+
+    bands of r = num_hashes/bands rows: pair is a candidate iff some band's
+    sub-signature matches exactly — the classic LSH S-curve. The band join is
+    an equi-join on (band, hash-of-band), shuffle-friendly and skew-safe
+    (band buckets are uniformly hashed)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): sign-sum of xxhash64 token bits over whitespace
+    tokens — fully native (explode + per-bit conditional sums)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    per_bit = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*per_bit)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", sim.alias("simhash"))
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: bucket by 4 rotated 16-bit prefixes (any pair
+    within hamming<=max shares some exact prefix with high probability for
+    small distances), verify hamming exactly. Never n^2."""
+    sh = simhash64(docs, text_col, id_col)
+    rots = []
+    for rot in range(4):
+        rots.append(
+            F.struct(
+                F.lit(rot).alias("rot"),
+                F.shiftrightunsigned(F.col("simhash"), rot * prefix_bits)
+                .bitwiseAND(F.lit((1 << prefix_bits) - 1)).alias("pre"),
+            )
+        )
+    buck = sh.select("id", "simhash", F.explode(F.array(*rots)).alias("p")).select(
+        "id", "simhash", "p.rot", "p.pre"
+    )
+    a = buck.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "rot", "pre")
+    b = buck.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "rot", "pre")
+    return (
+        a.join(b, ["rot", "pre"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id / quality / tokens / fingerprint — pure Column expressions
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "que", "los"),
+}
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """# of occurrences of ' word ' (padded) — length-difference trick,
+    expressible identically in any SQL dialect (oracle parity)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> Column:
+    """Predicted language = argmax of marker-word counts ('und' beats 'the'
+    ties by dict order en>de>fr>es via strictly-greater chain)."""
+    scores = {
+        lang: sum(
+            (_count_occurrences(F.lower(F.col(text_col)), w) for w in words),
+            F.lit(0.0),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang in ("es", "fr", "de", "en"):  # later wins ties -> en priority
+        cond = scores[lang] >= F.greatest(best_score, F.lit(1e-9))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    punct = n - F.length(F.regexp_replace(t, "[.,;:!?]", ""))
+    spaces = n - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    words = spaces + 1
+    return {
+        "n_chars_q": n.cast("long"),
+        "digit_ratio": F.round(digits / F.greatest(n, F.lit(1.0)), 6),
+        "punct_ratio": F.round(punct / F.greatest(n, F.lit(1.0)), 6),
+        "mean_word_len": F.round((n - spaces) / F.greatest(words, F.lit(1.0)), 6),
+    }
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    """# whitespace-separated non-empty tokens (native array filter)."""
+    return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+
+
+def token_count_bpe_ish(text_col: str = "text") -> Column:
+    """BPE-ish upper-bound token estimate: ceil(chars/4) + word count — the
+    standard 4-chars-per-token heuristic, deterministic and cheap."""
+    n = F.length(F.col(text_col)).cast("double")
+    return (F.ceil(n / 4.0) + token_count_ws(text_col)).cast("long")
+
+
+def fingerprint_md5(text_col: str = "text") -> Column:
+    return F.md5(F.col(text_col))

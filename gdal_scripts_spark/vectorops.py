@@ -1,0 +1,145 @@
+"""Embedding similarity over the ``embeddings`` table (driver prompt:
+similarity search as a first-class component).
+
+- brute-force cosine top-k: the exactness baseline. Dot products as native
+  ``F.zip_with``/``F.aggregate`` array expressions (JVM-side, codegen) —
+  no Python in the loop; top-k via the W2 window.
+- LSH-bucketed ANN: random-hyperplane signatures (sign of dot with seeded
+  deterministic pseudo-random planes) -> bucket equi-join; the scale path
+  that avoids the n^2 cross join. Recall measured against brute force in
+  tests.
+- cosine near-dup: pairs above a cosine threshold (embedding-space dedup).
+
+Scale notes: brute-force is O(Q*N) — at 10^9 rows it is a broadcast of the
+QUERY side only (points side never shuffles); IVF/LSH prunes candidates by
+bucket. Sums are double-precision in array order so results are
+reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_cols(a: Column, b: Column) -> Column:
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """(qid, rank, neighbor_id, cos) exact top-k; self-match excluded;
+    ties by neighbor id asc."""
+    q = queries.select(F.col(qid).alias("qid"), F.col(vec).alias("qv"))
+    c = corpus.select(F.col(cid).alias("neighbor_id"), F.col(vec).alias("cv"))
+    wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_cols(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bit signature as a long (<=63 planes)."""
+    v = vec.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 16,
+    bands: int = 4, dim: int = 64, seed: int = 7,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band.
+
+    Recall < 1 by construction; tests measure it against brute force.
+    Bucket join keeps the candidate set ~ N * P(band match) per query."""
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    planes = _planes(dim, n_planes, seed)
+    mask = (1 << r) - 1
+
+    def banded(df, idc, vc, side):
+        sig = lsh_signature(F.col(vc), planes)
+        return df.select(
+            F.col(idc).alias(side), F.col(vc).alias(f"{side}_v"), sig.alias("sig")
+        ).select(
+            side, f"{side}_v",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("sig"), b * r).bitwiseAND(F.lit(mask)).alias("bh"),
+                )
+                for b in range(bands)
+            ])).alias("p"),
+        ).select(side, f"{side}_v", "p.band", "p.bh")
+
+    qb = banded(queries, qid, vec, "qid")
+    cb = banded(corpus, cid, vec, "neighbor_id")
+    wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        qb.join(cb, ["band", "bh"])
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .select("qid", "neighbor_id", "qid_v", "neighbor_id_v")
+        .distinct()
+        .withColumn("cos", cosine_cols(F.col("qid_v"), F.col("neighbor_id_v")))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.95,
+    cid: str = "vec_id", vec: str = "embedding", group: str | None = None,
+) -> DataFrame:
+    """(id_a, id_b) with cosine >= threshold (embedding dedup). Optional
+    blocking column `group` turns the cross join into a per-group join."""
+    a = corpus.select(F.col(cid).alias("id_a"), F.col(vec).alias("va"),
+                      *( [F.col(group).alias("g")] if group else [] ))
+    b = corpus.select(F.col(cid).alias("id_b"), F.col(vec).alias("vb"),
+                      *( [F.col(group).alias("g")] if group else [] ))
+    j = a.join(b, "g") if group else a.crossJoin(b)
+    return (
+        j.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,127 @@
+"""textops/vectorops engine properties: LSH recall vs exact baselines,
+simhash near-dup detection, multimodal quarantine plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import multimodal, textops, vectorops
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    # 40 base docs + a near-dup (one word changed) for the first 10
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta eps zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(40):
+        txt = " ".join(rng.choice(words, 60))
+        rows.append((i, txt))
+        if i < 10:
+            mutated = txt.split()
+            mutated[30] = "MUTANT"
+            rows.append((1000 + i, " ".join(mutated)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in textops.ngram_jaccard_pairs(near_dup_docs, threshold=0.8, n=5).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= exact  # jaccard really is high for planted dups
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_lsh_pairs(near_dup_docs, num_hashes=32, bands=16, n=5).collect()
+    }
+    # recall of planted pairs through LSH banding
+    assert len(planted & cand) >= 9
+
+
+def test_simhash_near_dups(near_dup_docs):
+    pairs = textops.simhash_pairs(near_dup_docs, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert len(planted & got) >= 8  # one-word change => tiny hamming distance
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "a"]})
+    )
+    rows = {r["keeper_id"]: r["n_dups"] for r in textops.dedup_exact(df).collect()}
+    assert rows == {1: 3, 2: 1}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "the cat and the dog of the house",
+                    "der hund und die katze nicht hier",
+                    "le chat et les chiens et le lit",
+                    "el perro que ladra y los gatos",
+                    "zzz qqq www",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r["pred"] for r in
+           df.select("doc_id", textops.lang_id(df).alias("pred")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 20")
+    exact = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_bruteforce(q, df, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_lsh(q, df, k=5, n_planes=24, bands=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # LSH with generous banding on random data
+
+
+def test_multimodal_quarantine_and_fake(spark):
+    pdf = pd.DataFrame(
+        [
+            {"image_id": "good", "bytes": b"P5\n2 2\n255\n\x00\x01\x02\x03",
+             "w": 2, "h": 2, "fmt": "pgm"},
+            {"image_id": "bad", "bytes": b"garbage", "w": 2, "h": 2, "fmt": "png"},
+            {"image_id": "jpeg", "bytes": b"\xff\xd8fakejpegbytes", "w": 4, "h": 4,
+             "fmt": "jpeg"},
+        ]
+    )
+    df = spark.createDataFrame(
+        pdf, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    rows = {r["image_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert rows["good"]["ok"] and rows["good"]["h"] == 2
+    assert not rows["bad"]["ok"]  # quarantined, not crashed
+    assert not rows["jpeg"]["ok"]  # no codec, quarantined
+    rows2 = {r["image_id"]: r for r in
+             multimodal.extract_features(df, deterministic_fake=True).collect()}
+    assert rows2["jpeg"]["ok"] and rows2["jpeg"]["h"] == 4  # fake decode plumbing
+    # resize real formats
+    out = multimodal.resize_images(df.filter("image_id = 'good'"), 4, 4).collect()[0]
+    from gdal_scripts_spark import codecs
+    assert codecs.decode(bytes(out["bytes"]), "png").shape == (4, 4)
+
+
+def test_frame_sample_stub_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"video_id": ["v1"], "bytes": [b"x"]}))
+    with pytest.raises(Exception):
+        multimodal.frame_sample_stub(df).collect()
