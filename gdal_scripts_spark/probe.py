@@ -1,0 +1,184 @@
+"""Pixel probe + tile sink (SURVEY.md §2.2 P7, §2.1 S8) and native geometry
+scalar columns (§2.8 F5).
+
+- probe_pixels: ``apps/gdallocationinfo.cpp : main (≈L300)`` — value at a
+  coordinate. Spark-first: bbox-overlap join of probe points to covering
+  images (both sides carry mercator bounds as plain columns, so Catalyst
+  plans it; the image side is typically the big one and never shuffles more
+  than the matching candidates), then one Arrow pass decodes and indexes.
+- write_tiles / tile sink: ``osgeo_utils/gdal2tiles.py : create_base_tile
+  (≈L700)`` + ``--resume (≈L1950)`` — PNG tile tree as a parquet/Iceberg
+  table partitioned by (z, tx), resume via the checkpoint manifest.
+- geometry scalar columns: ``ogr/swq.h : SpecialFieldNames`` (OGR_GEOM_AREA
+  etc.) — shoelace area / centroid / bbox over the nested rings column as
+  PURE Column expressions (transform/aggregate/zip_with), no UDF: geometry
+  math rides whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, codecs, raster
+
+
+# ---------------------------------------------------------------------------
+# P7 — pixel probe
+# ---------------------------------------------------------------------------
+
+def probe_pixels(
+    probes: DataFrame,
+    images: DataFrame,
+    pix_m: float = raster.DEFAULT_PIX_M,
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """(probe_id, image_id, px, py, value array<int>) for every image whose
+    footprint covers the probe point (gdallocationinfo semantics: row 0 at
+    the top-left anchor)."""
+    b = raster.image_mercator_bounds(images, pix_m).select(
+        "image_id", "bytes", "fmt", "w", "h", "mx0", "my0", "mx1", "my1"
+    )
+    p = probes.select(
+        F.col(probe_id),
+        cells.lon_to_mx(F.col("lon")).alias("pmx"),
+        cells.lat_to_my(F.col("lat")).alias("pmy"),
+    )
+    cand = p.join(
+        b,
+        (F.col("pmx") >= F.col("mx0")) & (F.col("pmx") < F.col("mx1"))
+        & (F.col("pmy") > F.col("my0")) & (F.col("pmy") <= F.col("my1")),
+    ).select(
+        probe_id, "image_id", "bytes", "fmt",
+        F.floor((F.col("pmx") - F.col("mx0")) / pix_m).cast("int").alias("px"),
+        F.floor((F.col("my1") - F.col("pmy")) / pix_m).cast("int").alias("py"),
+    )
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for _, r in bt.iterrows():
+                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                rows.append((r[probe_id], r["image_id"], int(r["px"]), int(r["py"]),
+                             [int(v) for v in img[r["py"], r["px"]]]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[probe_id, "image_id", "px", "py", "value"])
+
+    return cand.mapInPandas(
+        read,
+        schema=f"{probe_id} long, image_id string, px int, py int, value array<int>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — tile sink with resume
+# ---------------------------------------------------------------------------
+
+def write_tiles(
+    images: DataFrame, out_path: str, manifest_path: str, z: int,
+    resampling: str = "nearest", run_id: str | None = None, n_units: int = 32,
+) -> dict:
+    """gdal2tiles sink with exact resume: per-image tiles (the reference's
+    single-input semantics — no cross-image mosaic, so work units are
+    independent by construction), units = image-hash buckets, committed via
+    the lineage manifest (--resume done right: fingerprint-checked, not just
+    file-exists)."""
+    from . import checkpoint
+
+    unitized = images.withColumn(
+        "unit", F.pmod(F.xxhash64("image_id"), F.lit(n_units))
+    )
+
+    def transform(subset: DataFrame) -> DataFrame:
+        out = raster.cut_image_tiles(
+            subset.drop("unit"), z=z, resampling=resampling
+        )
+        return out.withColumn(
+            "unit", F.pmod(F.xxhash64("image_id"), F.lit(n_units))
+        )
+
+    return checkpoint.resumable_run(
+        unitized, "unit", ["image_id", "phash"], transform, out_path,
+        manifest_path, run_id=run_id,
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — geometry scalar functions as native Columns over rings arrays
+# ---------------------------------------------------------------------------
+
+def _ring_shoelace(ring: Column) -> Column:
+    """Signed shoelace area of one ring (array<struct<x,y>>, open)."""
+    nxt = F.concat(F.slice(ring, 2, 1 << 30), F.slice(ring, 1, 1))
+    terms = F.zip_with(
+        ring, nxt, lambda a, b: a["x"] * b["y"] - b["x"] * a["y"]
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / 2.0
+
+
+def polygon_area_col(rings: Column) -> Column:
+    """|exterior| − Σ|holes| — OGR_GEOM_AREA analog, zero UDF."""
+    areas = F.transform(rings, lambda r: F.abs(_ring_shoelace(r)))
+    ext = F.element_at(areas, 1)
+    holes = F.aggregate(F.slice(areas, 2, 1 << 30), F.lit(0.0), lambda a, v: a + v)
+    return ext - holes
+
+
+def polygon_centroid_col(rings: Column) -> Column:
+    """struct(cx, cy) of the exterior ring (area-weighted)."""
+    ring = F.element_at(rings, 1)
+    nxt = F.concat(F.slice(ring, 2, 1 << 30), F.slice(ring, 1, 1))
+    cross = F.zip_with(ring, nxt, lambda a, b: a["x"] * b["y"] - b["x"] * a["y"])
+    a6 = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v) * 3.0
+    cx_t = F.zip_with(ring, nxt, lambda a, b: (a["x"] + b["x"]) * (a["x"] * b["y"] - b["x"] * a["y"]))
+    cy_t = F.zip_with(ring, nxt, lambda a, b: (a["y"] + b["y"]) * (a["x"] * b["y"] - b["x"] * a["y"]))
+    cx = F.aggregate(cx_t, F.lit(0.0), lambda acc, v: acc + v) / a6
+    cy = F.aggregate(cy_t, F.lit(0.0), lambda acc, v: acc + v) / a6
+    return F.struct(cx.alias("cx"), cy.alias("cy"))
+
+
+def polygon_bbox_col(rings: Column) -> Column:
+    """struct(xmin,ymin,xmax,ymax) over all rings — OGR envelope analog."""
+    allx = F.flatten(F.transform(rings, lambda r: F.transform(r, lambda p: p["x"])))
+    ally = F.flatten(F.transform(rings, lambda r: F.transform(r, lambda p: p["y"])))
+    return F.struct(
+        F.array_min(allx).alias("xmin"), F.array_min(ally).alias("ymin"),
+        F.array_max(allx).alias("xmax"), F.array_max(ally).alias("ymax"),
+    )
+
+
+def hamming_dedup_pairs(
+    df: DataFrame, hash_col: str = "phash", id_col: str = "image_id",
+    max_hamming: int = 6, prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by perceptual-hash hamming distance (F8): bucket
+    by 4 rotated prefixes, verify exactly — same shape as simhash_pairs."""
+    rots = [
+        F.struct(
+            F.lit(rot).alias("rot"),
+            F.shiftrightunsigned(F.col(hash_col), rot * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1)).alias("pre"),
+        )
+        for rot in range(4)
+    ]
+    buck = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+        F.explode(F.array(*rots)).alias("p"),
+    ).select("id", "h", "p.rot", "p.pre")
+    a = buck.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "rot", "pre")
+    b = buck.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "rot", "pre")
+    return (
+        a.join(b, ["rot", "pre"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

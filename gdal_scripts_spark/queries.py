@@ -596,6 +596,80 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("image_band_stats", _q_image_stats, None)
 
 
+def _q_geometry_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import probe as _probe
+
+    polys = fixtures.polygons_spark(spark, p=25)
+    return polys.select(
+        "poly_id", "category",
+        F.round(_probe.polygon_area_col(F.col("rings")), 9).alias("area_sq_deg"),
+        F.round(_probe.polygon_centroid_col(F.col("rings"))["cx"], 9).alias("cx"),
+        F.round(_probe.polygon_bbox_col(F.col("rings"))["xmin"], 9).alias("xmin"),
+    )
+
+_add("geometry_scalar_cols", _q_geometry_cols, None)
+
+def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import probe as _probe
+
+    pts = fixtures.points_spark(spark, 20000)
+    return _probe.hamming_dedup_pairs(pts, max_hamming=8)
+
+_add("phash_hamming_dedup", _q_phash_dedup, None)
+
+def _q_pixel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import cells as _cells
+    from . import probe as _probe
+    from . import raster as _raster
+
+    images = fixtures.images_spark(spark, n=100)
+    # probe the center of pixel (1, 2) of every image (guaranteed hits)
+    mx = _cells.lon_to_mx(F.col("lon")) + 1.5 * _raster.DEFAULT_PIX_M
+    my = _cells.lat_to_my(F.col("lat")) - 2.5 * _raster.DEFAULT_PIX_M
+    probes = images.select(
+        F.monotonically_increasing_id().alias("probe_id"),
+        _cells.mx_to_lon(mx).alias("lon"),
+        _cells.my_to_lat(my).alias("lat"),
+    )
+    return _probe.probe_pixels(probes, images).select(
+        "image_id", "px", "py", "value"
+    )
+
+_add("pixel_probe", _q_pixel_probe, None)
+
+def _q_tile_sink_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import probe as _probe
+
+    tmp = tempfile.mkdtemp(prefix="tilesink_")
+    images = fixtures.images_spark(spark, n=30)
+    _probe.write_tiles(images, f"{tmp}/tiles", f"{tmp}/manifest", z=12, n_units=4)
+    return spark.read.parquet(f"{tmp}/tiles").select(
+        "image_id", "z", "tx", "ty", "y_xyz", "checksum"
+    )
+
+_add("tile_sink_resume", _q_tile_sink_resume, None)
+
+
+def _q_gdaldem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dem as _dem
+
+    labels = fixtures.labels_spark(spark, n=8)
+    return _dem.gdaldem(labels, "hillshade").select("image_id", "w", "h", "checksum")
+
+_add("gdaldem_hillshade", _q_gdaldem, None)
+
+def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import palette as _palette
+
+    images = fixtures.images_spark(spark, n=24)
+    indexed, pal = _palette.rgb2pct(images, n_colors=64)
+    return indexed.select("image_id", "w", "h", F.lit(len(pal)).alias("n_colors"))
+
+_add("rgb2pct_quantize", _q_rgb2pct, None)
+
+
 def all_queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

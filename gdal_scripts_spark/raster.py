@@ -339,6 +339,49 @@ def cut_base_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
     )
 
 
+def cut_image_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
+                    resampling: str = "nearest") -> DataFrame:
+    """Per-image tile cutting WITHOUT cross-image mosaic — the reference's
+    actual gdal2tiles semantics (one input raster per run; mosaicking is
+    gdal_merge, kept separate in cut_base_tiles). Map-only: assign (native
+    explode) -> resample fragment -> render own canvas; ZERO shuffle, which
+    is the plan you want for 10^12 images."""
+    assigned = assign_tiles(images, z, pix_m).select(
+        "image_id", "bytes", "fmt", "mx0", "my1", "z", "tx", "ty"
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = _decode_row(r["bytes"], r["fmt"])
+                got = _resample_fragment(
+                    img, float(r["mx0"]), float(r["my1"]), pix_m,
+                    int(r["tx"]), int(r["ty"]), z, resampling,
+                )
+                if got is None:
+                    continue
+                px0, py0, crop = got
+                canvas = np.zeros((TILE, TILE, crop.shape[2]), dtype=np.uint8)
+                canvas[py0 : py0 + crop.shape[0], px0 : px0 + crop.shape[1]] = crop
+                out = canvas[:, :, 0] if crop.shape[2] == 1 else canvas
+                rows.append(
+                    (r["image_id"], z, int(r["tx"]), int(r["ty"]),
+                     (1 << z) - 1 - int(r["ty"]), codecs.encode_png(out),
+                     codecs.gdal_style_checksum(out))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "z", "tx", "ty", "y_xyz",
+                                   "tile_bytes", "checksum"])
+
+    return assigned.mapInPandas(
+        render,
+        schema="image_id string, z int, tx long, ty long, y_xyz long, "
+               "tile_bytes binary, checksum int",
+    )
+
+
 def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
     """One pyramid step: z_child tiles -> z_child-1 tiles by 2x2 average.
 

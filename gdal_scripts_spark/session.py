@@ -3,9 +3,11 @@
 Local-mode tuning notes (tests run on one JVM, ``local[N]``):
 - shuffle partitions default to core count, not 200 — at 100 TB deployment
   this is overridden per-job to ~2-3x total cores or managed by AQE.
-- Arrow batches kept small: image rows are fat (binary pixel payloads), so
-  ``maxRecordsPerBatch`` is lowered to bound executor/Python-worker memory
-  (SURVEY.md §4 "Physical-execution decisions").
+- Arrow batching is governed by BOTH knobs: ``maxRecordsPerBatch`` high
+  (10k — skinny candidate rows need big batches or Python round-trip
+  overhead dominates; measured 17x on the PiP refine) while
+  ``maxBytesPerBatch`` (32 MB) caps fat image-payload rows, bounding
+  Python-worker memory (SURVEY.md §4 "Physical-execution decisions").
 - AQE on: runtime coalescing + skew-join splitting complement the explicit
   hot-cell salting in :mod:`gdal_scripts_spark.joins`.
 """
@@ -23,7 +25,8 @@ def get_spark(
     app_name: str = "gdal_scripts_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 256,
+    arrow_batch_rows: int = 10_000,
+    arrow_batch_bytes: str = "32m",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a tuned local SparkSession.
@@ -43,6 +46,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", arrow_batch_bytes)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

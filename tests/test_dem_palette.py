@@ -1,0 +1,100 @@
+"""gdaldem focal kernels vs scalar references; rgb2pct quantization quality
+and pct2rgb roundtrip."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_scripts_spark import codecs, dem, fixtures, palette
+
+
+def _dem_df(spark, z):
+    pdf = pd.DataFrame([{
+        "image_id": "dem0", "bytes": codecs.encode(z.astype(np.uint8), "pgm"),
+        "w": z.shape[1], "h": z.shape[0], "fmt": "pgm", "caption": "d",
+        "phash": 0, "lon": 0.0, "lat": 0.0,
+    }])
+    return spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+
+
+def _scalar_hillshade(z, az=315.0, alt=45.0):
+    """Independent scalar-loop Horn hillshade."""
+    h, w = z.shape
+    p = np.pad(z.astype(float), 1, mode="edge")
+    out = np.zeros((h, w))
+    azr = math.radians(360.0 - az + 90.0)
+    zen = math.radians(90.0 - alt)
+    for y in range(h):
+        for x in range(w):
+            win = p[y : y + 3, x : x + 3]
+            dzdx = ((win[0, 2] + 2 * win[1, 2] + win[2, 2])
+                    - (win[0, 0] + 2 * win[1, 0] + win[2, 0])) / 8.0
+            dzdy = ((win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                    - (win[0, 0] + 2 * win[0, 1] + win[0, 2])) / 8.0
+            slope = math.atan(math.hypot(dzdx, dzdy))
+            aspect = math.atan2(dzdy, -dzdx)
+            v = math.cos(zen) * math.cos(slope) + math.sin(zen) * math.sin(
+                slope) * math.cos(azr - aspect)
+            out[y, x] = min(max(round(254.0 * max(v, 0) + 1), 1), 255)
+    return out.astype(np.uint8)
+
+
+def test_hillshade_matches_scalar_reference(spark):
+    rng = np.random.default_rng(3)
+    z = rng.integers(0, 200, (12, 15)).astype(np.uint8)
+    df = _dem_df(spark, z)
+    row = dem.gdaldem(df, "hillshade").collect()[0]
+    got = codecs.decode(bytes(row["bytes"]), "pgm")
+    assert np.array_equal(got, _scalar_hillshade(z))
+
+
+@pytest.mark.parametrize("mode", ["slope", "aspect", "tri", "tpi", "roughness"])
+def test_dem_modes_run_and_flat_dem_is_trivial(spark, mode):
+    flat = np.full((10, 10), 77, np.uint8)
+    df = _dem_df(spark, flat)
+    row = dem.gdaldem(df, mode).collect()[0]
+    out = codecs.decode(bytes(row["bytes"]), "pgm")
+    assert out.shape == (10, 10)
+    if mode in ("slope", "tri", "roughness"):
+        assert (out == 0).all()  # flat terrain
+    if mode == "tpi":
+        assert (out == 128).all()  # offset-encoded zero
+
+
+def test_dem_known_ramp_slope():
+    # plane z = 4x: dzdx=4 -> slope = atan(4) = 75.96 deg everywhere
+    ys, xs = np.mgrid[0:8, 0:8]
+    z = (4 * xs).astype(float)
+    s = dem.np_slope_deg(z)
+    assert np.allclose(s[:, 1:-1], math.degrees(math.atan(4)), atol=1e-9)
+
+
+def test_rgb2pct_roundtrip_quality(spark):
+    images = fixtures.images_spark(spark, n=6)
+    indexed, pal = palette.rgb2pct(images, n_colors=64)
+    assert pal.shape[1] == 3 and 2 <= len(pal) <= 64
+    back = palette.pct2rgb(indexed, pal)
+    rows = {r["image_id"]: r for r in back.collect()}
+    pdf = fixtures.make_images_pdf(6)
+    errs = []
+    for _, r in pdf.iterrows():
+        orig = codecs.decode(r["bytes"], r["fmt"])
+        rec = codecs.decode(bytes(rows[r["image_id"]]["bytes"]), "ppm")
+        errs.append(np.abs(orig.astype(float) - rec.astype(float)).mean())
+    # 64-color palette on gradient-ish images: mean error well under 32
+    assert np.mean(errs) < 32.0, errs
+
+
+def test_median_cut_exact_when_few_colors():
+    # histogram with exactly 3 colors -> palette must contain all 3 centers
+    hist = [((10 << 10) | (5 << 5) | 1, 100), ((2 << 10) | (20 << 5) | 7, 50),
+            ((31 << 10) | (0 << 5) | 31, 25)]
+    pal = palette.median_cut(hist, n_colors=8)
+    assert len(pal) == 3
+    expected = {(10 * 8 + 4, 5 * 8 + 4, 1 * 8 + 4), (2 * 8 + 4, 20 * 8 + 4, 7 * 8 + 4),
+                (31 * 8 + 4, 0 * 8 + 4, 31 * 8 + 4)}
+    assert {tuple(int(v) for v in c) for c in pal} == expected
