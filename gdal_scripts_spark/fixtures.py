@@ -134,6 +134,71 @@ def points_spark(spark, n: int, seed: int = SEED, partitions: int | None = None)
     return df.repartition(partitions) if partitions else df
 
 
+def synth_images_spark(spark, n: int, partitions: int | None = None,
+                       fmts=("ppm", "png"), start: int = 0):
+    """DISTRIBUTED deterministic image synthesis: spark.range drives ids,
+    one Arrow pass per partition generates pixels + encodes bytes in the
+    executors (no driver loop) — how a bench generates 10^5..10^6 real
+    image payloads without a driver bottleneck. Fully determined by id."""
+    import pyarrow as pa
+
+    from . import codecs as _codecs
+
+    w = 1.0 / np.arange(1, len(HOT_CENTERS) + 1) ** ZIPF_S
+    cumw = np.cumsum(w / w.sum())
+    centers = HOT_CENTERS.copy()
+    fmts = tuple(fmts)
+
+    def gen(batches):
+        sizes = np.array([16, 20, 32, 64])
+        for b in batches:
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            # deterministic uniforms from id (splitmix-ish)
+            def u(k):
+                x = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                x = x + np.uint64((k * 0xBF58476D1CE4E5B9) % (1 << 64))
+                x ^= x >> np.uint64(31)
+                x = x * np.uint64(0x94D049BB133111EB)
+                return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            ci = np.searchsorted(cumw, u(1))
+            r = np.sqrt(-2.0 * np.log(np.maximum(u(2), 1e-12)))
+            th = 2.0 * np.pi * u(3)
+            lon = np.clip(centers[ci, 0] + 0.5 * r * np.cos(th), -179.9, 179.9)
+            lat = np.clip(centers[ci, 1] + 0.5 * r * np.sin(th), -84.0, 84.0)
+            ws = sizes[(u(4) * 4).astype(int)]
+            hs = sizes[(u(5) * 4).astype(int)]
+            rows_id, rows_b, rows_w, rows_h, rows_f, rows_c, rows_p = (
+                [], [], [], [], [], [], [])
+            for j in range(len(ids)):
+                i = int(ids[j])
+                wj, hj = int(ws[j]), int(hs[j])
+                ys, xs = np.mgrid[0:hj, 0:wj]
+                img = ((xs[:, :, None] * 3 + ys[:, :, None] * 5
+                        + np.arange(3)[None, None, :] * 7 + i) % 256).astype(np.uint8)
+                fmt = fmts[i % len(fmts)]
+                rows_id.append(f"img{i:08d}")
+                rows_b.append(_codecs.encode(img, fmt))
+                rows_w.append(wj)
+                rows_h.append(hj)
+                rows_f.append(fmt)
+                rows_c.append(f"caption {i}")
+                rows_p.append(_codecs.ahash64(img))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rows_id), pa.array(rows_b, type=pa.binary()),
+                 pa.array(rows_w, type=pa.int32()), pa.array(rows_h, type=pa.int32()),
+                 pa.array(rows_f), pa.array(rows_c),
+                 pa.array(rows_p, type=pa.int64()),
+                 pa.array(lon), pa.array(lat)],
+                names=["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash", "lon", "lat"],
+            )
+
+    base = spark.range(start, start + n)
+    if partitions:
+        base = base.repartition(partitions)
+    return base.mapInArrow(gen, schema=IMAGES_SCHEMA)
+
+
 def images_spark(spark, n: int = 1000, seed: int = SEED, fmts=("ppm", "png")):
     pdf = make_images_pdf(n, seed, fmts)
     return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)

@@ -95,29 +95,49 @@ def polygon_wkt(rings: list[np.ndarray]) -> str:
     return "POLYGON (" + ", ".join(ring_wkt_coords(r) for r in norm) + ")"
 
 
-def pip_even_odd(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
-    """Even-odd ray cast of many points against one (multi-ring) polygon.
-
-    Vectorized over points; edges of all rings toggle the parity
-    (holes subtract automatically). Mirrors the fill rule of
-    ``alg/llrasterize.cpp : GDALdllImageFilledPolygon``.
-    """
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    inside = np.zeros(px.shape, dtype=bool)
+def polygon_edges(rings: list[np.ndarray]) -> tuple[np.ndarray, ...]:
+    """Flatten a polygon's rings into edge arrays (x1, y1, x2, y2)."""
+    xs1, ys1, xs2, ys2 = [], [], [], []
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
         if len(r) > 1 and np.array_equal(r[0], r[-1]):
             r = r[:-1]
         x1, y1 = r[:, 0], r[:, 1]
-        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        for i in range(len(r)):
-            cond = (y1[i] > py) != (y2[i] > py)
-            if not cond.any():
-                continue
-            xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
-            inside ^= cond & (px < xint)
+        xs1.append(x1)
+        ys1.append(y1)
+        xs2.append(np.roll(x1, -1))
+        ys2.append(np.roll(y1, -1))
+    return (np.concatenate(xs1), np.concatenate(ys1),
+            np.concatenate(xs2), np.concatenate(ys2))
+
+
+def pip_even_odd_edges(px, py, edges: tuple[np.ndarray, ...]) -> np.ndarray:
+    """Even-odd ray cast, fully vectorized over edges x points (one E*P
+    broadcast pass, chunked to bound temporaries). Mirrors the fill rule of
+    ``alg/llrasterize.cpp : GDALdllImageFilledPolygon``."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = edges
+    e = len(x1)
+    inside = np.zeros(px.shape, dtype=bool)
+    # chunk points so the E x P temporaries stay ~ a few MB
+    chunk = max(int(4_000_000 / max(e, 1)), 1024)
+    dy = y2 - y1
+    dy_safe = np.where(dy == 0, 1.0, dy)
+    slope = (x2 - x1) / dy_safe
+    for s in range(0, len(px), chunk):
+        p = slice(s, s + chunk)
+        cond = (y1[:, None] > py[None, p]) != (y2[:, None] > py[None, p])
+        xint = slope[:, None] * (py[None, p] - y1[:, None]) + x1[:, None]
+        hits = cond & (px[None, p] < xint)
+        inside[p] = (hits.sum(axis=0) & 1).astype(bool)
     return inside
+
+
+def pip_even_odd(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd ray cast of many points against one (multi-ring) polygon;
+    edges of all rings toggle the parity (holes subtract automatically)."""
+    return pip_even_odd_edges(px, py, polygon_edges(rings))
 
 
 def clip_ring_rect(
@@ -223,6 +243,16 @@ class PolygonPack:
             out.append(self.coords[self.ring_starts[r] : self.ring_starts[r + 1]])
         return out
 
+    def edges_of(self, p: int) -> tuple[np.ndarray, ...]:
+        """Memoized flat edge arrays for the ray-cast kernel."""
+        if not hasattr(self, "_edges") or self._edges is None:
+            self._edges = {}
+        e = self._edges.get(p)
+        if e is None:
+            e = polygon_edges(self.rings_of(p))
+            self._edges[p] = e
+        return e
+
     # --- uniform grid over polygon bboxes (in-batch R-tree stand-in) ---
     def build_grid(self, nx: int = 64, ny: int = 32) -> None:
         if self.n_polys == 0:
@@ -319,7 +349,7 @@ def pip_batch(
                 if not m.any():
                     continue
                 sub = grp[m]
-                hit = pip_even_odd(px[sub], py[sub], pack.rings_of(p))
+                hit = pip_even_odd_edges(px[sub], py[sub], pack.edges_of(p))
                 if hit.any():
                     out_i.append(sub[hit])
                     out_p.append(np.full(int(hit.sum()), pack.poly_ids[p], np.int64))

@@ -99,23 +99,29 @@ def spatial_join_broadcast(
     id_field = points.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_field}, poly_id long"
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # mapInArrow: coords come out zero-copy as numpy; ids are gathered
+        # with Arrow take() — no Python string objects ever materialize
+        # (SURVEY.md §4: keep strings/binary out of the Python hot path)
+        import pyarrow as pa
+
         pk = bc.value
         if pk._grid is None:
             pk.build_grid()
         for b in batches:
-            if len(b) == 0:
+            if b.num_rows == 0:
                 continue
-            idx, pid = geom.pip_batch(
-                b[lon].to_numpy(np.float64), b[lat].to_numpy(np.float64), pk
-            )
+            px = b.column(lon).to_numpy(zero_copy_only=False)
+            py = b.column(lat).to_numpy(zero_copy_only=False)
+            idx, pid = geom.pip_batch(px, py, pk)
             if len(idx) == 0:
                 continue
-            yield pd.DataFrame(
-                {id_col: b[id_col].to_numpy()[idx], "poly_id": pid}
+            ids = b.column(id_col).take(pa.array(idx))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(pid)], names=[id_col, "poly_id"]
             )
 
-    return points.select(id_col, lon, lat).mapInPandas(run, schema=out_schema)
+    return points.select(id_col, lon, lat).mapInArrow(run, schema=out_schema)
 
 
 def spatial_semi_join(points: DataFrame, pack: geom.PolygonPack, **kw) -> DataFrame:
@@ -144,29 +150,31 @@ def _refine_pip(candidates: DataFrame, pack: geom.PolygonPack,
     id_field = candidates.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_field}, poly_id long"
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        import pyarrow as pa
+
         pk = bc.value
         pos = {int(pid): i for i, pid in enumerate(pk.poly_ids)}
         for b in batches:
-            if len(b) == 0:
+            if b.num_rows == 0:
                 continue
-            keep_ids, keep_pids = [], []
-            px = b[lon].to_numpy(np.float64)
-            py = b[lat].to_numpy(np.float64)
-            pids = b["poly_id"].to_numpy(np.int64)
-            ids = b[id_col].to_numpy()
+            px = b.column(lon).to_numpy(zero_copy_only=False)
+            py = b.column(lat).to_numpy(zero_copy_only=False)
+            pids = b.column("poly_id").to_numpy(zero_copy_only=False)
+            keep = np.zeros(b.num_rows, dtype=bool)
             for pid in np.unique(pids):
                 m = pids == pid
-                hit = geom.pip_even_odd(px[m], py[m], pk.rings_of(pos[int(pid)]))
-                if hit.any():
-                    keep_ids.append(ids[m][hit])
-                    keep_pids.append(np.full(int(hit.sum()), pid, np.int64))
-            if keep_ids:
-                yield pd.DataFrame(
-                    {id_col: np.concatenate(keep_ids), "poly_id": np.concatenate(keep_pids)}
+                keep[m] = geom.pip_even_odd_edges(px[m], py[m], pk.edges_of(pos[int(pid)]))
+            if keep.any():
+                idx = pa.array(np.nonzero(keep)[0])
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(id_col).take(idx), b.column("poly_id").take(idx)],
+                    names=[id_col, "poly_id"],
                 )
 
-    return candidates.mapInPandas(run, schema=out_schema)
+    return candidates.select(id_col, lon, lat, "poly_id").mapInArrow(
+        run, schema=out_schema
+    )
 
 
 def spatial_join_cells(

@@ -3,9 +3,9 @@ opaque binary + typed metadata).
 
 The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested; the codec boundary is explicit:
-- formats this engine decodes natively (ppm/pgm/png) run for real via
+- formats this engine decodes natively (ppm/pgm/png/jpeg) run for real via
   gdal_scripts_spark.codecs;
-- external-library formats (jpeg decode, audio, video frames) are gated
+- external-library formats (audio, video frames) are gated
   stubs: a deterministic fake when ``deterministic_fake=True`` (so the
   distributed plumbing is testable end-to-end), NotImplementedError
   otherwise. The container has no image/audio libs (SURVEY.md §0).
@@ -40,7 +40,7 @@ def _fake_decode(buf: bytes, w: int, h: int) -> np.ndarray:
 def decode_any(buf: bytes, fmt: str, w: int, h: int,
                deterministic_fake: bool = False) -> np.ndarray:
     fmt = fmt.lower()
-    if fmt in ("ppm", "pgm", "pnm", "png"):
+    if fmt in ("ppm", "pgm", "pnm", "png", "jpeg", "jpg"):
         img = codecs.decode(buf, fmt)
         return img if img.ndim == 3 else img[:, :, None]
     if deterministic_fake:

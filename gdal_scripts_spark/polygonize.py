@@ -428,3 +428,95 @@ def polygonize(
         trace, schema="image_id string, label long, wkt string"
     )
     return stats.join(rings, ["image_id", "label"])
+
+
+# ---------------------------------------------------------------------------
+# R7 — sieve (alg/sieve.cpp : GDALSieveFilter ≈L300)
+# ---------------------------------------------------------------------------
+
+def np_sieve(img: np.ndarray, threshold: int, connectivity: int = 4,
+             max_rounds: int = 100) -> np.ndarray:
+    """Remove components smaller than `threshold` pixels by merging each
+    into its largest neighbor component, iterating to a fixpoint — the
+    GDALSieveFilter contract. Components are equal-value regions INCLUDING
+    value 0 (GDAL sieves the background polygon too)."""
+    out = img.copy()
+    if connectivity == 4:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        nbrs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    h, w = out.shape
+    for _ in range(max_rounds):
+        # label components (BFS)
+        lab = np.full((h, w), -1, dtype=np.int64)
+        sizes: list[int] = []
+        vals: list[int] = []
+        for y0 in range(h):
+            for x0 in range(w):
+                if lab[y0, x0] >= 0:
+                    continue
+                cid = len(sizes)
+                v = out[y0, x0]
+                stack = [(y0, x0)]
+                lab[y0, x0] = cid
+                cnt = 0
+                while stack:
+                    y, x = stack.pop()
+                    cnt += 1
+                    for dy, dx in nbrs:
+                        ny, nx = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx < w and lab[ny, nx] < 0 and out[ny, nx] == v:
+                            lab[ny, nx] = cid
+                            stack.append((ny, nx))
+                sizes.append(cnt)
+                vals.append(int(v))
+        sizes_a = np.array(sizes)
+        small = np.nonzero(sizes_a < threshold)[0]
+        if len(small) == 0:
+            return out
+        # 4-adjacency between components (edge scan; diagonal merge targets
+        # follow GDAL, which uses 4-neighbors for the replacement search)
+        adj: dict[int, set[int]] = {}
+        for (a, b) in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+            diff = a != b
+            for ca, cb in zip(a[diff].ravel(), b[diff].ravel()):
+                adj.setdefault(int(ca), set()).add(int(cb))
+                adj.setdefault(int(cb), set()).add(int(ca))
+        changed = False
+        # merge smallest-first for determinism
+        for cid in sorted(small, key=lambda c: (sizes_a[c], c)):
+            nbrs_c = adj.get(int(cid), set())
+            if not nbrs_c:
+                continue
+            tgt = max(nbrs_c, key=lambda c: (sizes_a[c], -c))
+            if vals[tgt] != vals[cid]:
+                out[lab == cid] = vals[tgt]
+                changed = True
+        if not changed:
+            return out
+    return out
+
+
+def sieve(images: DataFrame, threshold: int, connectivity: int = 4,
+          out_fmt: str = "pgm") -> DataFrame:
+    """Distributed sieve over single-band images (one Arrow pass per batch;
+    each image row is its own raster in this engine's data model)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                out = np_sieve(img, threshold, connectivity)
+                rows.append((r["image_id"], codecs.encode(out, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0],
+                             codecs.gdal_style_checksum(out)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "w", "h", "checksum"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )

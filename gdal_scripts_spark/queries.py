@@ -669,6 +669,14 @@ def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("rgb2pct_quantize", _q_rgb2pct, None)
 
+def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = fixtures.labels_spark(spark, n=8)
+    return polygonize.sieve(labels, threshold=4).select(
+        "image_id", "w", "h", "checksum"
+    )
+
+_add("sieve_filter", _q_sieve, None)
+
 
 def all_queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}

@@ -122,6 +122,7 @@ def test_psnr():
     assert codecs.psnr(img, np.zeros_like(img)) < 15.0
 
 
-def test_jpeg_gated():
-    with pytest.raises(NotImplementedError):
-        codecs.encode(_img(8, 8, 3), "jpeg")
+def test_jpeg_dispatch():
+    img = _img(24, 24, 3, seed=8)
+    out = codecs.decode(codecs.encode(img, "jpeg"), "jpeg")
+    assert out.shape == img.shape  # lossy: exactness checked in test_jpeg.py

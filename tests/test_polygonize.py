@@ -86,3 +86,37 @@ def test_exterior_ring_shapes():
     ring = c[0]["wkt"]
     n_pts = ring.count(",")  # closed ring: corners == commas
     assert n_pts == 6
+
+
+def test_sieve_absorbs_small_components(spark):
+    from gdal_scripts_spark import codecs
+    import pandas as pd
+
+    img = np.zeros((10, 10), np.uint8)
+    img[2:8, 2:8] = 5          # big blob (36 px)
+    img[4, 4] = 9              # 1-px speck inside it
+    img[0, 0] = 7              # 1-px speck on background
+    out = polygonize.np_sieve(img, threshold=3)
+    assert out[4, 4] == 5      # absorbed into surrounding blob
+    assert out[0, 0] == 0      # absorbed into background
+    assert (out[2:8, 2:8] == 5).all()
+    # threshold=1 keeps everything
+    assert np.array_equal(polygonize.np_sieve(img, threshold=1), img)
+    # spark path matches numpy
+    pdf = pd.DataFrame([{
+        "image_id": "s0", "bytes": codecs.encode(img, "pgm"), "w": 10, "h": 10,
+        "fmt": "pgm", "caption": "x", "phash": 0, "lon": 0.0, "lat": 0.0,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    row = polygonize.sieve(df, threshold=3).collect()[0]
+    assert np.array_equal(codecs.decode(bytes(row["bytes"]), "pgm"), out)
+
+
+def test_sieve_iterates_to_fixpoint():
+    # chain: absorbing one speck creates a new small component scenario
+    img = np.zeros((6, 6), np.uint8)
+    img[0:2, 0:2] = 3          # 4 px
+    img[2, 0] = 8              # 1 px below it
+    out = polygonize.np_sieve(img, threshold=3)
+    assert 8 not in out
+    assert (out == 3).sum() >= 4

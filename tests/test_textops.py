@@ -111,10 +111,7 @@ def test_multimodal_quarantine_and_fake(spark):
     rows = {r["image_id"]: r for r in multimodal.extract_features(df).collect()}
     assert rows["good"]["ok"] and rows["good"]["h"] == 2
     assert not rows["bad"]["ok"]  # quarantined, not crashed
-    assert not rows["jpeg"]["ok"]  # no codec, quarantined
-    rows2 = {r["image_id"]: r for r in
-             multimodal.extract_features(df, deterministic_fake=True).collect()}
-    assert rows2["jpeg"]["ok"] and rows2["jpeg"]["h"] == 4  # fake decode plumbing
+    assert not rows["jpeg"]["ok"]  # fake jpeg bytes -> decode fails, quarantined
     # resize real formats
     out = multimodal.resize_images(df.filter("image_id = 'good'"), 4, 4).collect()[0]
     from gdal_scripts_spark import codecs
