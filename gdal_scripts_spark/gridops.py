@@ -1,0 +1,161 @@
+"""gdal_grid analogs — point-cloud -> grid-node interpolation (SURVEY.md §2 R8/J4).
+
+Reference semantics: ``alg/gdalgrid.cpp : GDALGridInverseDistanceToAPower
+(≈L150), GDALGridNearestNeighbor (≈L800), GDALGridDataMetricCount /
+GDALGridDataMetricAverageDistance (≈L1000+)`` — for every output grid node,
+gather the input points inside a search neighbourhood and reduce (inverse-
+distance weighted mean, nearest value, or data metrics).
+
+Spark-first shapes (no |Q|x|P| cross join anywhere):
+
+- kNN-neighbourhood variants ride :func:`knn.knn_join` — the grid-partitioned
+  ring-expansion join (cell-keyed equi-join + sound rect bound), so each
+  query touches only nearby tiles and the plan is a sequence of shuffle
+  equi-joins Catalyst understands.
+- the radius variant generates each query's covering tile range natively
+  (``sequence`` + two ``explode``s — whole-stage codegen, no Python) and
+  equi-joins points on (tx, ty); candidate volume is bounded by the search
+  radius, never by |P|. Skewed hot tiles are defused the same way as the
+  spatial join (AQE skew join stays on; candidate fan-out is per-query
+  bounded).
+
+Weights use ``1 / max(dist, eps)^power`` — the eps floor plays the role of
+gdal_grid's ``smoothing`` for coincident points (an exact hit dominates the
+sum instead of dividing by zero), and keeps the formula identical in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells, knn
+
+EPS_M = 1e-9
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str = "value",
+    k: int = 8,
+    power: float = 2.0,
+    z: int | None = None,
+    method: str = "grid",
+    qid: str = "qid",
+    pid: str = "pid",
+) -> DataFrame:
+    """Inverse-distance-to-a-power over the k nearest points per query node.
+
+    Returns (qid, n_pts, idw_value) with idw_value = sum(v*w)/sum(w),
+    w = 1/max(dist_m, eps)^power. ``method="grid"`` uses the scale path
+    (ring-expansion kNN); ``"brute"`` the broadcast cross-join baseline.
+    """
+    join_fn = knn.knn_join if method == "grid" else knn.knn_bruteforce
+    nn = join_fn(queries, points, k=k, qid=qid, pid=pid, **({"z": z} if method == "grid" else {}))
+    vals = points.select(F.col(pid), F.col(value_col).alias("_v"))
+    w = F.lit(1.0) / F.pow(F.greatest(F.col("dist_m"), F.lit(EPS_M)), F.lit(power))
+    return (
+        nn.join(vals, pid)
+        .withColumn("_w", w)
+        .groupBy(qid)
+        .agg(
+            F.count("*").alias("n_pts"),
+            (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("idw_value"),
+        )
+    )
+
+
+def _tile_range(lon, lat, radius_m: float, z: int):
+    """Native-column covering tile range for a haversine disc: the disc fits
+    inside the lon/lat rect lat±dlat, lon±dlat/cos(|lat|+dlat) (sound on the
+    sphere for |lat|+dlat <= 89). The tx range is UNWRAPPED (may run past
+    [0, 2^z)) so antimeridian-crossing discs cover both sides — the caller
+    must ``pmod`` each generated tx; its width is capped at 2^z so a
+    high-latitude disc never duplicates a tile."""
+    import math
+
+    dlat = math.degrees(radius_m / cells.HAVERSINE_RADIUS)
+    abslat = F.least(F.abs(lat) + F.lit(dlat), F.lit(89.0))
+    dlon = F.lit(dlat) / F.cos(F.radians(abslat))
+    n = F.lit((1 << z) - 1)
+    lat_lo = F.greatest(lat - F.lit(dlat), F.lit(-85.05))
+    lat_hi = F.least(lat + F.lit(dlat), F.lit(85.05))
+    txa, tya = cells.lonlat_to_tile_tms(lon - dlon, lat_lo, z)
+    txb, tyb = cells.lonlat_to_tile_tms(lon + dlon, lat_hi, z)
+    txb = F.least(txb, txa + n)
+    clamp = lambda c: F.greatest(F.least(c, n), F.lit(0))  # noqa: E731
+    return txa, txb, clamp(tya), clamp(tyb)
+
+
+def radius_metrics(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_m: float,
+    z: int = 8,
+    value_col: str = "value",
+    qid: str = "qid",
+    pid: str = "pid",
+) -> DataFrame:
+    """gdal_grid data-metrics + average in a search radius, per query node.
+
+    Returns (qid, n_pts, avg_value, avg_dist_m, min_dist_m) for queries with
+    >=1 point inside radius_m (nodes with an empty neighbourhood are absent —
+    the caller left-joins back if it wants gdal_grid's nodata fill).
+    """
+    lon, lat = F.col("_qlon"), F.col("_qlat")
+    q = queries.select(
+        F.col(qid), F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat")
+    )
+    txa, txb, tya, tyb = _tile_range(lon, lat, radius_m, z)
+    cand_tiles = (
+        q.withColumn("_txa", txa).withColumn("_txb", txb)
+        .withColumn("_tya", tya).withColumn("_tyb", tyb)
+        .select(
+            qid, "_qlon", "_qlat",
+            F.explode(F.sequence("_txa", "_txb")).alias("_txu"),
+            F.col("_tya"), F.col("_tyb"),
+        )
+        .select(
+            qid, "_qlon", "_qlat",
+            F.pmod(F.col("_txu"), F.lit(1 << z)).alias("p_tx"),
+            F.explode(F.sequence("_tya", "_tyb")).alias("p_ty"),
+        )
+    )
+    ptx, pty = cells.lonlat_to_tile_tms(F.col("lon"), F.col("lat"), z)
+    pts = points.select(
+        F.col(pid), F.col(value_col).alias("_v"),
+        F.col("lon").alias("_plon"), F.col("lat").alias("_plat"),
+        ptx.alias("p_tx"), pty.alias("p_ty"),
+    )
+    dist = cells.haversine_m(
+        F.col("_qlon"), F.col("_qlat"), F.col("_plon"), F.col("_plat")
+    )
+    return (
+        cand_tiles.join(pts, ["p_tx", "p_ty"])
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+        .groupBy(qid)
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.avg("_v").alias("avg_value"),
+            F.avg("dist_m").alias("avg_dist_m"),
+            F.min("dist_m").alias("min_dist_m"),
+        )
+    )
+
+
+def nearest_value(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str = "value",
+    z: int | None = None,
+    qid: str = "qid",
+    pid: str = "pid",
+) -> DataFrame:
+    """GDALGridNearestNeighbor: value of the single nearest point (ties by
+    pid asc, inherited from knn_join's total order)."""
+    nn = knn.knn_join(queries, points, k=1, z=z, qid=qid, pid=pid)
+    vals = points.select(F.col(pid), F.col(value_col).alias("nearest_value"))
+    return nn.join(vals, pid).select(qid, pid, "dist_m", "nearest_value")

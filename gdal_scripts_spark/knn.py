@@ -50,10 +50,18 @@ def _with_tile(df: DataFrame, z: int, lon: str, lat: str, prefix: str) -> DataFr
 
 
 def _rect_bound_m(lon, lat, qtx, qty, r: int, z: int):
-    """Sound lower bound (meters) to the exterior of the searched tile rect."""
+    """Sound lower bound (meters) to the exterior of the searched tile rect.
+
+    The x direction is PERIODIC (candidate tiles wrap at the antimeridian via
+    pmod), so the west/east bounds use the sin-based cross-meridian distance
+    on the UNWRAPPED rect edges — |sin| is 360°-periodic, which makes the
+    bound wrap-correct — and become infinite only when the ring covers every
+    tx (no x-exterior exists). The y direction does not wrap: a rect clamped
+    at the top/bottom tile row has no exterior there (all points live inside
+    the Mercator tiling domain)."""
     n = (1 << z) - 1
-    txa = F.greatest(qtx - r, F.lit(0))
-    txb = F.least(qtx + r, F.lit(n))
+    txa = qtx - r
+    txb = qtx + r
     tya = F.greatest(qty - r, F.lit(0))
     tyb = F.least(qty + r, F.lit(n))
     lo = cells.tile_bounds_lonlat(txa, tya, z)
@@ -67,10 +75,10 @@ def _rect_bound_m(lon, lat, qtx, qty, r: int, z: int):
     coslat = F.cos(lat * rad)
     d_w = F.lit(R) * F.asin(F.least(F.abs(F.sin((lon - lon0) * rad)) * coslat, F.lit(1.0)))
     d_e = F.lit(R) * F.asin(F.least(F.abs(F.sin((lon1 - lon) * rad)) * coslat, F.lit(1.0)))
-    # rect clamped at the world edge -> that side is unbounded-safe (infinite)
     inf = F.lit(float("inf"))
-    d_w = F.when(qtx - r <= 0, inf).otherwise(d_w)
-    d_e = F.when(qtx + r >= n, inf).otherwise(d_e)
+    if 2 * r + 1 >= (1 << z):
+        d_w = inf
+        d_e = inf
     d_s = F.when(qty - r <= 0, inf).otherwise(d_s)
     d_n = F.when(qty + r >= n, inf).otherwise(d_n)
     return F.least(d_n, d_s, d_e, d_w)
@@ -207,7 +215,8 @@ def knn_join(
         off_df = spark.createDataFrame(offs, schema="dx int, dy int")
         probes = remaining.crossJoin(F.broadcast(off_df)).select(
             qid, "_qlon", "_qlat", "q_tx", "q_ty",
-            (F.col("q_tx") + F.col("dx")).alias("p_tx"),
+            # wrap at the antimeridian: tile x is periodic mod 2^z
+            F.pmod(F.col("q_tx") + F.col("dx"), F.lit(1 << z)).alias("p_tx"),
             (F.col("q_ty") + F.col("dy")).alias("p_ty"),
         )
         new_cand = probes.join(pts, ["p_tx", "p_ty"], "inner").select(
@@ -217,9 +226,11 @@ def knn_join(
             ).alias("dist_m"),
         )
         acc = new_cand if acc is None else acc.unionByName(new_cand)
-        # keep only top-k per query to bound the accumulator; cut lineage
+        # dedupe (wrapped rings can revisit a tile near the seam), then keep
+        # only top-k per query to bound the accumulator; cut lineage
         acc = (
-            acc.withColumn("rank", F.row_number().over(wnd))
+            acc.dropDuplicates([qid, pid])
+            .withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= k)
             .drop("rank")
         ).localCheckpoint()

@@ -154,6 +154,67 @@ def polygon_bbox_col(rings: Column) -> Column:
     )
 
 
+def clip_polygons_rect(
+    polys: DataFrame,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    id_col: str = "poly_id",
+) -> DataFrame:
+    """ogr2ogr -clipsrc analog for an axis-aligned rect (SURVEY.md §2.2 P6):
+    Sutherland–Hodgman clip of every ring (``apps/ogr2ogr_lib.cpp : clipsrc
+    handling (≈L1500)``; closed-form for rect windows, so no GEOS needed).
+
+    Catalyst prunes most rows before Python: a native bbox anti-overlap
+    filter drops polygons entirely outside the window, and fully-inside
+    polygons pass through unchanged (area from the native shoelace column);
+    only boundary-straddling rows reach the Arrow clip kernel. Returns
+    (id, clipped_area, n_rings_out) for polygons with non-empty
+    intersection."""
+    from . import geom as _geom
+
+    bbox = polygon_bbox_col(F.col("rings"))
+    base = polys.select(
+        id_col, "rings", bbox.alias("_bb"), polygon_area_col(F.col("rings")).alias("_area")
+    ).filter(
+        (F.col("_bb.xmin") <= xmax) & (F.col("_bb.xmax") >= xmin)
+        & (F.col("_bb.ymin") <= ymax) & (F.col("_bb.ymax") >= ymin)
+    )
+    inside = (
+        (F.col("_bb.xmin") >= xmin) & (F.col("_bb.xmax") <= xmax)
+        & (F.col("_bb.ymin") >= ymin) & (F.col("_bb.ymax") <= ymax)
+    )
+    whole = base.filter(inside).select(
+        id_col,
+        F.col("_area").alias("clipped_area"),
+        F.size("rings").alias("n_rings_out"),
+    )
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, r in b.iterrows():
+                area = 0.0
+                n_out = 0
+                for k, ring in enumerate(r["rings"]):
+                    pts = np.array([(p["x"], p["y"]) for p in ring])
+                    c = _geom.clip_ring_rect(pts, xmin, ymin, xmax, ymax)
+                    if len(c) >= 3:
+                        a = abs(_geom.shoelace_area(c))
+                        area += a if k == 0 else -a
+                        n_out += 1
+                if n_out:
+                    rows.append((r[id_col], area, n_out))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_col, "clipped_area", "n_rings_out"])
+
+    straddle = base.filter(~inside).select(id_col, "rings").mapInPandas(
+        clip, schema=f"{id_col} long, clipped_area double, n_rings_out int"
+    )
+    return whole.unionByName(straddle)
+
+
 def hamming_dedup_pairs(
     df: DataFrame, hash_col: str = "phash", id_col: str = "image_id",
     max_hamming: int = 6, prefix_bits: int = 16,

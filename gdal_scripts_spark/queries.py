@@ -678,6 +678,221 @@ def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("sieve_filter", _q_sieve, None)
 
 
+# ===========================================================================
+# gdal_grid family (R8/J4): IDW + radius data metrics over event-derived
+# points (value = events.value), queries derived from customer keys
+# ===========================================================================
+
+_VPTS_SQL = """
+SELECT event_id AS pid,
+       CAST(event_id * 7919 % 3600 AS DOUBLE) / 1.0e1 - 1.7995e2 AS lon,
+       CAST(event_id * 104729 % 1680 AS DOUBLE) / 1.0e1 - 8.395e1 AS lat,
+       value
+FROM events
+"""
+_QNODES_SQL = """
+SELECT c_custkey AS qid,
+       CAST(c_custkey * 104729 % 3600 AS DOUBLE) / 1.0e1 - 1.7995e2 AS lon,
+       CAST(c_custkey * 7919 % 1680 AS DOUBLE) / 1.0e1 - 8.395e1 AS lat
+FROM customer WHERE c_custkey <= 30
+"""
+_W = "power(greatest(dist_m, 1.0e-9), 2.0e0)"
+
+
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import gridops
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_VPTS_SQL)
+    qs = spark.sql(_QNODES_SQL)
+    out = gridops.idw_interpolate(qs, pts, value_col="value", k=8, power=2.0)
+    return out.select(
+        "qid", "n_pts", F.round("idw_value", 4).alias("idw_value")
+    )
+
+_add("idw_interpolate", _q_idw, f"""
+WITH v AS ({_VPTS_SQL}), q AS ({_QNODES_SQL}),
+d AS (
+  SELECT q.qid, p.pid, p.value, {_HAV} AS dist_m
+  FROM q, v p
+),
+r AS (
+  SELECT qid, pid, value, dist_m,
+         row_number() OVER (PARTITION BY qid ORDER BY dist_m, pid) AS rn
+  FROM d
+)
+SELECT qid, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(round(sum(value / {_W}) / sum(1.0e0 / {_W}), 4) AS DOUBLE) AS idw_value
+FROM r WHERE rn <= 8 GROUP BY qid
+""")
+
+
+def _q_radius_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import gridops
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_VPTS_SQL)
+    qs = spark.sql(_QNODES_SQL)
+    out = gridops.radius_metrics(qs, pts, radius_m=2.5e5, z=6, value_col="value")
+    return out.select(
+        "qid", "n_pts",
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("avg_dist_m", 2).alias("avg_dist_m"),
+        F.round("min_dist_m", 2).alias("min_dist_m"),
+    )
+
+_add("radius_metrics", _q_radius_metrics, f"""
+WITH v AS ({_VPTS_SQL}), q AS ({_QNODES_SQL}),
+d AS (
+  SELECT q.qid, p.value, {_HAV} AS dist_m
+  FROM q, v p
+)
+SELECT qid, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
+       CAST(round(avg(dist_m), 2) AS DOUBLE) AS avg_dist_m,
+       CAST(round(min(dist_m), 2) AS DOUBLE) AS min_dist_m
+FROM d WHERE dist_m <= 2.5e5 GROUP BY qid
+""")
+
+
+# ===========================================================================
+# more OGR-SQL / SQLite-dialect relational parity (J1 first-match, CUBE,
+# percentile_cont, sessionization)
+# ===========================================================================
+
+_add_shared("first_match_left_join", """
+SELECT c_custkey, first_orderkey FROM (
+  SELECT c_custkey, o_orderkey AS first_orderkey,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY o_orderkey) AS rn
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+) t WHERE rn = 1
+""")
+
+_add_shared("cube_counts", """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+
+_add_shared("percentile_prices", """
+SELECT o_orderpriority,
+       CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS DOUBLE) AS median_price,
+       CAST(round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS DOUBLE) AS p90_price
+FROM orders GROUP BY o_orderpriority
+""")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_s").over(w))
+    per = s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_ev"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n_ev").alias("max_session_events")
+    )
+
+_add("sessionize", _q_sessionize, """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_ev FROM sid GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events
+FROM per GROUP BY user_id
+""")
+
+
+# ===========================================================================
+# remaining raster/vector utility surface (rows-only: image fixtures have no
+# DuckDB-side twin) — gdal_calc, gdal2xyz, gdal_retile, gdal_rasterize,
+# gdal_translate, gdal_contour, ogr2ogr -clipsrc
+# ===========================================================================
+
+def _q_band_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=60)
+    out = raster.band_calc(images, "clip((A * 2.0 + B) / 3.0, 0, 255)")
+    return raster.checksums(out)
+
+_add("band_calc_expr", _q_band_calc, None)
+
+
+def _q_to_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=40)
+    xyz = raster.to_xyz(images, band=0, sample_stride=2)
+    return xyz.groupBy("image_id").agg(
+        F.count("*").alias("n_px"),
+        F.sum("value").alias("sum_val"),
+        F.max("px").alias("max_px"),
+        F.max("py").alias("max_py"),
+    )
+
+_add("raster_to_xyz", _q_to_xyz, None)
+
+
+def _q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=40)
+    t = raster.retile(images, tile_w=10, tile_h=10)
+    return t.select("image_id", "tile_col", "tile_row", "tw", "th", "n_bands")
+
+_add("retile_grid", _q_retile, None)
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import rasterize as _rasterize
+
+    pack = fixtures.polygons_pack(p=15)
+    counts = _rasterize.rasterize_counts(pack, spark, z=6)
+    return counts.select("poly_id", "z", "tx", "ty", "y_xyz", "burned")
+
+_add("rasterize_burn", _q_rasterize, None)
+
+
+def _q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=40)
+    out = raster.translate(images, "png")
+    return raster.checksums(out)
+
+_add("translate_fmt", _q_translate, None)
+
+
+def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import contour as _contour
+
+    labels = fixtures.labels_spark(spark, n=8)
+    return _contour.contour_metrics(labels, interval=1.0, base=0.5)
+
+_add("contour_lines", _q_contour, None)
+
+
+def _q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import probe as _probe
+
+    polys = fixtures.polygons_spark(spark, p=40)
+    out = _probe.clip_polygons_rect(polys, -60.0, -30.0, 60.0, 45.0)
+    return out.select(
+        "poly_id", F.round("clipped_area", 9).alias("clipped_area"), "n_rings_out"
+    )
+
+_add("vector_clip_rect", _q_vector_clip, None)
+
+
 def all_queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -1,0 +1,137 @@
+"""gdal_grid analogs (IDW, radius metrics) + gdal_contour + -clipsrc:
+numpy oracles and grid-vs-brute parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import cells, contour, fixtures, gridops, probe
+
+
+def _pts_df(spark, n=400):
+    return fixtures.points_spark(spark, n).select(
+        F.col("image_id").alias("pid"), "lon", "lat",
+        (F.crc32(F.col("image_id")) % 100).cast("double").alias("value"),
+    )
+
+
+def _q_df(spark, q=12):
+    return fixtures.query_points_spark(spark, q=q).select("qid", "lon", "lat")
+
+
+def test_idw_grid_matches_brute(spark):
+    pts = _pts_df(spark).persist()
+    qs = _q_df(spark)
+    grid = gridops.idw_interpolate(qs, pts, k=6, method="grid", z=4).collect()
+    brute = gridops.idw_interpolate(qs, pts, k=6, method="brute").collect()
+    g = {r["qid"]: (r["n_pts"], round(r["idw_value"], 6)) for r in grid}
+    b = {r["qid"]: (r["n_pts"], round(r["idw_value"], 6)) for r in brute}
+    assert g == b
+
+
+def test_radius_metrics_matches_numpy(spark):
+    pts = _pts_df(spark).persist()
+    qs = _q_df(spark)
+    radius = 500_000.0
+    got = {
+        r["qid"]: (r["n_pts"], round(r["avg_value"], 6), round(r["avg_dist_m"], 2))
+        for r in gridops.radius_metrics(qs, pts, radius_m=radius, z=5).collect()
+    }
+    p = pts.toPandas()
+    exp = {}
+    for q in qs.collect():
+        d = cells.np_haversine_m(
+            q["lon"], q["lat"], p["lon"].to_numpy(), p["lat"].to_numpy()
+        )
+        m = d <= radius
+        if m.any():
+            exp[q["qid"]] = (
+                int(m.sum()),
+                round(float(p["value"].to_numpy()[m].mean()), 6),
+                round(float(d[m].mean()), 2),
+            )
+    assert got == exp
+
+
+def test_nearest_value_is_knn1(spark):
+    pts = _pts_df(spark, n=200).persist()
+    qs = _q_df(spark, q=8)
+    nv = gridops.nearest_value(qs, pts, z=4).collect()
+    p = pts.toPandas()
+    for r in nv:
+        q = [x for x in qs.collect() if x["qid"] == r["qid"]][0]
+        d = cells.np_haversine_m(q["lon"], q["lat"], p["lon"].to_numpy(), p["lat"].to_numpy())
+        best = d.min()
+        assert r["dist_m"] == pytest.approx(best, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# contour
+# ---------------------------------------------------------------------------
+
+def test_contour_ramp():
+    h, w = 6, 9
+    z = np.tile(np.arange(w, dtype=np.float64), (h, 1))
+    # level 2.5 crosses between x=2 and x=3 at x=2.5: one vertical segment
+    # per cell row -> h-1 segments, total length h-1
+    s = contour.np_contour_segments(z, 2.5)
+    assert len(s) == h - 1
+    lengths = np.hypot(s[:, 2] - s[:, 0], s[:, 3] - s[:, 1])
+    assert np.allclose(lengths, 1.0)
+    assert np.allclose(s[:, 1], 2.5) and np.allclose(s[:, 3], 2.5)
+
+
+def test_contour_constant_empty():
+    z = np.full((5, 5), 7.0)
+    assert len(contour.np_contour_segments(z, 3.5)) == 0
+    assert contour.np_contour_levels(7.0, 7.0, 1.0, 0.5) == []
+
+
+def test_contour_circle_closed_length():
+    # disc: iso-line should approximate a circle; total length within 5% of
+    # 2*pi*r and every cell contributes connectable segments
+    n = 64
+    ys, xs = np.mgrid[0:n, 0:n]
+    z = -np.sqrt((xs - 32.0) ** 2 + (ys - 32.0) ** 2)
+    s = contour.np_contour_segments(z, -20.0)
+    length = np.hypot(s[:, 2] - s[:, 0], s[:, 3] - s[:, 1]).sum()
+    assert abs(length - 2 * np.pi * 20.0) / (2 * np.pi * 20.0) < 0.05
+
+
+def test_contour_metrics_spark(spark):
+    labels = fixtures.labels_spark(spark, n=4)
+    rows = contour.contour_metrics(labels, interval=1.0, base=0.5).collect()
+    assert len(rows) > 0
+    # every level must be base + k*interval and lengths positive
+    for r in rows:
+        assert abs((r["level"] - 0.5) % 1.0) < 1e-9
+        assert r["n_segments"] > 0 and r["length_px"] > 0
+
+
+# ---------------------------------------------------------------------------
+# clip
+# ---------------------------------------------------------------------------
+
+def test_clip_polygons_rect_matches_numpy(spark):
+    from gdal_scripts_spark import geom
+
+    polys = fixtures.polygons_spark(spark, p=30)
+    box = (-60.0, -30.0, 60.0, 45.0)
+    got = {
+        r["poly_id"]: (round(r["clipped_area"], 6), r["n_rings_out"])
+        for r in probe.clip_polygons_rect(polys, *box).collect()
+    }
+    exp = {}
+    for rec in fixtures.make_polygons_records(30, fixtures.SEED + 1):
+        area, n_out = 0.0, 0
+        for k, ring in enumerate(rec["rings_np"]):
+            c = geom.clip_ring_rect(ring, *box)
+            if len(c) >= 3:
+                a = abs(geom.shoelace_area(c))
+                area += a if k == 0 else -a
+                n_out += 1
+        if n_out:
+            exp[rec["poly_id"]] = (round(area, 6), n_out)
+    assert got == exp
