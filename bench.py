@@ -76,7 +76,7 @@ def main() -> None:
     )
 
     queries = fixtures.query_points_spark(spark, q=2000)
-    times["knn"], _ = timed(lambda: knn.knn_join(queries, points, k=5, z=8).count())
+    times["knn"], _ = timed(lambda: knn.knn_join(queries, points, k=5).count())
 
     images = fixtures.synth_images_spark(spark, N_IMAGES, partitions=4 * CPUS).persist()
     images.count()

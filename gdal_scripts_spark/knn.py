@@ -85,13 +85,39 @@ def _rect_bound_m(lon, lat, qtx, qty, r: int, z: int):
 
 
 def auto_zoom(n_points: int, k: int) -> int:
-    """Pick the grid zoom so an average tile holds ~8k points: fine enough
-    to prune, coarse enough that round 0 satisfies most queries. The world
-    has 4^z tiles; solve n / 4^z ≈ 8k."""
+    """Pick the grid zoom so an AVERAGE tile holds well under one point
+    (4^z ≈ 16·n). Erring fine is the right call under Zipf skew: empty-tile
+    probes are near-free hash lookups, while one coarse hot tile turns
+    round 0 into |Q_hot|·|hot tile| candidate rows (measured 47M rows at
+    z=8 on the 400k-point skewed fixture vs ~1M at z=12). Dense-region
+    queries finish in round 0 with a tight rect bound; sparse queries walk
+    the ring schedule and land in the vectorized brute fallback, which is
+    exact regardless of z."""
     import math as _m
 
-    target_tiles = max(n_points / max(8 * k, 1), 1.0)
-    return max(2, min(14, int(_m.log(target_tiles, 4)) + 1))
+    return max(4, min(14, int(_m.log(max(n_points, 2), 4)) + 3))
+
+
+def _topk_salted(
+    cand: DataFrame, k: int, qid: str, pid: str, wnd, n_salts: int = 32
+) -> DataFrame:
+    """Exact top-k per query in two window stages: stage 1 partitions by
+    (qid, hash(pid) % n_salts) — the map-side-combine analog for top-k, so
+    no single reducer sees more than ~1/n_salts of a hot query's candidates;
+    stage 2 ranks the surviving <= k*n_salts rows per query. Both stages
+    order by (dist_m, pid), so the final k-set equals the unsalted window's."""
+    w1 = Window.partitionBy(qid, "_salt").orderBy(F.col("dist_m"), F.col(pid))
+    s1 = (
+        cand.withColumn("_salt", F.pmod(F.xxhash64(F.col(pid)), F.lit(n_salts)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    return (
+        s1.withColumn("_r", F.row_number().over(wnd))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
 
 
 def _fallback_partition_topk(
@@ -121,34 +147,58 @@ def _fallback_partition_topk(
     def run(batches):
         ids, lon, lat = bc.value
         nq = len(ids)
-        acc_d = None
-        acc_p = None
+        # query-chunked distance matrices with buffers reused across batches:
+        # big first-touch allocations in forked Python workers measured
+        # 10-30x slower than warm on virtualized hosts, so keep every
+        # temporary small (<= QCHUNK x arrow-batch doubles) and steady
+        QCHUNK = 64
+        rad = np.pi / 180.0
+        qla = (lat * rad).astype(np.float64)
+        qlo = (lon * rad).astype(np.float64)
+        cql = np.cos(qla)
+        out_q, out_p, out_d = [], [], []
         for b in batches:
-            if len(b) == 0:
+            nb = len(b)
+            if nb == 0:
                 continue
-            plon = b["_plon"].to_numpy(np.float64)
-            plat = b["_plat"].to_numpy(np.float64)
-            pids = np.asarray(b[pid].tolist(), dtype=object)
-            if acc_d is None:
-                acc_d = np.full((nq, k), np.inf)
-                acc_p = np.full((nq, k), pids[0], dtype=object)
-            d = np_haversine_matrix(lon, lat, plon, plat)
-            cat_d = np.concatenate([acc_d, d], axis=1)
-            cat_p = np.concatenate(
-                [acc_p, np.broadcast_to(pids, (nq, len(pids)))], axis=1
+            pla = b["_plat"].to_numpy(np.float64) * rad
+            plo = b["_plon"].to_numpy(np.float64) * rad
+            cpl = np.cos(pla)
+            pids_np = b[pid].to_numpy()
+            kk = min(k, nb)
+            for s in range(0, nq, QCHUNK):
+                e = min(s + QCHUNK, nq)
+                dlat = (pla[None, :] - qla[s:e, None]) * 0.5
+                dlon = (plo[None, :] - qlo[s:e, None]) * 0.5
+                np.sin(dlat, out=dlat)
+                dlat *= dlat
+                np.sin(dlon, out=dlon)
+                dlon *= dlon
+                dlon *= cql[s:e, None] * cpl[None, :]
+                dlat += dlon
+                np.sqrt(np.clip(dlat, 0.0, 1.0, out=dlat), out=dlat)
+                np.arcsin(dlat, out=dlat)
+                d = dlat
+                d *= 2.0 * cells.HAVERSINE_RADIUS
+                # keep, per query, every row with dist <= the k-th smallest
+                # (k + exact ties — a superset of any tie-broken top-k); the
+                # caller's final (dist, pid) window makes the global choice
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                dk = d[np.arange(e - s)[:, None], part].max(axis=1)
+                qi, pj = np.nonzero(d <= dk[:, None])
+                out_q.append(ids[s + qi])
+                out_p.append(pids_np[pj])
+                out_d.append(d[qi, pj])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    qid: np.concatenate(out_q),
+                    pid: np.concatenate(out_p),
+                    "dist_m": np.concatenate(out_d),
+                }
             )
-            # ties by pid asc: lexsort per row on (pid, dist) -> stable topk
-            for i in range(nq):
-                order = np.lexsort((cat_p[i], cat_d[i]))[:k]
-                acc_d[i, : len(order)] = cat_d[i][order]
-                acc_p[i, : len(order)] = cat_p[i][order]
-        rows = []
-        if acc_d is not None:
-            for i in range(nq):
-                for j in range(k):
-                    if np.isfinite(acc_d[i, j]):
-                        rows.append((ids[i], acc_p[i, j], float(acc_d[i, j])))
-        yield pd.DataFrame(rows, columns=[qid, pid, "dist_m"])
+        else:
+            yield pd.DataFrame({qid: [], pid: [], "dist_m": []})
 
     return points.select(pid, "_plon", "_plat").mapInPandas(
         run, schema=f"{qid} {qid_field}, {pid} {id_field}, dist_m double"
@@ -172,24 +222,46 @@ def knn_join(
     points: DataFrame,
     k: int = 5,
     z: int | None = None,
-    rounds: tuple[int, ...] = (0, 2),
+    ring: int = 2,
+    level_step: int = 3,
+    brute_threshold: int = 4096,
     qid: str = "qid",
     pid: str = "image_id",
     q_lon: str = "lon",
     q_lat: str = "lat",
     p_lon: str = "lon",
     p_lat: str = "lat",
+    rounds: tuple[int, ...] | None = None,  # legacy alias: max(rounds) -> ring
 ) -> DataFrame:
     """Return (qid, rank, <pid>, dist_m) — exact kNN, ties by pid asc.
 
-    ``rounds`` is the ring-radius schedule; queries still open after the last
-    scheduled radius fall back to a brute-force pass (exact, and cheap as
-    long as the schedule reaches the data's empty-region scale — dense-region
-    queries finish in round 0). Each round ends with ``localCheckpoint`` so
-    the iterative plan's lineage stays flat (driver-side planning would
-    otherwise grow exponentially with rounds). ``z=None`` picks a zoom from
-    the point count so an average tile holds ~8k points."""
+    Hierarchical grid search, pure JVM until the (tiny) straggler tail:
+
+    1. tile both sides at a FINE base zoom (``auto_zoom``: ≈1/16 point per
+       tile — erring fine is right under Zipf skew, empty-tile probes are
+       free hash lookups while one coarse hot tile explodes the candidate
+       count);
+    2. per LEVEL, equi-join each open query's (2·ring+1)² wrapped tile
+       neighborhood (native ``pmod`` keys) against the points, take the
+       salted two-stage top-k, and close queries whose k-th distance beats
+       the sound rect bound;
+    3. open queries descend to a 2^level_step× coarser zoom — coarse tile
+       ids are bit-shifts of the cached base-z tile columns, so no retiling
+       scan — whose ring neighborhood strictly contains the finer one
+       (candidates are re-derived per level, never accumulated, so no
+       cross-level dedupe is needed);
+    4. once fewer than ``brute_threshold`` queries remain (sparse-region
+       stragglers), one vectorized Arrow pass over the points finishes them
+       exactly; small query count keeps the per-batch distance matrices in
+       cache (big first-touch allocations in Python workers measured 10-30x
+       slower than warm on this box — the hierarchy exists to keep Python
+       matrices small, and everything before it in whole-stage codegen).
+
+    Each level ends with ``localCheckpoint`` so the iterative plan's lineage
+    stays flat. ``z=None`` picks the base zoom from the point count."""
     spark = queries.sparkSession
+    if rounds:
+        ring = max(rounds)
     if z is None:
         z = auto_zoom(points.count(), k)
     pts = _with_tile(
@@ -201,46 +273,51 @@ def knn_join(
         z, "_qlon", "_qlat", "q_",
     ).localCheckpoint()
 
-    acc: DataFrame | None = None
-    prev_r = -1
     wnd = Window.partitionBy(qid).orderBy(F.col("dist_m"), F.col(pid))
-
-    for round_idx, r in enumerate(rounds):
-        # offsets for rings (prev_r, r]
-        offs = [
-            (dx, dy)
-            for rr in range(prev_r + 1, r + 1)
-            for (dx, dy) in cells.ring_offsets(rr)
-        ]
-        off_df = spark.createDataFrame(offs, schema="dx int, dy int")
-        probes = remaining.crossJoin(F.broadcast(off_df)).select(
+    offs = [
+        (dx, dy) for rr in range(ring + 1) for (dx, dy) in cells.ring_offsets(rr)
+    ]
+    off_df = F.broadcast(spark.createDataFrame(offs, schema="dx int, dy int"))
+    finished: list[DataFrame] = []
+    z_c = z
+    while True:
+        shift = z - z_c
+        world_covered = (1 << z_c) <= 2 * ring + 1
+        q_ctx = F.shiftright(F.col("q_tx"), shift)
+        q_cty = F.shiftright(F.col("q_ty"), shift)
+        probes = remaining.crossJoin(off_df).select(
             qid, "_qlon", "_qlat", "q_tx", "q_ty",
-            # wrap at the antimeridian: tile x is periodic mod 2^z
-            F.pmod(F.col("q_tx") + F.col("dx"), F.lit(1 << z)).alias("p_tx"),
-            (F.col("q_ty") + F.col("dy")).alias("p_ty"),
+            # wrap at the antimeridian: tile x is periodic mod 2^z_c
+            F.pmod(q_ctx + F.col("dx"), F.lit(1 << z_c)).alias("c_tx"),
+            (q_cty + F.col("dy")).alias("c_ty"),
         )
-        new_cand = probes.join(pts, ["p_tx", "p_ty"], "inner").select(
+        if world_covered:
+            # every tile is inside the ring: dedupe wrapped revisits
+            probes = probes.dropDuplicates([qid, "c_tx", "c_ty"])
+        p_side = pts.withColumns(
+            {
+                "c_tx": F.shiftright(F.col("p_tx"), shift),
+                "c_ty": F.shiftright(F.col("p_ty"), shift),
+            }
+        )
+        cand = probes.join(p_side, ["c_tx", "c_ty"], "inner").select(
             qid, "_qlon", "_qlat", "q_tx", "q_ty", pid,
             cells.haversine_m(
                 F.col("_qlon"), F.col("_qlat"), F.col("_plon"), F.col("_plat")
             ).alias("dist_m"),
         )
-        acc = new_cand if acc is None else acc.unionByName(new_cand)
-        # dedupe (wrapped rings can revisit a tile near the seam), then keep
-        # only top-k per query to bound the accumulator; cut lineage
-        acc = (
-            acc.dropDuplicates([qid, pid])
-            .withColumn("rank", F.row_number().over(wnd))
-            .filter(F.col("rank") <= k)
-            .drop("rank")
-        ).localCheckpoint()
+        topk = _topk_salted(cand, k, qid, pid, wnd).localCheckpoint()
 
-        # which remaining queries are finished? (sound rect bound)
-        stats = acc.groupBy(qid).agg(
+        if world_covered:
+            # the ring saw every point: all open queries are final
+            finished.append(topk.select(qid, pid, "dist_m"))
+            break
+        # close queries whose k-th distance beats the sound rect bound
+        stats = topk.groupBy(qid).agg(
             F.count("*").alias("n_cand"), F.max("dist_m").alias("kth_dist")
         )
         bound = _rect_bound_m(
-            F.col("_qlon"), F.col("_qlat"), F.col("q_tx"), F.col("q_ty"), r, z
+            F.col("_qlon"), F.col("_qlat"), q_ctx, q_cty, ring, z_c
         )
         rem = (
             remaining.join(stats, qid, "left")
@@ -254,20 +331,22 @@ def knn_join(
             .localCheckpoint()
         )
         n_rem = rem.count()
-        world_covered = (1 << z) <= 2 * r + 1
+        finished.append(
+            topk.join(rem.select(qid), qid, "left_anti").select(qid, pid, "dist_m")
+        )
         if n_rem == 0:
             break
-        if round_idx == len(rounds) - 1 or world_covered:
-            # distributed brute force for stragglers: broadcast the (small)
-            # query set, one numpy pass over points, k rows per partition
-            bf = _fallback_partition_topk(rem, pts, k, qid, pid)
-            slim = acc.join(rem.select(qid), qid, "left_anti").select(
-                qid, pid, "dist_m"
-            )
-            acc = slim.unionByName(bf) if bf is not None else slim
-            break
         remaining = rem
-        prev_r = r
+        if n_rem <= brute_threshold:
+            bf = _fallback_partition_topk(remaining, pts, k, qid, pid)
+            if bf is not None:
+                finished.append(bf)
+            break
+        z_c = max(z_c - level_step, 0)
+
+    acc = finished[0]
+    for extra in finished[1:]:
+        acc = acc.unionByName(extra)
 
     out = (
         acc.select(qid, pid, "dist_m")
