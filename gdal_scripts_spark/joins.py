@@ -239,4 +239,8 @@ def spatial_join_cells(
     if force_shuffle_join:
         cover = cover.hint("merge")
     cand = pts.join(cover, join_keys, "inner").select(id_col, lon, lat, "poly_id")
-    return _refine_pip(cand, pack, id_col, lon, lat).distinct()
+    # no dedupe needed: a point has exactly one (cell, salt) and the cover
+    # lists each (poly_id, cell, salt) once, so a (point, poly) pair can
+    # only arise from a single join row — the old .distinct() here was a
+    # pure 6M-row shuffle tax
+    return _refine_pip(cand, pack, id_col, lon, lat)
