@@ -89,7 +89,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+def encode_png(img: np.ndarray, level: int = 3) -> bytes:
+    # level 3 default: identical pixels (lossless at any level), ~2-3x less
+    # deflate CPU than 6 in the tile-sink hot path; callers needing minimum
+    # size pass level explicitly
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         h, w = img.shape
@@ -111,8 +114,15 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
 
 
 def _unfilter(scan: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Undo PNG scanline filters 0-4 (sequential per spec §6)."""
+    """Undo PNG scanline filters 0-4 (sequential per spec §6).
+
+    Fast path first: all-filter-0 (what our own encoder emits) is a pure
+    slice copy; the per-scanline Python loop only runs for foreign PNGs
+    that use filters 1-4."""
     stride = w * bpp
+    ftypes = scan[:, 0]
+    if not ftypes.any():  # every scanline filter 0
+        return scan[:, 1:].copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(scan[y, 0])

@@ -893,6 +893,109 @@ def _q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("vector_clip_rect", _q_vector_clip, None)
 
 
+_add_shared("scalar_subquery", """
+SELECT o_orderkey,
+       CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders
+WHERE o_totalprice > 4.0e0 * (SELECT avg(o_totalprice) FROM orders)
+""")
+
+_add_shared("date_trunc_monthly", """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o_totalprice), 1) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+""")
+
+_add_shared("grouping_sets_mix", """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+
+_add_shared("except_all_parts", """
+SELECT p_brand FROM part WHERE p_size > 20
+EXCEPT ALL
+SELECT p_brand FROM part WHERE p_size > 40
+""")
+
+_add_shared("multi_distinct", """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderstatus
+""")
+
+_add_shared("string_normalize", """
+SELECT p_partkey,
+       upper(trim(p_name)) AS uname,
+       replace(p_type, 'BRUSHED', 'B-') AS ptype,
+       substr(p_name, 1, 8) AS prefix8,
+       CAST(length(p_name) AS BIGINT) AS nlen
+FROM part WHERE p_partkey <= 500
+""")
+
+
+def _q_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import gridops
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(_VPTS_SQL)
+    qs = spark.sql(_QNODES_SQL)
+    out = gridops.nearest_value(qs, pts, z=6)
+    return out.select(
+        "qid", "pid", F.round("dist_m", 2).alias("dist_m"), "nearest_value"
+    )
+
+_add("nearest_value_grid", _q_nearest_grid, f"""
+WITH v AS ({_VPTS_SQL}), q AS ({_QNODES_SQL}),
+d AS (
+  SELECT q.qid, p.pid, p.value, {_HAV} AS dist_m,
+         row_number() OVER (PARTITION BY q.qid ORDER BY {_HAV}, p.pid) AS rn
+  FROM q, v p
+)
+SELECT qid, pid, CAST(round(dist_m, 2) AS DOUBLE) AS dist_m,
+       value AS nearest_value
+FROM d WHERE rn = 1
+""")
+
+
+def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=40)
+    base = raster.cut_base_tiles(images, z=10, resampling="nearest")
+    levels = raster.build_pyramid(base, z_base=10, z_min=8)
+    out = None
+    for zz, df in sorted(levels.items()):
+        part = df.select("z", "tx", "ty", "checksum")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+_add("pyramid_levels", _q_pyramid, None)
+
+
+def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental ingest: drain a parquet dir with Trigger.AvailableNow,
+    cell/tile-encode in flight, exactly-once via the checkpoint offset log —
+    then re-drain after a second file lands and verify only the delta ran."""
+    import tempfile
+
+    from . import streaming as _streaming
+
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    fixtures.images_spark(spark, n=30).write.mode("append").parquet(src)
+    _streaming.stream_cell_encode(spark, src, out, ckpt, z=8)
+    fixtures.images_spark(spark, n=12, seed=fixtures.SEED + 99).write.mode(
+        "append"
+    ).parquet(src)
+    _streaming.stream_cell_encode(spark, src, out, ckpt, z=8)
+    return spark.read.parquet(out).select(
+        "image_id", "tx", "ty", "y_xyz", "quadkey", "cell"
+    )
+
+_add("streaming_ingest", _q_streaming_ingest, None)
+
+
 def all_queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -287,28 +287,33 @@ def cut_base_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
         "image_id", "bytes", "fmt", "mx0", "my1", "z", "tx", "ty"
     )
 
+    CHUNK = 64  # small emitted batches: see cut_image_tiles.render
+    fcols = ["image_id", "tx", "ty", "px0", "py0", "fw", "fh", "c", "frag"]
+
     def frag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
         for b in batches:
-            rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])
+            for iid, byts, fmt, mx0, my1, tx, ty in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["mx0"].values, b["my1"].values, b["tx"].values, b["ty"].values,
+            ):
+                img = _decode_row(byts, fmt)
                 got = _resample_fragment(
-                    img, float(r["mx0"]), float(r["my1"]), pix_m,
-                    int(r["tx"]), int(r["ty"]), z, resampling,
+                    img, float(mx0), float(my1), pix_m, int(tx), int(ty), z,
+                    resampling,
                 )
                 if got is None:
                     continue
                 px0, py0, crop = got
                 rows.append(
-                    (r["image_id"], int(r["tx"]), int(r["ty"]), px0, py0,
+                    (iid, int(tx), int(ty), px0, py0,
                      crop.shape[1], crop.shape[0], crop.shape[2], crop.tobytes())
                 )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["image_id", "tx", "ty", "px0", "py0", "fw", "fh",
-                             "c", "frag"],
-                )
+                if len(rows) >= CHUNK:
+                    yield pd.DataFrame(rows, columns=fcols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=fcols)
 
     frags = assigned.mapInPandas(
         frag,
@@ -350,14 +355,22 @@ def cut_image_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
         "image_id", "bytes", "fmt", "mx0", "my1", "z", "tx", "ty"
     )
 
+    CHUNK = 64  # tiles per emitted batch: keeps Arrow output buffers ~2MB
+    # (large per-task output allocations pay a first-touch page-fault tax on
+    # virtualized hosts — measured ~3s/task constant at 20-40MB batches)
+    cols = ["image_id", "z", "tx", "ty", "y_xyz", "tile_bytes", "checksum"]
+
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
         for b in batches:
-            rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])
+            for iid, byts, fmt, mx0, my1, tx, ty in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["mx0"].values, b["my1"].values, b["tx"].values, b["ty"].values,
+            ):
+                img = _decode_row(byts, fmt)
                 got = _resample_fragment(
-                    img, float(r["mx0"]), float(r["my1"]), pix_m,
-                    int(r["tx"]), int(r["ty"]), z, resampling,
+                    img, float(mx0), float(my1), pix_m, int(tx), int(ty), z,
+                    resampling,
                 )
                 if got is None:
                     continue
@@ -366,14 +379,14 @@ def cut_image_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
                 canvas[py0 : py0 + crop.shape[0], px0 : px0 + crop.shape[1]] = crop
                 out = canvas[:, :, 0] if crop.shape[2] == 1 else canvas
                 rows.append(
-                    (r["image_id"], z, int(r["tx"]), int(r["ty"]),
-                     (1 << z) - 1 - int(r["ty"]), codecs.encode_png(out),
-                     codecs.gdal_style_checksum(out))
+                    (iid, z, int(tx), int(ty), (1 << z) - 1 - int(ty),
+                     codecs.encode_png(out), codecs.gdal_style_checksum(out))
                 )
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["image_id", "z", "tx", "ty", "y_xyz",
-                                   "tile_bytes", "checksum"])
+                if len(rows) >= CHUNK:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return assigned.mapInPandas(
         render,
