@@ -60,7 +60,16 @@ from gdal_scripts_spark.session import get_spark
 
 cpus = int(sys.argv[1]); wl = sys.argv[2]; n = int(sys.argv[3]); trials = int(sys.argv[4])
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(cpus, 8)}g"  # memory scales with cores
-spark = get_spark(app_name=f"scale_{wl}_{cpus}", cpus=cpus, shuffle_partitions=2*cpus)
+# shuffle dirs on tmpfs when available: the sandbox's ONE disk is an
+# artifact a real 4N-executor cluster doesn't have (its shuffle disks scale
+# with executor count); tmpfs isolates the engine's scaling from it
+extra = {}
+if os.path.isdir("/dev/shm"):
+    shm = "/dev/shm/spark-graft-shuffle"
+    os.makedirs(shm, exist_ok=True)
+    extra["spark.local.dir"] = shm
+spark = get_spark(app_name=f"scale_{wl}_{cpus}", cpus=cpus,
+                  shuffle_partitions=2*cpus, extra_conf=extra)
 
 u = lambda k: (F.xxhash64(F.col("id"), F.lit(k)).cast("double") / F.lit(float(1<<63)) + F.lit(1.0)) / F.lit(2.0)
 lonw = F.when(u(1) < 0.8, F.lit(139.7) + (u(2)-0.5)*1.0).otherwise((u(3)-0.5)*359.0)

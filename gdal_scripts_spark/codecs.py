@@ -195,8 +195,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt in ("jpeg", "jpg"):
         from . import codecs_jpeg
 
-        # quality 95 keeps the PSNR>=40 lossy gate on the fixture corpus
-        return codecs_jpeg.encode_jpeg(img, quality=95)
+        # quality 97 keeps the PSNR>=40 lossy gate on the whole fixture
+        # corpus (q=95 left the noisiest fixture at 39.8 dB)
+        return codecs_jpeg.encode_jpeg(img, quality=97)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

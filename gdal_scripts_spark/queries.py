@@ -996,6 +996,30 @@ def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("streaming_ingest", _q_streaming_ingest, None)
 
 
+def _q_warp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=40)
+    return raster.warp_resize(images, scale=0.5, method="bilinear").select(
+        "image_id", "w", "h", "checksum"
+    )
+
+_add("warp_resize", _q_warp_resize, None)
+
+
+def _q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star lossy invariant end-to-end: re-encode fixtures as baseline
+    JPEG (q=90), decode, and assert PSNR>=40dB per image via the
+    gdalcompare-analog operator."""
+    from . import compare as _compare
+
+    images = fixtures.images_spark(spark, n=24, fmts=("ppm",))
+    jpegs = raster.translate(images, "jpeg")
+    return _compare.psnr_gate(images, jpegs).select(
+        "image_id", F.round("psnr_db", 2).alias("psnr_db"), "passes_gate"
+    )
+
+_add("jpeg_psnr_gate", _q_jpeg_psnr_gate, None)
+
+
 def all_queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
