@@ -89,9 +89,18 @@ def psnr_gate(
     min_db: float = 40.0,
 ) -> DataFrame:
     """The north-star lossy acceptance check as a DataFrame: per image,
-    PSNR(original, reencoded) with a pass flag at ``min_db``."""
+    PSNR(original, reencoded) with a pass flag at ``min_db``.
+
+    Dimension-mismatched pairs (same_dims=false, psnr_db NULL) are hard
+    failures: passes_gate is coalesced to false, never NULL. Like
+    ``compare_images``, this inner-joins on id — ids present on only one
+    side are silently absent; check those separately with an anti-join
+    if one-sided ids must also fail the gate.
+    """
     cmp = compare_images(original, reencoded, id_col)
     return cmp.select(
         id_col, "psnr_db",
-        (F.col("psnr_db") >= F.lit(min_db)).alias("passes_gate"),
+        F.coalesce(
+            F.col("psnr_db") >= F.lit(min_db), F.lit(False)
+        ).alias("passes_gate"),
     )

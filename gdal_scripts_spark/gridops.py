@@ -70,21 +70,31 @@ def idw_interpolate(
 def _tile_range(lon, lat, radius_m: float, z: int):
     """Native-column covering tile range for a haversine disc: the disc fits
     inside the lon/lat rect lat±dlat, lon±dlat/cos(|lat|+dlat) (sound on the
-    sphere for |lat|+dlat <= 89). The tx range is UNWRAPPED (may run past
-    [0, 2^z)) so antimeridian-crossing discs cover both sides — the caller
-    must ``pmod`` each generated tx; its width is capped at 2^z so a
-    high-latitude disc never duplicates a tile."""
+    sphere for |lat|+dlat <= 89). Queries whose rect reaches past 89° of
+    latitude (near-polar disc) fall back to the FULL tx range — the secant
+    bound is no longer sound there, and a polar disc can legitimately span
+    every meridian — so correctness never depends on a clamp.
+
+    DOMAIN: tile-keyed operators index only the Web-Mercator tiling domain,
+    |lat| <= 85.0511 — a point beyond it has an out-of-range tile id and is
+    deterministically absent from every result (same contract as the XYZ
+    tile assignment itself). Within that domain the returned range always
+    covers the disc. The tx range is UNWRAPPED (may run past [0, 2^z)) so
+    antimeridian-crossing discs cover both sides — the caller must ``pmod``
+    each generated tx; its width is capped at 2^z so no disc ever
+    duplicates a tile."""
     import math
 
     dlat = math.degrees(radius_m / cells.HAVERSINE_RADIUS)
-    abslat = F.least(F.abs(lat) + F.lit(dlat), F.lit(89.0))
-    dlon = F.lit(dlat) / F.cos(F.radians(abslat))
+    over_pole = (F.abs(lat) + F.lit(dlat)) > F.lit(89.0)
+    dlon = F.lit(dlat) / F.cos(F.radians(F.abs(lat) + F.lit(dlat)))
     n = F.lit((1 << z) - 1)
     lat_lo = F.greatest(lat - F.lit(dlat), F.lit(-85.05))
     lat_hi = F.least(lat + F.lit(dlat), F.lit(85.05))
     txa, tya = cells.lonlat_to_tile_tms(lon - dlon, lat_lo, z)
     txb, tyb = cells.lonlat_to_tile_tms(lon + dlon, lat_hi, z)
-    txb = F.least(txb, txa + n)
+    txa = F.when(over_pole, F.lit(0)).otherwise(txa)
+    txb = F.when(over_pole, n).otherwise(F.least(txb, txa + n))
     clamp = lambda c: F.greatest(F.least(c, n), F.lit(0))  # noqa: E731
     return txa, txb, clamp(tya), clamp(tyb)
 
@@ -103,6 +113,11 @@ def radius_metrics(
     Returns (qid, n_pts, avg_value, avg_dist_m, min_dist_m) for queries with
     >=1 point inside radius_m (nodes with an empty neighbourhood are absent —
     the caller left-joins back if it wants gdal_grid's nodata fill).
+
+    Supported domain is the Web-Mercator tiling domain (|lat| <= 85.0511)
+    for both sides; see ``_tile_range``. Near-polar query discs fall back to
+    scanning the full tx row range, so in-domain results are exact even when
+    the disc crosses the antimeridian or nears the pole.
     """
     lon, lat = F.col("_qlon"), F.col("_qlat")
     q = queries.select(

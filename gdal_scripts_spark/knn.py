@@ -156,7 +156,11 @@ def _fallback_partition_topk(
         qla = (lat * rad).astype(np.float64)
         qlo = (lon * rad).astype(np.float64)
         cql = np.cos(qla)
-        out_q, out_p, out_d = [], [], []
+        # flush the accumulated superset every ~256k rows: memory stays
+        # O(flush threshold) however many Arrow batches the partition has;
+        # the caller's final (dist_m, pid) window merges the partial yields
+        FLUSH_ROWS = 1 << 18
+        out_q, out_p, out_d, out_n = [], [], [], 0
         for b in batches:
             nb = len(b)
             if nb == 0:
@@ -189,6 +193,16 @@ def _fallback_partition_topk(
                 out_q.append(ids[s + qi])
                 out_p.append(pids_np[pj])
                 out_d.append(d[qi, pj])
+                out_n += len(qi)
+            if out_n >= FLUSH_ROWS:
+                yield pd.DataFrame(
+                    {
+                        qid: np.concatenate(out_q),
+                        pid: np.concatenate(out_p),
+                        "dist_m": np.concatenate(out_d),
+                    }
+                )
+                out_q, out_p, out_d, out_n = [], [], [], 0
         if out_q:
             yield pd.DataFrame(
                 {
@@ -340,9 +354,16 @@ def knn_join(
         if n_rem <= brute_threshold:
             bf = _fallback_partition_topk(remaining, pts, k, qid, pid)
             if bf is not None:
-                finished.append(bf)
+                # eager: materialize the brute tail now so pts can be
+                # unpersisted before returning the (lazy) result plan
+                finished.append(bf.localCheckpoint())
             break
         z_c = max(z_c - level_step, 0)
+
+    # every `finished` entry is checkpoint-derived by now; release the
+    # cached tiled points so repeated knn_join calls in one session do
+    # not accumulate storage blocks (radius_metrics calls this per query)
+    pts.unpersist()
 
     acc = finished[0]
     for extra in finished[1:]:

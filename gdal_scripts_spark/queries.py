@@ -102,7 +102,7 @@ WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 2.4e1
 _add_shared("like_ilike", """
 SELECT p_partkey, p_name
 FROM part
-WHERE p_name ILIKE '%aqua%' OR p_name LIKE '%steel%'
+WHERE p_name ILIKE '%WIDGET%' OR p_name LIKE '%bolt%'
 """)
 
 _add_shared("in_between", """
@@ -134,7 +134,8 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 _add_shared("anti_not_exists", """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4.0e5)
 """)
 
 _add_shared("agg_global", """
@@ -457,11 +458,13 @@ def _langid_sql() -> str:
 _add("lang_id_pred", _q_lang_id, _langid_sql())
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    # doc_id < 400 covers several of the fixture's planted near-dup pairs
+    # (e.g. 98/290, 8/245, 61/185) so the green oracle row is non-trivial
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 400")
     return textops.ngram_jaccard_pairs(docs, threshold=0.5, n=8)
 
 _add("ngram_jaccard_pairs", _q_ngram_jaccard, """
-WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 400),
 sh AS (
   SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 8) AS gram
   FROM docs, range(1, 4096) t(i)
@@ -521,14 +524,29 @@ FROM (
 """)
 
 def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings have no near-dup pairs (max in-label cosine
+    # ~0.47), so plant exact duplicates of vec_id<20 at id+100000: the query
+    # must find exactly those 20 pairs at cos=1.0 — a non-trivial oracle row
+    # with a wide margin from the 0.9 threshold (no boundary-float risk)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return vectorops.cosine_near_dup_pairs(emb, threshold=0.9, group="label")
+    planted = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding", "label"
+    )
+    return vectorops.cosine_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.9, group="label"
+    )
 
 _add("cosine_near_dup", _q_cosine_neardup, """
+WITH emb AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id < 20
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
-FROM embeddings a JOIN embeddings b
+FROM emb a JOIN emb b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 9.0e-1
