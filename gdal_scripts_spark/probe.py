@@ -2,10 +2,12 @@
 scalar columns (§2.8 F5).
 
 - probe_pixels: ``apps/gdallocationinfo.cpp : main (≈L300)`` — value at a
-  coordinate. Spark-first: bbox-overlap join of probe points to covering
-  images (both sides carry mercator bounds as plain columns, so Catalyst
-  plans it; the image side is typically the big one and never shuffles more
-  than the matching candidates), then one Arrow pass decodes and indexes.
+  coordinate. Spark-first: both sides keyed by Web-Mercator tile at a fixed
+  zoom (images explode their footprint to covering tiles via
+  ``raster.assign_tiles`` — metadata only, no pixel payload), probes join on
+  (tx, ty) as a plain shuffle/broadcast HASH join, an exact bbox filter
+  refines, and image ``bytes`` are re-attached by image_id only for actual
+  matches. No nested-loop join, no binary payload in the wide join.
 - write_tiles / tile sink: ``osgeo_utils/gdal2tiles.py : create_base_tile
   (≈L700)`` + ``--resume (≈L1950)`` — PNG tile tree as a parquet/Iceberg
   table partitioned by (z, tx), resume via the checkpoint manifest.
@@ -36,42 +38,69 @@ def probe_pixels(
     images: DataFrame,
     pix_m: float = raster.DEFAULT_PIX_M,
     probe_id: str = "probe_id",
+    z: int = 10,
 ) -> DataFrame:
     """(probe_id, image_id, px, py, value array<int>) for every image whose
     footprint covers the probe point (gdallocationinfo semantics: row 0 at
-    the top-left anchor)."""
-    b = raster.image_mercator_bounds(images, pix_m).select(
-        "image_id", "bytes", "fmt", "w", "h", "mx0", "my0", "mx1", "my1"
-    )
+    the top-left anchor).
+
+    Plan shape (the 100-TB-safe one): image footprints explode to covering
+    (tx, ty) tiles at zoom ``z`` — metadata columns only — and probes
+    equi-join on the tile key (hash join, broadcastable probe side), so
+    candidate volume is bounded by probes x images-per-tile, never
+    |probes| x |images|. The exact mercator-bbox test refines candidates
+    natively, and ``bytes`` joins back by image_id for matches only, so
+    pixel payloads never enter the wide join's shuffle. ``z`` trades
+    footprint fan-out (finer = more tiles per image) against tile
+    collision width (coarser = more images per tile); any value is
+    correct."""
+    foot = raster.assign_tiles(
+        images.select("image_id", "lon", "lat", "w", "h"), z=z, pix_m=pix_m
+    ).select("image_id", "tx", "ty", "mx0", "my0", "mx1", "my1")
+    pmx = cells.lon_to_mx(F.col("lon"))
+    pmy = cells.lat_to_my(F.col("lat"))
+    ptx, pty = cells.meters_to_tile(pmx, pmy, z)
+    n = 1 << z
+    clamp = lambda c: F.greatest(F.least(c, F.lit(n - 1)), F.lit(0))  # noqa: E731
     p = probes.select(
         F.col(probe_id),
-        cells.lon_to_mx(F.col("lon")).alias("pmx"),
-        cells.lat_to_my(F.col("lat")).alias("pmy"),
+        pmx.alias("pmx"),
+        pmy.alias("pmy"),
+        clamp(ptx).alias("tx"),
+        clamp(pty).alias("ty"),
     )
-    cand = p.join(
-        b,
-        (F.col("pmx") >= F.col("mx0")) & (F.col("pmx") < F.col("mx1"))
-        & (F.col("pmy") > F.col("my0")) & (F.col("pmy") <= F.col("my1")),
-    ).select(
-        probe_id, "image_id", "bytes", "fmt",
-        F.floor((F.col("pmx") - F.col("mx0")) / pix_m).cast("int").alias("px"),
-        F.floor((F.col("my1") - F.col("pmy")) / pix_m).cast("int").alias("py"),
+    cand = (
+        p.join(foot, ["tx", "ty"])
+        .filter(
+            (F.col("pmx") >= F.col("mx0")) & (F.col("pmx") < F.col("mx1"))
+            & (F.col("pmy") > F.col("my0")) & (F.col("pmy") <= F.col("my1"))
+        )
+        .select(
+            probe_id, "image_id",
+            F.floor((F.col("pmx") - F.col("mx0")) / pix_m).cast("int").alias("px"),
+            F.floor((F.col("my1") - F.col("pmy")) / pix_m).cast("int").alias("py"),
+        )
     )
+    withbytes = cand.join(images.select("image_id", "bytes", "fmt"), "image_id")
 
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for bt in batches:
             rows = []
-            for _, r in bt.iterrows():
-                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for pid_v, iid, px, py, buf, fmt in zip(
+                bt[probe_id].values, bt["image_id"].values,
+                bt["px"].values, bt["py"].values,
+                bt["bytes"].values, bt["fmt"].values,
+            ):
+                img = codecs.decode(bytes(buf), fmt)
                 if img.ndim == 2:
                     img = img[:, :, None]
-                rows.append((r[probe_id], r["image_id"], int(r["px"]), int(r["py"]),
-                             [int(v) for v in img[r["py"], r["px"]]]))
+                rows.append((pid_v, iid, int(px), int(py),
+                             [int(v) for v in img[py, px]]))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[probe_id, "image_id", "px", "py", "value"])
 
-    return cand.mapInPandas(
+    return withbytes.mapInPandas(
         read,
         schema=f"{probe_id} long, image_id string, px int, py int, value array<int>",
     )

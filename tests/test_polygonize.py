@@ -120,3 +120,77 @@ def test_sieve_iterates_to_fixpoint():
     out = polygonize.np_sieve(img, threshold=3)
     assert 8 not in out
     assert (out == 3).sum() >= 4
+
+
+def test_sieve_fast_matches_bfs_oracle():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        h, w = rng.integers(3, 18, 2)
+        img = rng.integers(0, 4, (h, w)).astype(np.uint8)
+        for conn in (4, 8):
+            for thr in (2, 4):
+                assert np.array_equal(
+                    polygonize.np_sieve(img, thr, conn),
+                    polygonize.np_sieve_fast(img, thr, conn),
+                ), (conn, thr, img)
+
+
+def test_donut_holes_cross_tile_seam(spark):
+    # donut whose hole straddles the 10x10 tile seam: the distributed path
+    # must emit POLYGON ((exterior), (hole)) matching the BFS oracle
+    from gdal_scripts_spark import codecs
+    import pandas as pd
+
+    img = np.zeros((20, 20), np.uint8)
+    img[3:17, 3:17] = 6        # crosses both seams
+    img[8:12, 8:12] = 0        # hole centered on the seam corner
+    pdf = pd.DataFrame([{
+        "image_id": "donut", "bytes": codecs.encode(img, "pgm"), "w": 20,
+        "h": 20, "fmt": "pgm", "caption": "x", "phash": 0, "lon": 0.0,
+        "lat": 0.0,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    rows = polygonize.polygonize(df, connectivity=4, tile=10).collect()
+    assert len(rows) == 1
+    oracle = polygonize.np_polygonize(img, 4)[0]
+    assert rows[0]["wkt"] == oracle["wkt"]
+    assert oracle["wkt"].count("(") == 3  # exterior + one interior ring
+
+
+def test_nested_component_inside_hole(spark):
+    from gdal_scripts_spark import codecs
+    import pandas as pd
+
+    img = np.zeros((16, 16), np.uint8)
+    img[2:14, 2:14] = 5
+    img[6:10, 6:10] = 0
+    img[7:9, 7:9] = 3          # island inside the hole
+    pdf = pd.DataFrame([{
+        "image_id": "nest", "bytes": codecs.encode(img, "pgm"), "w": 16,
+        "h": 16, "fmt": "pgm", "caption": "x", "phash": 0, "lon": 0.0,
+        "lat": 0.0,
+    }])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    rows = {r["value"]: r["wkt"] for r in
+            polygonize.polygonize(df, connectivity=4, tile=8).collect()}
+    want = {c["value"]: c["wkt"] for c in polygonize.np_polygonize(img, 4)}
+    assert rows == want
+    assert rows[5].count("(") == 3     # donut has a hole ring
+    assert rows[3].count("(") == 2     # island is a plain polygon
+
+
+def test_vectorized_kernels_are_fast():
+    # 256x256 worst-case-ish random label image: the old per-pixel kernels
+    # took O(seconds); run-vectorized must stay well under one second
+    import time
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 5, (256, 256)).astype(np.uint8)
+    t0 = time.time()
+    polygonize._tile_ccl(big, 4)
+    t_ccl = time.time() - t0
+    t0 = time.time()
+    polygonize.np_sieve_fast(big, 4, 4)
+    t_sieve = time.time() - t0
+    assert t_ccl < 1.0, t_ccl
+    assert t_sieve < 5.0, t_sieve
