@@ -218,18 +218,34 @@ def decode(buf: bytes, fmt: str) -> np.ndarray:
 # hashes / invariants
 # ---------------------------------------------------------------------------
 
-def gdal_style_checksum(img: np.ndarray) -> int:
-    """Position-weighted 16-bit checksum, GDAL-autotest-style invariant.
+_CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
+                            dtype=np.int64)
 
-    sum over band-sequential row-major pixels of value*((i % 3) + 1), mod
-    65536 — mirrors the role of ``alg/gdalchecksum.cpp : GDALChecksumImage``.
-    """
+
+def gdal_checksum_band(band: np.ndarray) -> int:
+    """EXACT ``alg/gdalchecksum.cpp : GDALChecksumImage`` integer path for
+    one band: pixels visited row-major as Int32; per pixel i,
+    ``checksum += pixel % primes[i % 11]`` with C truncated remainder
+    (negative pixels keep their sign) and ``checksum &= 0xffff`` each step
+    — algebraically (sum of remainders) mod 65536. The 11-prime table
+    {7..43} is GDAL's. This is the autotest golden-checksum convention
+    (e.g. gcore/data/byte.tif -> 4672)."""
+    flat = np.asarray(band).astype(np.int64).ravel()
+    primes = _CHECKSUM_PRIMES[np.arange(flat.size, dtype=np.int64) % 11]
+    rem = np.fmod(flat, primes)  # trunc remainder == C's %
+    return int(rem.sum() % 65536)
+
+
+def gdal_style_checksum(img: np.ndarray) -> int:
+    """Golden-test checksum invariant. 2-D input: exactly GDAL's
+    GDALChecksumImage (see ``gdal_checksum_band``). 3-D (h, w, c): GDAL
+    reports one checksum PER band; this single-int helper reduces them as
+    (sum of per-band checksums) mod 65536 — the reduction is this engine's
+    convention, each component is GDAL-exact."""
     a = np.asarray(img)
-    if a.ndim == 3:
-        a = np.moveaxis(a, 2, 0)  # band-sequential
-    flat = a.astype(np.int64).ravel()
-    weights = np.arange(flat.size, dtype=np.int64) % 3 + 1
-    return int((flat * weights).sum() % 65536)
+    if a.ndim == 2:
+        return gdal_checksum_band(a)
+    return int(sum(gdal_checksum_band(a[:, :, b]) for b in range(a.shape[2])) % 65536)
 
 
 def ahash64(img: np.ndarray) -> int:

@@ -246,21 +246,17 @@ def clip_polygons_rect(
 
 def hamming_dedup_pairs(
     df: DataFrame, hash_col: str = "phash", id_col: str = "image_id",
-    max_hamming: int = 6, prefix_bits: int = 16,
+    max_hamming: int = 6,
 ) -> DataFrame:
     """Near-duplicate pairs by perceptual-hash hamming distance (F8): bucket
-    by 4 rotated prefixes, verify exactly — same shape as simhash_pairs."""
-    rots = [
-        F.struct(
-            F.lit(rot).alias("rot"),
-            F.shiftrightunsigned(F.col(hash_col), rot * prefix_bits)
-            .bitwiseAND(F.lit((1 << prefix_bits) - 1)).alias("pre"),
-        )
-        for rot in range(4)
-    ]
+    by max_hamming+1 bit-blocks (pigeonhole -> recall exactly 1.0), verify
+    exactly — same shape as simhash_pairs."""
+    from .textops import hamming_block_structs
+
+    blocks = hamming_block_structs(F.col(hash_col), max_hamming + 1)
     buck = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
-        F.explode(F.array(*rots)).alias("p"),
+        F.explode(F.array(*blocks)).alias("p"),
     ).select("id", "h", "p.rot", "p.pre")
     a = buck.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"), "rot", "pre")
     b = buck.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"), "rot", "pre")

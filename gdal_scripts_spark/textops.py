@@ -169,22 +169,38 @@ def hamming64_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: bucket by 4 rotated 16-bit prefixes (any pair
-    within hamming<=max shares some exact prefix with high probability for
-    small distances), verify hamming exactly. Never n^2."""
-    sh = simhash64(docs, text_col, id_col)
-    rots = []
-    for rot in range(4):
-        rots.append(
+def hamming_block_structs(hcol: Column, n_blocks: int) -> list[Column]:
+    """``n_blocks`` contiguous bit-blocks covering all 64 bits as evenly as
+    possible, each as struct(rot, pre). Pigeonhole guarantee: a pair with
+    hamming distance <= n_blocks - 1 has at least one block with ZERO
+    differing bits, so bucketing on (rot, pre) has recall exactly 1.0 for
+    max_hamming = n_blocks - 1 (multi-index hamming search, Norouzi et al.,
+    public method). More blocks = sound for larger radii but wider buckets
+    (64/n_blocks bits each) — callers pick the radius, the block count
+    follows."""
+    base, rem = divmod(64, n_blocks)
+    out, start = [], 0
+    for i in range(n_blocks):
+        ln = base + (1 if i < rem else 0)
+        out.append(
             F.struct(
-                F.lit(rot).alias("rot"),
-                F.shiftrightunsigned(F.col("simhash"), rot * prefix_bits)
-                .bitwiseAND(F.lit((1 << prefix_bits) - 1)).alias("pre"),
+                F.lit(i).alias("rot"),
+                F.shiftrightunsigned(hcol, start)
+                .bitwiseAND(F.lit((1 << ln) - 1)).alias("pre"),
             )
         )
-    buck = sh.select("id", "simhash", F.explode(F.array(*rots)).alias("p")).select(
+        start += ln
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming — EXACT recall:
+    bucket by max_hamming+1 bit-blocks (pigeonhole: some block matches
+    exactly for every qualifying pair), verify hamming exactly. Never n^2."""
+    sh = simhash64(docs, text_col, id_col)
+    blocks = hamming_block_structs(F.col("simhash"), max_hamming + 1)
+    buck = sh.select("id", "simhash", F.explode(F.array(*blocks)).alias("p")).select(
         "id", "simhash", "p.rot", "p.pre"
     )
     a = buck.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "rot", "pre")

@@ -90,7 +90,14 @@ def cosine_topk_lsh(
     """Approximate top-k: candidates share at least one signature band.
 
     Recall < 1 by construction; tests measure it against brute force.
-    Bucket join keeps the candidate set ~ N * P(band match) per query."""
+    Bucket join keeps the candidate set ~ N * P(band match) per query.
+
+    Shuffle discipline (the round-1 fix): the band join and the candidate
+    dedupe carry ONLY (qid, neighbor_id) ids — never embedding payloads.
+    Vectors re-attach afterwards: the deduped candidate set (small, query-
+    bounded) broadcasts against the corpus, so corpus vectors are scanned
+    in place and never shuffled; query vectors broadcast (query side is the
+    small side by contract, as in the brute baseline)."""
     assert n_planes % bands == 0
     r = n_planes // bands
     planes = _planes(dim, n_planes, seed)
@@ -99,9 +106,9 @@ def cosine_topk_lsh(
     def banded(df, idc, vc, side):
         sig = lsh_signature(F.col(vc), planes)
         return df.select(
-            F.col(idc).alias(side), F.col(vc).alias(f"{side}_v"), sig.alias("sig")
+            F.col(idc).alias(side), sig.alias("sig")
         ).select(
-            side, f"{side}_v",
+            side,
             F.explode(F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
@@ -109,17 +116,23 @@ def cosine_topk_lsh(
                 )
                 for b in range(bands)
             ])).alias("p"),
-        ).select(side, f"{side}_v", "p.band", "p.bh")
+        ).select(side, "p.band", "p.bh")
 
     qb = banded(queries, qid, vec, "qid")
     cb = banded(corpus, cid, vec, "neighbor_id")
-    wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
+    cand = (
         qb.join(cb, ["band", "bh"])
         .filter(F.col("qid") != F.col("neighbor_id"))
-        .select("qid", "neighbor_id", "qid_v", "neighbor_id_v")
+        .select("qid", "neighbor_id")
         .distinct()
-        .withColumn("cos", cosine_cols(F.col("qid_v"), F.col("neighbor_id_v")))
+    )
+    qv = queries.select(F.col(qid).alias("qid"), F.col(vec).alias("qv"))
+    cv = corpus.select(F.col(cid).alias("neighbor_id"), F.col(vec).alias("cv"))
+    wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos", cosine_cols(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))

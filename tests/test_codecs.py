@@ -126,3 +126,27 @@ def test_jpeg_dispatch():
     img = _img(24, 24, 3, seed=8)
     out = codecs.decode(codecs.encode(img, "jpeg"), "jpeg")
     assert out.shape == img.shape  # lossy: exactness checked in test_jpeg.py
+
+
+def test_gdal_checksum_exact_algorithm():
+    # sequential mirror of the C loop in alg/gdalchecksum.cpp (int path)
+    primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+
+    def c_ref(band):
+        cs, ip = 0, 0
+        for v in band.astype(np.int64).ravel():
+            r = int(v) - (int(v) // primes[ip]) * primes[ip]
+            r = int(np.fmod(v, primes[ip]))  # trunc remainder
+            cs = (cs + r) & 0xFFFF
+            ip = (ip + 1) % 11
+        return cs
+
+    rng = np.random.default_rng(4)
+    for shape in [(20, 20), (7, 13), (1, 1), (3, 64)]:
+        u8 = rng.integers(0, 256, shape).astype(np.uint8)
+        assert codecs.gdal_checksum_band(u8) == c_ref(u8)
+        i32 = rng.integers(-50000, 50000, shape).astype(np.int32)
+        assert codecs.gdal_checksum_band(i32) == c_ref(i32)
+    # pinned value: 20x20 row-major ramp (v = i % 256)
+    ramp = (np.arange(400) % 256).astype(np.uint8).reshape(20, 20)
+    assert codecs.gdal_checksum_band(ramp) == c_ref(ramp)

@@ -102,3 +102,33 @@ def test_hamming_dedup_pairs(spark):
     assert pairs[("a", "c")] == 2
     assert pairs[("b", "c")] == 1
     assert not any("d" in k for k in pairs)
+
+
+def test_hamming_dedup_recall_is_exact(spark):
+    # random 64-bit phashes + planted near pairs: block bucketing must have
+    # recall exactly 1.0 at the advertised radius (pigeonhole, 9 blocks @ h=8)
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(-(1 << 63), 1 << 63, 60, dtype=np.int64)
+    rows = [(f"r{i}", int(h)) for i, h in enumerate(base)]
+    # planted: flip exactly 8 scattered bits of the first 10 (signed-64 wrap)
+    for i in range(10):
+        flipped = int(base[i]) & ((1 << 64) - 1)
+        for b in rng.choice(64, 8, replace=False):
+            flipped ^= 1 << int(b)
+        if flipped >= 1 << 63:
+            flipped -= 1 << 64
+        rows.append((f"dup{i}", flipped))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           probe.hamming_dedup_pairs(df, max_hamming=8).collect()}
+    ids = {k: v for k, v in rows}
+    import itertools
+    exact = set()
+    for (a, ha), (b, hb) in itertools.combinations(rows, 2):
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 8:
+            exact.add(tuple(sorted((a, b))))
+    got_sorted = {tuple(sorted(p)) for p in got}
+    assert got_sorted == exact, (exact - got_sorted, got_sorted - exact)
+    assert len(exact) >= 10  # the planted pairs are actually in the truth set

@@ -122,3 +122,43 @@ def test_frame_sample_stub_raises(spark):
     df = spark.createDataFrame(pd.DataFrame({"video_id": ["v1"], "bytes": [b"x"]}))
     with pytest.raises(Exception):
         multimodal.frame_sample_stub(df).collect()
+
+
+def test_simhash_recall_is_exact(near_dup_docs):
+    # pigeonhole guarantee: EVERY pair with hamming <= max must be found
+    for max_h in (4, 8):
+        sh = textops.simhash64(near_dup_docs)
+        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_h)
+            .collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in textops.simhash_pairs(near_dup_docs, max_hamming=max_h).collect()
+        }
+        assert got == exact, (max_h, exact - got, got - exact)
+
+
+def test_lsh_plan_has_no_vector_shuffle(spark):
+    import numpy as np
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [v.tolist() for v in rng.standard_normal((50, 64)).astype(np.float32)],
+    })
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    out = vectorops.cosine_topk_lsh(df.filter("vec_id < 5"), df, k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the dedupe must run on ids only: no Exchange/Aggregate touching the
+    # embedding column before vectors re-attach
+    import re
+    dedup_region = plan.split("Deduplicate")[-1] if "Deduplicate" in plan else plan
+    assert "embedding" not in plan.split("Join")[0] or True  # smoke: plan built
+    # stronger check: Aggregate (distinct) output schema carries only 2 ids
+    m = re.search(r"Aggregate \[qid#\d+L?, neighbor_id#\d+L?\], \[qid#\d+L?, neighbor_id#\d+L?\]", plan)
+    assert m is not None, plan[:2000]
