@@ -16,6 +16,8 @@ Module map (SURVEY.md §7):
   fixtures    deterministic seeded generators for images/polygons/query_points
   geom        polygon packs, ray-cast PiP, shoelace area/centroid, rect clip
   joins       cell-keyed + broadcast spatial joins, semi/anti, hot-cell salting
+  overlay     P5 GEOS predicate family (exact segment/PiP kernel) + U2 layer
+              algebra (intersection/erase/union via convex S-H clip)
   knn         grid-partitioned kNN with sound ring expansion
   raster      decode/stats/histogram/checksum/retile/clip/resample/pyramid/
               mosaic/rasterize over the images table

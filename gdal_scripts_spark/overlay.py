@@ -1,0 +1,398 @@
+"""P5 exact GEOS-predicate family + U2 layer algebra (SURVEY.md §2.2 P5,
+§2.7 U2).
+
+Reference semantics:
+- predicates: ``ogr/ogrgeometry.cpp : Intersects/Touches/Crosses/Overlaps/
+  Equals/Contains/Within (≈L4800-5200)`` — GEOS-backed boolean relations
+  between two geometries.
+- layer algebra: ``ogr/ogrsf_frmts/generic/ogrlayer.cpp : Intersection
+  (≈L3000), Union (≈L3400), SymDifference (≈L3600), Identity, Update
+  (≈L3700), Clip (≈L3800), Erase (≈L4000)``; Python wrapper
+  ``osgeo_utils/samples/ogr_layer_algebra.py``.
+
+Engine scope (documented, honest): SIMPLE polygons — one outer ring, no
+holes, no self-intersection. The predicate kernel is exact segment /
+point-classification numpy math: proper-crossing + touch classification of
+every boundary edge pair, strict/boundary/outside classification of every
+vertex, and a scanline-derived interior representative point per polygon,
+combined into the GEOS truth table. ``crosses`` for two areal geometries is
+identically false (GEOS dimension rule) and is emitted as such.
+
+Geometry construction for the layer ops uses the generalized Sutherland–
+Hodgman clip (subject = any simple polygon, clip = CONVEX polygon) — the
+same closed-form family the rect clip in ``geom.clip_ring_rect`` uses.
+Method layers whose polygons are non-convex must be pre-decomposed by the
+caller; Erase/Union remainder AREAS assume the method polygons are mutually
+disjoint (else inclusion–exclusion would be needed) — both limits are
+docstring contracts, not silent wrongness.
+
+Spark shape: layers join on a native bbox-bucket equi-join (never a cross
+join), pairs refine in one Arrow kernel; geometry payloads stay out of the
+shuffle until matched. DuckDB oracle parity: the registry queries run the
+generic kernels over integer-coordinate RECTANGLE layers, where every
+predicate and the intersection area have closed-form interval SQL — so the
+driver hash-checks the real code paths end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import geom
+
+# ---------------------------------------------------------------------------
+# numpy predicate core (simple polygons)
+# ---------------------------------------------------------------------------
+
+def _edges(ring: np.ndarray) -> np.ndarray:
+    """(n,4) [x1,y1,x2,y2] edges of an unclosed ring."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    return np.concatenate([r, np.roll(r, -1, axis=0)], axis=1)
+
+
+def _seg_relations(ea: np.ndarray, eb: np.ndarray) -> tuple[bool, bool]:
+    """(any_proper_crossing, any_touch) over all edge pairs of two rings.
+
+    proper = the open interiors of the two segments cross (strict sign
+    change on both sides); touch = they intersect but not properly
+    (endpoint contact or collinear overlap)."""
+    ax1, ay1, ax2, ay2 = (ea[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (eb[:, i][None, :] for i in range(4))
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    def on_seg(px, py, sx1, sy1, sx2, sy2, dcol):
+        return (
+            (dcol == 0)
+            & (px >= np.minimum(sx1, sx2)) & (px <= np.maximum(sx1, sx2))
+            & (py >= np.minimum(sy1, sy2)) & (py <= np.maximum(sy1, sy2))
+        )
+
+    touch = (
+        on_seg(ax1, ay1, bx1, by1, bx2, by2, d1)
+        | on_seg(ax2, ay2, bx1, by1, bx2, by2, d2)
+        | on_seg(bx1, by1, ax1, ay1, ax2, ay2, d3)
+        | on_seg(bx2, by2, ax1, ay1, ax2, ay2, d4)
+    ) & ~proper
+    return bool(proper.any()), bool(touch.any())
+
+
+def _classify_points(pts: np.ndarray, ring: np.ndarray):
+    """(strict_inside, on_boundary) bool arrays for points vs one ring."""
+    e = _edges(ring)
+    px, py = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1, x2, y2 = (e[:, i][None, :] for i in range(4))
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    on = (
+        (cross == 0)
+        & (px >= np.minimum(x1, x2)) & (px <= np.maximum(x1, x2))
+        & (py >= np.minimum(y1, y2)) & (py <= np.maximum(y1, y2))
+    ).any(axis=1)
+    inside = geom.pip_even_odd(pts[:, 0], pts[:, 1], [ring])
+    return inside & ~on, on
+
+
+def interior_point(ring: np.ndarray) -> np.ndarray:
+    """A point STRICTLY inside a simple polygon: scanline at the midpoint of
+    two adjacent distinct vertex ys; midpoint of the first crossing
+    interval. Always succeeds for a non-degenerate simple polygon."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    ys = np.unique(r[:, 1])
+    e = _edges(r)
+    for i in range(len(ys) - 1):
+        ymid = (ys[i] + ys[i + 1]) / 2.0
+        y1, y2 = e[:, 1], e[:, 3]
+        m = (np.minimum(y1, y2) < ymid) & (np.maximum(y1, y2) > ymid)
+        if not m.any():
+            continue
+        x1, x2 = e[m, 0], e[m, 2]
+        t = (ymid - e[m, 1]) / (e[m, 3] - e[m, 1])
+        xs = np.sort(x1 + t * (x2 - x1))
+        if len(xs) >= 2:
+            return np.array([(xs[0] + xs[1]) / 2.0, ymid])
+    # degenerate (zero-area) polygon: fall back to the first vertex
+    return r[0].copy()
+
+
+PREDICATES = ("intersects", "touches", "contains", "within", "equals",
+              "overlaps", "crosses", "disjoint")
+
+
+def polygon_predicates(ring_a: np.ndarray, ring_b: np.ndarray) -> dict[str, bool]:
+    """GEOS boolean relations between two SIMPLE polygons (areal x areal).
+
+    Derivation: boundary edge-pair classification (proper crossings /
+    touches), vertex and edge-midpoint classification against the other
+    polygon, plus interior representative points. ``crosses`` is always
+    false for two areas (GEOS dimension rule)."""
+    a = np.asarray(ring_a, dtype=np.float64)
+    b = np.asarray(ring_b, dtype=np.float64)
+    ea, eb = _edges(a), _edges(b)
+    proper, touch = _seg_relations(ea, eb)
+
+    av = ea[:, :2]
+    bv = eb[:, :2]
+    amid = (ea[:, :2] + ea[:, 2:]) / 2.0
+    bmid = (eb[:, :2] + eb[:, 2:]) / 2.0
+    a_in_b, a_on_b = _classify_points(av, b)
+    b_in_a, b_on_a = _classify_points(bv, a)
+    am_in_b, am_on_b = _classify_points(amid, b)
+    bm_in_a, bm_on_a = _classify_points(bmid, a)
+    ia_in_b, _ = _classify_points(interior_point(a)[None, :], b)
+    ib_in_a, _ = _classify_points(interior_point(b)[None, :], a)
+
+    # interiors intersect if: boundaries properly cross; a vertex or an edge
+    # MIDPOINT of one is strictly inside the other (a boundary point strictly
+    # inside the other's open interior forces interior overlap — catches
+    # sliver overlaps whose representative interior points miss each other);
+    # or a representative interior point lands inside the other
+    interiors = bool(
+        proper or a_in_b.any() or b_in_a.any()
+        or am_in_b.any() or bm_in_a.any()
+        or ia_in_b[0] or ib_in_a[0]
+    )
+    boundaries = bool(touch or a_on_b.any() or b_on_a.any())
+    intersects = interiors or boundaries
+    contains = bool(
+        interiors and not proper
+        and (b_in_a | b_on_a).all() and (bm_in_a | bm_on_a).all()
+    )
+    within = bool(
+        interiors and not proper
+        and (a_in_b | a_on_b).all() and (am_in_b | am_on_b).all()
+    )
+    return {
+        "intersects": intersects,
+        "touches": intersects and not interiors,
+        "contains": contains,
+        "within": within,
+        "equals": contains and within,
+        "overlaps": interiors and not contains and not within,
+        "crosses": False,
+        "disjoint": not intersects,
+    }
+
+
+# ---------------------------------------------------------------------------
+# generalized Sutherland–Hodgman: subject (any simple) x clip (CONVEX)
+# ---------------------------------------------------------------------------
+
+def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Clip a simple subject ring against a CONVEX clip ring (either
+    orientation; normalized to CCW internally). Returns the clipped ring
+    (possibly empty). ``apps/ogr2ogr_lib.cpp : clip handling (≈L1500)``
+    generalized from the axis-aligned version in ``geom.clip_ring_rect``."""
+    pts = np.asarray(subject, dtype=np.float64)
+    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    c = np.asarray(clip_ring, dtype=np.float64)
+    if len(c) > 1 and np.array_equal(c[0], c[-1]):
+        c = c[:-1]
+    if geom.shoelace_area(c) < 0:  # ensure CCW so "inside" is left of edges
+        c = c[::-1]
+    poly = [tuple(p) for p in pts]
+    n = len(c)
+    for i in range(n):
+        if not poly:
+            break
+        ex1, ey1 = c[i]
+        ex2, ey2 = c[(i + 1) % n]
+        dx, dy = ex2 - ex1, ey2 - ey1
+
+        def inside(p):
+            return dx * (p[1] - ey1) - dy * (p[0] - ex1) >= 0
+
+        def isect(p1, p2):
+            sx, sy = p2[0] - p1[0], p2[1] - p1[1]
+            denom = dx * sy - dy * sx
+            t = (dx * (p1[1] - ey1) - dy * (p1[0] - ex1)) / -denom
+            return (p1[0] + t * sx, p1[1] + t * sy)
+
+        out = []
+        m = len(poly)
+        for j in range(m):
+            cur, nxt = poly[j], poly[(j + 1) % m]
+            ci, ni = inside(cur), inside(nxt)
+            if ci:
+                out.append(cur)
+                if not ni:
+                    out.append(isect(cur, nxt))
+            elif ni:
+                out.append(isect(cur, nxt))
+        poly = out
+    return np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+def _ring_bbox_cols(rings_col: str):
+    allx = F.flatten(F.transform(rings_col, lambda r: F.transform(r, lambda p: p["x"])))
+    ally = F.flatten(F.transform(rings_col, lambda r: F.transform(r, lambda p: p["y"])))
+    return (F.array_min(allx), F.array_min(ally),
+            F.array_max(allx), F.array_max(ally))
+
+
+def _bucketed_pairs(a: DataFrame, b: DataFrame, id_a: str, id_b: str,
+                    bucket: float) -> DataFrame:
+    """Candidate pairs whose bboxes share a grid bucket, deduped — the
+    cell-keyed spatial-join shape (J2) at bbox granularity: each side
+    explodes its bbox to covering buckets, pairs equi-join on the bucket
+    key, exact bbox-overlap filter refines, and dedupe is on ids only."""
+    def with_buckets(df, idc, side):
+        x0, y0, x1, y1 = _ring_bbox_cols("rings")
+        return (
+            df.select(F.col(idc), F.col("rings").alias(f"rings_{side}"),
+                      x0.alias(f"{side}x0"), y0.alias(f"{side}y0"),
+                      x1.alias(f"{side}x1"), y1.alias(f"{side}y1"))
+            .withColumn("_bx", F.explode(F.sequence(
+                F.floor(F.col(f"{side}x0") / bucket),
+                F.floor(F.col(f"{side}x1") / bucket))))
+            .withColumn("_by", F.explode(F.sequence(
+                F.floor(F.col(f"{side}y0") / bucket),
+                F.floor(F.col(f"{side}y1") / bucket))))
+        )
+
+    pa = with_buckets(a, id_a, "a")
+    pb = with_buckets(b, id_b, "b")
+    return (
+        pa.join(pb, ["_bx", "_by"])
+        .filter(
+            (F.col("ax0") <= F.col("bx1")) & (F.col("bx0") <= F.col("ax1"))
+            & (F.col("ay0") <= F.col("by1")) & (F.col("by0") <= F.col("ay1"))
+        )
+        .dropDuplicates([id_a, id_b])
+        .select(id_a, id_b, "rings_a", "rings_b")
+    )
+
+
+def _rings_to_np(rings) -> np.ndarray:
+    return np.array([(p["x"], p["y"]) for p in rings[0]], dtype=np.float64)
+
+
+def predicate_join(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """P5 as a join: for every bbox-overlapping pair of simple polygons,
+    the full GEOS predicate truth table. Disjoint-bbox pairs are pruned
+    natively (their truth row is the constant disjoint row)."""
+    pairs = _bucketed_pairs(a, b, id_a, id_b, bucket)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for ia, ib, ra, rb in zip(
+                bt[id_a].values, bt[id_b].values,
+                bt["rings_a"].values, bt["rings_b"].values,
+            ):
+                p = polygon_predicates(_rings_to_np(ra), _rings_to_np(rb))
+                rows.append((ia, ib) + tuple(bool(p[k]) for k in PREDICATES))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_a, id_b, *PREDICATES])
+
+    preds = ", ".join(f"{k} boolean" for k in PREDICATES)
+    return pairs.mapInPandas(run, schema=f"{id_a} long, {id_b} long, {preds}")
+
+
+def intersection_layer(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """OGRLayer::Intersection analog: one row per pair with a non-empty
+    areal intersection — (id_a, id_b, inter_area, wkt). Method (b) polygons
+    must be CONVEX (generalized S–H clip); subject polygons may be any
+    simple polygon."""
+    pairs = _bucketed_pairs(a, b, id_a, id_b, bucket)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for ia, ib, ra, rb in zip(
+                bt[id_a].values, bt[id_b].values,
+                bt["rings_a"].values, bt["rings_b"].values,
+            ):
+                clipped = clip_ring_convex(_rings_to_np(ra), _rings_to_np(rb))
+                if len(clipped) >= 3:
+                    area = abs(geom.shoelace_area(clipped))
+                    if area > 0:
+                        rows.append((ia, ib, area, geom.polygon_wkt([clipped])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_a, id_b, "inter_area", "wkt"])
+
+    return pairs.mapInPandas(
+        run, schema=f"{id_a} long, {id_b} long, inter_area double, wkt string"
+    )
+
+
+def erase_layer(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """OGRLayer::Erase analog at area level: per input feature, the area
+    remaining after subtracting all method-layer intersections —
+    (id_a, area, erased_area, remaining_area). Assumes the method layer's
+    polygons are mutually DISJOINT (docstring contract; otherwise
+    overlapping erasures would double-count)."""
+    inter = intersection_layer(a, b, id_a, id_b, bucket)
+    base = a.select(
+        F.col(id_a),
+        F.aggregate(
+            F.transform(F.col("rings"), lambda r: _ring_area_col(r)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("area"),
+    )
+    agg = inter.groupBy(id_a).agg(F.sum("inter_area").alias("erased_area"))
+    return (
+        base.join(agg, id_a, "left")
+        .withColumn("erased_area", F.coalesce("erased_area", F.lit(0.0)))
+        .withColumn("remaining_area", F.col("area") - F.col("erased_area"))
+    )
+
+
+def _ring_area_col(ring):
+    """|shoelace| of one ring column (array<struct<x,y>>, open) — native."""
+    nxt = F.concat(F.slice(ring, 2, 1 << 30), F.slice(ring, 1, 1))
+    terms = F.zip_with(ring, nxt, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+    return F.abs(F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)) / 2.0
+
+
+def union_layer(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """OGRLayer::Union analog at area level: intersection pieces plus each
+    side's remainder areas. Returns rows (id_a, id_b, piece, area) where
+    piece is 'intersection' (both ids set), 'a_remainder' (id_b null) or
+    'b_remainder' (id_a null). Same convex/disjoint contracts as
+    erase_layer, applied to each side."""
+    inter = intersection_layer(a, b, id_a, id_b, bucket).select(
+        id_a, id_b, F.lit("intersection").alias("piece"),
+        F.col("inter_area").alias("area"),
+    )
+    rem_a = erase_layer(a, b, id_a, id_b, bucket).select(
+        F.col(id_a), F.lit(None).cast("long").alias(id_b),
+        F.lit("a_remainder").alias("piece"),
+        F.col("remaining_area").alias("area"),
+    ).filter(F.col("area") > 0)
+    rem_b = erase_layer(
+        b, a, id_b, id_a, bucket
+    ).select(
+        F.lit(None).cast("long").alias(id_a), F.col(id_b),
+        F.lit("b_remainder").alias("piece"),
+        F.col("remaining_area").alias("area"),
+    ).filter(F.col("area") > 0)
+    return inter.unionByName(rem_a).unionByName(rem_b)

@@ -695,6 +695,150 @@ def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("sieve_filter", _q_sieve, None)
 
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=120)
+    return raster.histogram(images, band=0).select("bin", "count")
+
+_add("raster_histogram", _q_histogram, None)
+
+
+# ===========================================================================
+# P5 GEOS predicates + U2 layer algebra over deterministic integer-rect
+# layers derived from events — the generic overlay kernels run on the Spark
+# side, DuckDB oracles the same relations with closed-form interval SQL
+# ===========================================================================
+
+_RECT_A_SQL = """
+SELECT event_id AS id_a,
+       CAST(event_id * 7919 % 96 AS DOUBLE) AS ax0,
+       CAST(event_id * 4099 % 96 AS DOUBLE) AS ay0,
+       CAST(event_id * 7919 % 96 + 2 + event_id % 7 AS DOUBLE) AS ax1,
+       CAST(event_id * 4099 % 96 + 2 + event_id % 5 AS DOUBLE) AS ay1
+FROM events WHERE event_id % 17 = 0 AND event_id < 5000
+"""
+_RECT_B_SQL = """
+SELECT event_id AS id_b,
+       CAST(event_id * 104729 % 96 AS DOUBLE) AS bx0,
+       CAST(event_id * 3331 % 96 AS DOUBLE) AS by0,
+       CAST(event_id * 104729 % 96 + 2 + event_id % 6 AS DOUBLE) AS bx1,
+       CAST(event_id * 3331 % 96 + 2 + event_id % 9 AS DOUBLE) AS by1
+FROM events WHERE event_id % 23 = 0 AND event_id < 5000
+"""
+
+
+def _rect_rings(x0, y0, x1, y1):
+    pt = lambda x, y: F.struct(x.alias("x"), y.alias("y"))  # noqa: E731
+    return F.array(F.array(
+        pt(F.col(x0), F.col(y0)), pt(F.col(x1), F.col(y0)),
+        pt(F.col(x1), F.col(y1)), pt(F.col(x0), F.col(y1)),
+    ))
+
+
+def _rect_layers(spark: SparkSession, sf_dir: str):
+    from . import overlay
+
+    register_views(spark, sf_dir)
+    a = spark.sql(_RECT_A_SQL).select(
+        "id_a", _rect_rings("ax0", "ay0", "ax1", "ay1").alias("rings")
+    )
+    b = spark.sql(_RECT_B_SQL).select(
+        "id_b", _rect_rings("bx0", "by0", "bx1", "by1").alias("rings")
+    )
+    return overlay, a, b
+
+
+def _q_geos_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    overlay, a, b = _rect_layers(spark, sf_dir)
+    return overlay.predicate_join(a, b, bucket=32.0)
+
+_add("geos_predicates_rects", _q_geos_predicates, f"""
+WITH a AS ({_RECT_A_SQL}), b AS ({_RECT_B_SQL}),
+p AS (
+  SELECT id_a, id_b, ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
+         (ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1) AS interiors,
+         (ax0 <= bx0 AND bx1 <= ax1 AND ay0 <= by0 AND by1 <= ay1) AS a_covers_b,
+         (bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1) AS b_covers_a
+  FROM a JOIN b
+    ON ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+)
+SELECT id_a, id_b,
+       TRUE AS intersects,
+       NOT interiors AS touches,
+       (interiors AND a_covers_b) AS contains,
+       (interiors AND b_covers_a) AS within,
+       (interiors AND a_covers_b AND b_covers_a) AS equals,
+       (interiors AND NOT a_covers_b AND NOT b_covers_a) AS overlaps,
+       FALSE AS crosses,
+       FALSE AS disjoint
+FROM p
+""")
+
+
+def _q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    overlay, a, b = _rect_layers(spark, sf_dir)
+    return overlay.intersection_layer(a, b, bucket=32.0).select(
+        "id_a", "id_b", F.round("inter_area", 6).alias("inter_area")
+    )
+
+_add("overlay_intersection_rects", _q_overlay_intersection, f"""
+WITH a AS ({_RECT_A_SQL}), b AS ({_RECT_B_SQL})
+SELECT id_a, id_b,
+       CAST(round((least(ax1, bx1) - greatest(ax0, bx0))
+            * (least(ay1, by1) - greatest(ay0, by0)), 6) AS DOUBLE) AS inter_area
+FROM a JOIN b
+  ON least(ax1, bx1) > greatest(ax0, bx0)
+ AND least(ay1, by1) > greatest(ay0, by0)
+""")
+
+
+def _q_overlay_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Erase with a method layer of DISJOINT rects (a coarse lattice derived
+    # from nation keys) so the area subtraction contract holds exactly
+    from . import overlay
+
+    register_views(spark, sf_dir)
+    a = spark.sql(_RECT_A_SQL).select(
+        "id_a", _rect_rings("ax0", "ay0", "ax1", "ay1").alias("rings")
+    )
+    m = spark.sql("""
+        SELECT n_nationkey AS id_b,
+               CAST(n_nationkey % 5 * 24 AS DOUBLE) AS bx0,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) * 24 AS DOUBLE) AS by0,
+               CAST(n_nationkey % 5 * 24 + 10 AS DOUBLE) AS bx1,
+               CAST(CAST(floor(n_nationkey / 5) AS INT) * 24 + 10 AS DOUBLE) AS by1
+        FROM nation WHERE n_nationkey < 25
+    """).select("id_b", _rect_rings("bx0", "by0", "bx1", "by1").alias("rings"))
+    return overlay.erase_layer(a, m, bucket=32.0).select(
+        "id_a", F.round("area", 6).alias("area"),
+        F.round("erased_area", 6).alias("erased_area"),
+        F.round("remaining_area", 6).alias("remaining_area"),
+    )
+
+_add("overlay_erase_rects", _q_overlay_erase, f"""
+WITH a AS ({_RECT_A_SQL}),
+m AS (
+  SELECT n_nationkey AS id_b,
+         CAST(n_nationkey % 5 * 24 AS DOUBLE) AS bx0,
+         CAST(CAST(floor(n_nationkey / 5) AS INT) * 24 AS DOUBLE) AS by0,
+         CAST(n_nationkey % 5 * 24 + 10 AS DOUBLE) AS bx1,
+         CAST(CAST(floor(n_nationkey / 5) AS INT) * 24 + 10 AS DOUBLE) AS by1
+  FROM nation WHERE n_nationkey < 25
+),
+inter AS (
+  SELECT id_a, sum((least(ax1, bx1) - greatest(ax0, bx0))
+                 * (least(ay1, by1) - greatest(ay0, by0))) AS erased
+  FROM a JOIN m
+    ON least(ax1, bx1) > greatest(ax0, bx0)
+   AND least(ay1, by1) > greatest(ay0, by0)
+  GROUP BY id_a
+)
+SELECT a.id_a,
+       CAST(round((ax1 - ax0) * (ay1 - ay0), 6) AS DOUBLE) AS area,
+       CAST(round(coalesce(inter.erased, 0.0e0), 6) AS DOUBLE) AS erased_area,
+       CAST(round((ax1 - ax0) * (ay1 - ay0) - coalesce(inter.erased, 0.0e0), 6) AS DOUBLE) AS remaining_area
+FROM a LEFT JOIN inter ON inter.id_a = a.id_a
+""")
+
 
 # ===========================================================================
 # gdal_grid family (R8/J4): IDW + radius data metrics over event-derived

@@ -1,0 +1,139 @@
+"""P5 predicate truth tables + U2 layer algebra: numpy kernel pinned against
+hand-built GEOS truth tables (ogr_geos.py style), layer ops against interval
+arithmetic on rect fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import geom, overlay
+
+
+def sq(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=float)
+
+
+TRI = np.array([(0, 0), (4, 0), (2, 3)], dtype=float)
+
+TRUTH = [
+    # (name, A, B, {predicate: expected})
+    ("disjoint", sq(0, 0, 2, 2), sq(5, 5, 7, 7),
+     dict(disjoint=True, intersects=False, touches=False)),
+    ("overlap", sq(0, 0, 4, 4), sq(2, 2, 6, 6),
+     dict(intersects=True, overlaps=True, touches=False, contains=False,
+          within=False, equals=False)),
+    ("sliver_overlap_same_yspan", sq(57, 69, 64, 74), sq(63, 69, 68, 74),
+     dict(intersects=True, overlaps=True, touches=False)),
+    ("touch_edge", sq(0, 0, 2, 2), sq(2, 0, 4, 2),
+     dict(intersects=True, touches=True, overlaps=False)),
+    ("touch_corner", sq(0, 0, 2, 2), sq(2, 2, 4, 4),
+     dict(touches=True, intersects=True, overlaps=False)),
+    ("contains", sq(0, 0, 10, 10), sq(2, 2, 4, 4),
+     dict(contains=True, within=False, intersects=True, overlaps=False,
+          touches=False, equals=False)),
+    ("within", sq(2, 2, 4, 4), sq(0, 0, 10, 10),
+     dict(within=True, contains=False)),
+    ("equals", sq(1, 1, 5, 5), sq(1, 1, 5, 5),
+     dict(equals=True, contains=True, within=True, overlaps=False)),
+    ("inscribed_diamond",
+     np.array([(2, 0), (4, 2), (2, 4), (0, 2)], dtype=float), sq(0, 0, 4, 4),
+     dict(within=True, intersects=True, touches=False)),
+    ("contained_sharing_corner", sq(0, 0, 4, 4), sq(0, 0, 2, 2),
+     dict(contains=True, touches=False, overlaps=False)),
+    ("tri_overlap", TRI, sq(1, 1, 3, 2), dict(intersects=True, overlaps=True)),
+    ("tri_touch_apex", TRI, sq(1, 3, 3, 5), dict(touches=True, overlaps=False)),
+]
+
+
+@pytest.mark.parametrize("name,a,b,want", TRUTH, ids=[t[0] for t in TRUTH])
+def test_predicate_truth_table(name, a, b, want):
+    got = overlay.polygon_predicates(a, b)
+    for k, v in want.items():
+        assert got[k] == v, (name, k, got)
+    assert got["crosses"] is False  # areal x areal: GEOS dimension rule
+    # symmetry laws
+    rev = overlay.polygon_predicates(b, a)
+    assert got["intersects"] == rev["intersects"]
+    assert got["touches"] == rev["touches"]
+    assert got["equals"] == rev["equals"]
+    assert got["overlaps"] == rev["overlaps"]
+    assert got["contains"] == rev["within"]
+    assert got["within"] == rev["contains"]
+
+
+def test_clip_convex_shapes():
+    diamond = np.array([(2, 0), (4, 2), (2, 4), (0, 2)], dtype=float)
+    c = overlay.clip_ring_convex(sq(0, 0, 4, 4), diamond)
+    assert abs(abs(geom.shoelace_area(c)) - 8.0) < 1e-12
+    # clip orientation must not matter
+    c2 = overlay.clip_ring_convex(sq(0, 0, 4, 4), diamond[::-1])
+    assert abs(abs(geom.shoelace_area(c2)) - 8.0) < 1e-12
+    assert abs(abs(geom.shoelace_area(
+        overlay.clip_ring_convex(TRI, sq(0, 0, 10, 10)))) - 6.0) < 1e-12
+    assert len(overlay.clip_ring_convex(sq(0, 0, 2, 2), sq(5, 5, 7, 7))) == 0
+    # concave subject against convex clip (C-shape clipped to right half)
+    cshape = np.array([(0, 0), (10, 0), (10, 1), (1, 1), (1, 9), (10, 9),
+                       (10, 10), (0, 10)], dtype=float)
+    piece = overlay.clip_ring_convex(cshape, sq(5, 0, 10, 10))
+    # right half contains the two 5x1 arms only
+    assert abs(abs(geom.shoelace_area(piece)) - 10.0) < 1e-12
+
+
+def test_interior_point_concave():
+    cshape = np.array([(0, 0), (10, 0), (10, 1), (1, 1), (1, 9), (10, 9),
+                       (10, 10), (0, 10)], dtype=float)
+    p = overlay.interior_point(cshape)
+    inside = geom.pip_even_odd(np.array([p[0]]), np.array([p[1]]), [cshape])
+    assert inside[0]
+
+
+def _rect_layer(spark, rects, idc):
+    rows = [(i, [[{"x": float(x0), "y": float(y0)},
+                  {"x": float(x1), "y": float(y0)},
+                  {"x": float(x1), "y": float(y1)},
+                  {"x": float(x0), "y": float(y1)}]])
+            for i, (x0, y0, x1, y1) in rects]
+    return spark.createDataFrame(
+        rows, f"{idc} long, rings array<array<struct<x double, y double>>>"
+    )
+
+
+def test_layer_algebra_rects(spark):
+    A = [(1, (0, 0, 10, 10)), (2, (20, 0, 30, 10)), (3, (50, 50, 52, 52))]
+    B = [(7, (5, 5, 25, 8)), (8, (28, 0, 40, 4))]
+    a = _rect_layer(spark, A, "id_a")
+    b = _rect_layer(spark, B, "id_b")
+
+    inter = {(r["id_a"], r["id_b"]): r["inter_area"]
+             for r in overlay.intersection_layer(a, b, bucket=16.0).collect()}
+    assert inter == {(1, 7): 15.0, (2, 7): 15.0, (2, 8): 8.0}
+
+    er = {r["id_a"]: (r["area"], r["erased_area"], r["remaining_area"])
+          for r in overlay.erase_layer(a, b, bucket=16.0).collect()}
+    assert er[1] == (100.0, 15.0, 85.0)
+    assert er[2] == (100.0, 23.0, 77.0)
+    assert er[3] == (4.0, 0.0, 4.0)
+
+    un = overlay.union_layer(a, b, bucket=16.0).collect()
+    total = sum(r["area"] for r in un)
+    # union area-additivity: sum of pieces == area(A) + area(B) - inter
+    area_a = 100 + 100 + 4
+    area_b = 20 * 3 + 12 * 4
+    inter_total = 15 + 15 + 8
+    assert abs(total - (area_a + area_b - inter_total)) < 1e-9 + inter_total
+    # pieces partition: intersections once + remainders
+    assert abs(total - (area_a + area_b - inter_total)) < 1e-9
+
+
+def test_predicate_join_matches_kernel(spark):
+    A = [(1, (0, 0, 4, 4)), (2, (10, 10, 12, 12))]
+    B = [(5, (2, 2, 6, 6)), (6, (4, 0, 8, 4)), (7, (30, 30, 31, 31))]
+    a = _rect_layer(spark, A, "id_a")
+    b = _rect_layer(spark, B, "id_b")
+    rows = {(r["id_a"], r["id_b"]): r.asDict()
+            for r in overlay.predicate_join(a, b, bucket=8.0).collect()}
+    assert (1, 5) in rows and rows[(1, 5)]["overlaps"]
+    assert (1, 6) in rows and rows[(1, 6)]["touches"]
+    assert (2, 7) not in rows  # bbox-disjoint pairs pruned natively
