@@ -701,6 +701,22 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("raster_histogram", _q_histogram, None)
 
+def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = fixtures.labels_spark(spark, n=8)
+    return raster.proximity(labels, targets=(1, 2), max_dist=12.0).select(
+        "image_id", "w", "h", "checksum"
+    )
+
+_add("proximity_map", _q_proximity, None)
+
+def _q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = fixtures.labels_spark(spark, n=8)
+    return raster.fillnodata(labels, nodata=0, max_search=8, smoothing=1).select(
+        "image_id", "w", "h", "checksum"
+    )
+
+_add("fillnodata_fill", _q_fillnodata, None)
+
 
 # ===========================================================================
 # P5 GEOS predicates + U2 layer algebra over deterministic integer-rect

@@ -599,3 +599,151 @@ def to_xyz(images: DataFrame, band: int = 0, sample_stride: int = 1) -> DataFram
     return images.select(*_DEC_COLS).mapInPandas(
         run, schema="image_id string, px int, py int, value int"
     )
+
+
+# ---------------------------------------------------------------------------
+# R8 — proximity (alg/gdalproximity.cpp : GDALComputeProximity ≈L300) and
+#      fillnodata (alg/fillnodata.cpp : GDALFillNodata)
+# ---------------------------------------------------------------------------
+
+def np_proximity(img: np.ndarray, targets=(0,), max_dist: float | None = None,
+                 nodata: float = -1.0) -> np.ndarray:
+    """Exact Euclidean distance (pixels) from every pixel to the nearest
+    TARGET-valued pixel — the GDALComputeProximity contract (DISTUNITS=PIXEL,
+    VALUES=targets, MAXDIST, NODATA). Returns float64 (h, w); pixels beyond
+    max_dist (or with no target anywhere) get ``nodata``.
+
+    Vectorized chunked brute force over target pixels: temporaries stay
+    ~pixels x chunk doubles (<=4 MB). Exact by construction — GDAL's
+    two-pass scan is an optimization of the same metric. Each image row of
+    the table is one raster, so the operator parallelizes per image; at
+    mosaic scale run per-tile with a max_dist-wide halo."""
+    a = img[:, :, 0] if img.ndim == 3 else img
+    h, w = a.shape
+    mask = np.isin(a, np.asarray(targets))
+    ty, tx = np.nonzero(mask)
+    out = np.full(h * w, np.inf)
+    if len(ty):
+        py, px = np.mgrid[0:h, 0:w]
+        py = py.ravel().astype(np.float64)
+        px = px.ravel().astype(np.float64)
+        # temporaries = pixels x chunk doubles; keep under ~5 MB (cold Python
+        # workers pay heavily for big first-touch allocations on this host)
+        chunk = max(1, int(600_000 / max(h * w, 1)))
+        for s in range(0, len(ty), chunk):
+            d2 = (py[:, None] - ty[s : s + chunk][None, :]) ** 2 \
+               + (px[:, None] - tx[s : s + chunk][None, :]) ** 2
+            np.minimum(out, d2.min(axis=1), out=out)
+    out = np.sqrt(out).reshape(h, w)
+    if max_dist is not None:
+        out[out > max_dist] = nodata
+    out[np.isinf(out)] = nodata
+    return out
+
+
+def _directional_nearest(valid: np.ndarray, vals: np.ndarray):
+    """(dist, val) of the nearest valid pixel looking LEFT along each row —
+    fully vectorized (maximum.accumulate index propagation)."""
+    h, w = valid.shape
+    cols = np.broadcast_to(np.arange(w), (h, w))
+    idx = np.where(valid, cols, -1)
+    last = np.maximum.accumulate(idx, axis=1)
+    dist = np.where(last >= 0, cols - last, np.inf).astype(np.float64)
+    val = vals[np.arange(h)[:, None], np.maximum(last, 0)].astype(np.float64)
+    return dist, val
+
+
+def np_fillnodata(img: np.ndarray, nodata: int = 0, max_search: int = 16,
+                  smoothing: int = 0) -> np.ndarray:
+    """GDALFillNodata analog: every nodata pixel becomes the inverse-
+    distance-weighted mean of the nearest VALID pixel in each of the four
+    axis directions within ``max_search`` pixels (weights 1/d), followed by
+    ``smoothing`` 3x3 mean passes applied to the filled pixels only. Pixels
+    with no valid neighbor in range stay nodata. Documented divergence: GDAL
+    interpolates from up to four quadrant-nearest points collected by its
+    scan; the four axis-nearest points here are the same family and the
+    docstring contract (IDW of nearest valid neighbors) is identical.
+    """
+    a = img[:, :, 0].astype(np.float64) if img.ndim == 3 else img.astype(np.float64)
+    valid = a != nodata
+    wsum = np.zeros_like(a)
+    vsum = np.zeros_like(a)
+    for flip, transpose in ((False, False), (True, False), (False, True), (True, True)):
+        v, x = (valid, a)
+        if transpose:
+            v, x = v.T, x.T
+        if flip:
+            v, x = v[:, ::-1], x[:, ::-1]
+        dist, val = _directional_nearest(v, x)
+        if flip:
+            dist, val = dist[:, ::-1], val[:, ::-1]
+        if transpose:
+            dist, val = dist.T, val.T
+        ok = (dist > 0) & (dist <= max_search)
+        w_ = np.where(ok, 1.0 / np.where(dist == 0, 1.0, dist), 0.0)
+        wsum += w_
+        vsum += w_ * np.where(ok, val, 0.0)
+    out = a.copy()
+    fill = (~valid) & (wsum > 0)
+    out[fill] = vsum[fill] / wsum[fill]
+    for _ in range(smoothing):
+        padded = np.pad(out, 1, mode="edge")
+        sm = (
+            padded[:-2, :-2] + padded[:-2, 1:-1] + padded[:-2, 2:]
+            + padded[1:-1, :-2] + padded[1:-1, 1:-1] + padded[1:-1, 2:]
+            + padded[2:, :-2] + padded[2:, 1:-1] + padded[2:, 2:]
+        ) / 9.0
+        out[fill] = sm[fill]
+    return out
+
+
+def proximity(images: DataFrame, targets=(1,), max_dist: float | None = None,
+              out_fmt: str = "pgm") -> DataFrame:
+    """Distributed proximity map: distance raster (rounded to uint8, capped
+    255) per image + checksum — one Arrow pass, each row its own raster."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
+                d = np_proximity(img, targets=targets, max_dist=max_dist, nodata=255.0)
+                q = np.clip(np.round(d), 0, 255).astype(np.uint8)
+                rows.append((iid, codecs.encode(q, out_fmt), out_fmt,
+                             q.shape[1], q.shape[0],
+                             codecs.gdal_style_checksum(q)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "w", "h", "checksum"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )
+
+
+def fillnodata(images: DataFrame, nodata: int = 0, max_search: int = 16,
+               smoothing: int = 0, out_fmt: str = "pgm") -> DataFrame:
+    """Distributed fillnodata: filled raster (uint8) + checksum per image."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
+                f = np_fillnodata(img, nodata=nodata, max_search=max_search,
+                                  smoothing=smoothing)
+                q = np.clip(np.round(f), 0, 255).astype(np.uint8)
+                rows.append((iid, codecs.encode(q, out_fmt), out_fmt,
+                             q.shape[1], q.shape[0],
+                             codecs.gdal_style_checksum(q)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "w", "h", "checksum"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )

@@ -225,3 +225,63 @@ def test_to_xyz(spark):
     assert len(rows) == 12
     for r in rows:
         assert r["value"] == img[r["py"], r["px"]]
+
+
+def test_proximity_matches_bruteforce_oracle():
+    import numpy as np
+    from gdal_scripts_spark import raster
+
+    rng = np.random.default_rng(9)
+    img = (rng.random((24, 31)) < 0.06).astype(np.uint8)  # sparse targets=1
+    got = raster.np_proximity(img, targets=(1,))
+    ty, tx = np.nonzero(img == 1)
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            want = np.sqrt(((ty - y) ** 2 + (tx - x) ** 2).min())
+            assert abs(got[y, x] - want) < 1e-9, (y, x)
+    # max_dist cap -> nodata
+    capped = raster.np_proximity(img, targets=(1,), max_dist=2.0, nodata=-1.0)
+    assert ((capped == -1.0) == (got > 2.0)).all()
+    # no targets anywhere -> all nodata
+    empty = raster.np_proximity(np.zeros((4, 4), np.uint8), targets=(7,))
+    assert (empty == -1.0).all()
+
+
+def test_fillnodata_matches_sequential_oracle():
+    import numpy as np
+    from gdal_scripts_spark import raster
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(1, 200, (16, 17)).astype(np.uint8)
+    holes = rng.random(img.shape) < 0.3
+    img[holes] = 0
+    got = raster.np_fillnodata(img, nodata=0, max_search=5)
+
+    # sequential reference: 4 axis-nearest valid neighbors, IDW 1/d
+    h, w = img.shape
+    for y in range(h):
+        for x in range(w):
+            if img[y, x] != 0:
+                assert got[y, x] == img[y, x]
+                continue
+            ws = vs = 0.0
+            for dy, dx in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+                for d in range(1, 6):
+                    yy, xx = y + dy * d, x + dx * d
+                    if 0 <= yy < h and 0 <= xx < w and img[yy, xx] != 0:
+                        ws += 1.0 / d
+                        vs += img[yy, xx] / d
+                        break
+            want = vs / ws if ws > 0 else 0.0
+            assert abs(got[y, x] - want) < 1e-9, (y, x, got[y, x], want)
+
+
+def test_fillnodata_smoothing_touches_only_filled():
+    import numpy as np
+    from gdal_scripts_spark import raster
+
+    img = np.full((8, 8), 100, np.uint8)
+    img[3:5, 3:5] = 0
+    out = raster.np_fillnodata(img, nodata=0, max_search=4, smoothing=2)
+    assert (out[img != 0] == 100).all()          # valid pixels untouched
+    assert (out[3:5, 3:5] == 100).all()          # hole filled from uniform
