@@ -102,8 +102,10 @@ def contour_metrics(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = codecs.decode(bytes(byts), fmt)
                 z = (img[:, :, 0] if img.ndim == 3 else img).astype(np.float64)
                 for level in np_contour_levels(z.min(), z.max(), interval, base):
                     s = np_contour_segments(z, level)
@@ -112,7 +114,7 @@ def contour_metrics(
                     length = float(
                         np.hypot(s[:, 2] - s[:, 0], s[:, 3] - s[:, 1]).sum()
                     )
-                    rows.append((r["image_id"], float(level), len(s), round(length, 4)))
+                    rows.append((iid, float(level), len(s), round(length, 4)))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["image_id", "level", "n_segments", "length_px"]

@@ -127,11 +127,13 @@ def gdaldem(images: DataFrame, mode: str = "hillshade", out_fmt: str = "pgm",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = codecs.decode(bytes(byts), fmt)
                 z = img[:, :, 0] if img.ndim == 3 else img
                 out = fn(z, kwargs)
-                rows.append((r["image_id"], codecs.encode(out, out_fmt), out_fmt,
+                rows.append((iid, codecs.encode(out, out_fmt), out_fmt,
                              out.shape[1], out.shape[0],
                              codecs.gdal_style_checksum(out)))
             if rows:

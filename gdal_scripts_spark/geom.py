@@ -120,16 +120,27 @@ def pip_even_odd_edges(px, py, edges: tuple[np.ndarray, ...]) -> np.ndarray:
     x1, y1, x2, y2 = edges
     e = len(x1)
     inside = np.zeros(px.shape, dtype=bool)
-    # chunk points so the E x P temporaries stay ~ a few MB
-    chunk = max(int(4_000_000 / max(e, 1)), 1024)
+    # chunk points so the E x P temporaries stay <= ~5 MB: the kernel is
+    # memory-bandwidth-bound at high core counts (measured: cores busy but
+    # per-row cost rises 8 -> 32 on one bus), so temps must fit cache-ish
+    # and every avoidable E x P array is fused/reused in place
+    chunk = max(int(600_000 / max(e, 1)), 256)
     dy = y2 - y1
     dy_safe = np.where(dy == 0, 1.0, dy)
     slope = (x2 - x1) / dy_safe
+    yl = y1[:, None]
+    y2c = y2[:, None]
+    sl = slope[:, None]
+    x1c = x1[:, None]
     for s in range(0, len(px), chunk):
         p = slice(s, s + chunk)
-        cond = (y1[:, None] > py[None, p]) != (y2[:, None] > py[None, p])
-        xint = slope[:, None] * (py[None, p] - y1[:, None]) + x1[:, None]
-        hits = cond & (px[None, p] < xint)
+        pyp = py[None, p]
+        # xint in one temp, reused in place
+        xint = pyp - yl
+        xint *= sl
+        xint += x1c
+        hits = np.less(px[None, p], xint)           # E x P bool
+        hits &= (yl > pyp) != (y2c > pyp)           # crossing condition
         inside[p] = (hits.sum(axis=0) & 1).astype(bool)
     return inside
 

@@ -59,19 +59,22 @@ def extract_features(images: DataFrame, deterministic_fake: bool = False) -> Dat
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
+            for iid, byts, fmt, w_, h_ in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["w"].values, b["h"].values,
+            ):
                 try:
-                    img = decode_any(bytes(r["bytes"]), r["fmt"], int(r["w"]),
-                                     int(r["h"]), deterministic_fake)
+                    img = decode_any(bytes(byts), fmt, int(w_), int(h_),
+                                     deterministic_fake)
                     means = img.astype(np.float64).mean(axis=(0, 1))
                     m = [float(means[i]) if i < img.shape[2] else float("nan")
                          for i in range(3)]
-                    rows.append((r["image_id"], True, img.shape[0], img.shape[1],
+                    rows.append((iid, True, img.shape[0], img.shape[1],
                                  img.shape[2], m[0], m[1], m[2],
                                  float(img.astype(np.float64).std()),
                                  codecs.ahash64(img)))
                 except Exception:
-                    rows.append((r["image_id"], False, None, None, None,
+                    rows.append((iid, False, None, None, None,
                                  None, None, None, None, None))
             if rows:
                 yield pd.DataFrame(
@@ -89,14 +92,17 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = decode_any(bytes(r["bytes"]), r["fmt"], int(r["w"]),
-                                 int(r["h"]), deterministic_fake)
+            for iid, byts, fmt, w_, h_ in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["w"].values, b["h"].values,
+            ):
+                img = decode_any(bytes(byts), fmt, int(w_), int(h_),
+                                 deterministic_fake)
                 ys = (np.arange(out_h) * img.shape[0] // out_h)
                 xs = (np.arange(out_w) * img.shape[1] // out_w)
                 thumb = img[np.ix_(ys, xs)]
                 sq = thumb[:, :, 0] if thumb.shape[2] == 1 else thumb
-                rows.append((r["image_id"], codecs.encode_png(sq), "png",
+                rows.append((iid, codecs.encode_png(sq), "png",
                              out_w, out_h))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])

@@ -31,8 +31,8 @@ def rgb_histogram(images: DataFrame, bits: int = 5) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for _, r in b.iterrows():
-                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for byts, fmt in zip(b["bytes"].values, b["fmt"].values):
+                img = codecs.decode(bytes(byts), fmt)
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 q = (img >> shift).astype(np.int64)
@@ -103,15 +103,17 @@ def rgb2pct(images: DataFrame, n_colors: int = 256, bits: int = 5) -> tuple[Data
         pal = bc.value.astype(np.int32)
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = codecs.decode(bytes(byts), fmt)
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 flat = img.reshape(-1, 3).astype(np.int32)
                 d = ((flat[:, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
                 idx = d.argmin(axis=1).astype(np.uint8)
                 out = idx.reshape(img.shape[:2])
-                rows.append((r["image_id"], codecs.encode(out, "pgm"), "pgm",
+                rows.append((iid, codecs.encode(out, "pgm"), "pgm",
                              out.shape[1], out.shape[0]))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])
@@ -131,10 +133,12 @@ def pct2rgb(indexed: DataFrame, palette: np.ndarray) -> DataFrame:
         pal = bc.value
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                idx = codecs.decode(bytes(r["bytes"]), r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                idx = codecs.decode(bytes(byts), fmt)
                 rgb = pal[idx]
-                rows.append((r["image_id"], codecs.encode(rgb, "ppm"), "ppm",
+                rows.append((iid, codecs.encode(rgb, "ppm"), "ppm",
                              rgb.shape[1], rgb.shape[0]))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])

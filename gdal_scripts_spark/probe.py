@@ -223,10 +223,10 @@ def clip_polygons_rect(
     def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
+            for id_v, rings_v in zip(b[id_col].values, b["rings"].values):
                 area = 0.0
                 n_out = 0
-                for k, ring in enumerate(r["rings"]):
+                for k, ring in enumerate(rings_v):
                     pts = np.array([(p["x"], p["y"]) for p in ring])
                     c = _geom.clip_ring_rect(pts, xmin, ymin, xmax, ymax)
                     if len(c) >= 3:
@@ -234,7 +234,7 @@ def clip_polygons_rect(
                         area += a if k == 0 else -a
                         n_out += 1
                 if n_out:
-                    rows.append((r[id_col], area, n_out))
+                    rows.append((id_v, area, n_out))
             if rows:
                 yield pd.DataFrame(rows, columns=[id_col, "clipped_area", "n_rings_out"])
 

@@ -69,12 +69,14 @@ def per_image_stats(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"]).astype(np.float64)
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt).astype(np.float64)
                 for band in range(img.shape[2]):
                     a = img[:, :, band]
                     rows.append(
-                        (r["image_id"], band, a.size, float(a.min()),
+                        (iid, band, a.size, float(a.min()),
                          float(a.max()), float(a.sum()), float((a * a).sum()))
                     )
             if rows:
@@ -116,10 +118,12 @@ def histogram(images: DataFrame, band: int = 0) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
                 counts = np.bincount(img[:, :, band].ravel(), minlength=256)
-                rows.append((r["image_id"], counts.astype(np.int64).tolist()))
+                rows.append((iid, counts.astype(np.int64).tolist()))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "hist"])
 
@@ -138,8 +142,10 @@ def checksums(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = [
-                (r["image_id"], codecs.gdal_style_checksum(_decode_row(r["bytes"], r["fmt"])))
-                for _, r in b.iterrows()
+                (iid, codecs.gdal_style_checksum(_decode_row(byts, fmt)))
+                for iid, byts, fmt in zip(
+                    b["image_id"].values, b["bytes"].values, b["fmt"].values
+                )
             ]
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "checksum"])
@@ -162,8 +168,10 @@ def retile(images: DataFrame, tile_w: int = 10, tile_h: int = 10,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
                 h, w, c = img.shape
                 for ty in range((h + tile_h - 1) // tile_h):
                     for tx in range((w + tile_w - 1) // tile_w):
@@ -174,7 +182,7 @@ def retile(images: DataFrame, tile_w: int = 10, tile_h: int = 10,
                             padded[: window.shape[0], : window.shape[1]] = window
                             window = padded
                         rows.append(
-                            (r["image_id"], tx, ty, tile_w, tile_h, c,
+                            (iid, tx, ty, tile_w, tile_h, c,
                              np.ascontiguousarray(window).tobytes())
                         )
             if rows:
@@ -326,9 +334,12 @@ def cut_base_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
         c = int(pdf["c"].iloc[0])
         canvas = np.zeros((TILE, TILE, c), dtype=np.uint8)
         pdf = pdf.sort_values("image_id")  # deterministic input order
-        for _, r in pdf.iterrows():
-            a = np.frombuffer(r["frag"], np.uint8).reshape(r["fh"], r["fw"], r["c"])
-            canvas[r["py0"] : r["py0"] + r["fh"], r["px0"] : r["px0"] + r["fw"]] = a
+        for frag, fh, fw, fc, py0, px0 in zip(
+            pdf["frag"].values, pdf["fh"].values, pdf["fw"].values,
+            pdf["c"].values, pdf["py0"].values, pdf["px0"].values,
+        ):
+            a = np.frombuffer(frag, np.uint8).reshape(fh, fw, fc)
+            canvas[py0 : py0 + fh, px0 : px0 + fw] = a
         img = canvas[:, :, 0] if c == 1 else canvas
         png = codecs.encode_png(img)
         return pd.DataFrame(
@@ -407,12 +418,14 @@ def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
         first = codecs.decode_png(bytes(pdf["tile_bytes"].iloc[0]))
         c = 1 if first.ndim == 2 else first.shape[2]
         canvas = np.zeros((2 * TILE, 2 * TILE, c), dtype=np.uint8)
-        for _, r in pdf.iterrows():
-            img = codecs.decode_png(bytes(r["tile_bytes"]))
+        for tile_bytes, r_tx, r_ty in zip(
+            pdf["tile_bytes"].values, pdf["tx"].values, pdf["ty"].values
+        ):
+            img = codecs.decode_png(bytes(tile_bytes))
             if img.ndim == 2:
                 img = img[:, :, None]
-            dx = int(r["tx"]) - 2 * ptx          # 0 or 1
-            dy = int(r["ty"]) - 2 * pty          # 0 (bottom) or 1 (top)
+            dx = int(r_tx) - 2 * ptx             # 0 or 1
+            dy = int(r_ty) - 2 * pty             # 0 (bottom) or 1 (top)
             row0 = (1 - dy) * TILE               # ty parity 1 -> top half
             canvas[row0 : row0 + TILE, dx * TILE : (dx + 1) * TILE] = img
         # 2x2 average downsample
@@ -470,12 +483,14 @@ def band_calc(images: DataFrame, calc: str, out_fmt: str = "pgm") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"]).astype(np.float64)
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt).astype(np.float64)
                 ns = {chr(ord("A") + i): img[:, :, i] for i in range(img.shape[2])}
                 val = eval(code, _CALC_GLOBALS, ns)  # noqa: S307 — sandboxed ns
                 out = np.clip(np.rint(np.asarray(val, np.float64)), 0, 255).astype(np.uint8)
-                rows.append((r["image_id"], codecs.encode(out, out_fmt), out_fmt,
+                rows.append((iid, codecs.encode(out, out_fmt), out_fmt,
                              out.shape[1], out.shape[0]))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])
@@ -490,12 +505,14 @@ def translate(images: DataFrame, dst_fmt: str, bands: list[int] | None = None) -
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
                 if bands is not None:
                     img = img[:, :, bands]
                 sq = img[:, :, 0] if img.shape[2] == 1 else img
-                rows.append((r["image_id"], codecs.encode(sq, dst_fmt), dst_fmt,
+                rows.append((iid, codecs.encode(sq, dst_fmt), dst_fmt,
                              img.shape[1], img.shape[0]))
             if rows:
                 yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "w", "h"])
@@ -583,13 +600,15 @@ def to_xyz(images: DataFrame, band: int = 0, sample_stride: int = 1) -> DataFram
     image — guard with stride at scale."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for _, r in b.iterrows():
-                img = _decode_row(r["bytes"], r["fmt"])[::sample_stride, ::sample_stride, band]
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)[::sample_stride, ::sample_stride, band]
                 h, w = img.shape
                 ys, xs = np.mgrid[0:h, 0:w]
                 yield pd.DataFrame(
                     {
-                        "image_id": r["image_id"],
+                        "image_id": iid,
                         "px": (xs.ravel() * sample_stride).astype(np.int32),
                         "py": (ys.ravel() * sample_stride).astype(np.int32),
                         "value": img.ravel().astype(np.int32),

@@ -62,18 +62,18 @@ def rasterize_counts(
         n = 1 << z
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                _, tx, ty_xyz = (int(v) for v in cells.np_cell_to_tile(int(r["cell"])))
+            for cell_v, poly_v in zip(b["cell"].values, b["poly_id"].values):
+                _, tx, ty_xyz = (int(v) for v in cells.np_cell_to_tile(int(cell_v)))
                 ty = n - 1 - ty_xyz
                 lon, lat = _tile_pixel_lonlat(tx, ty, z)
-                rings = pk.rings_of(pos[int(r["poly_id"])])
+                rings = pk.rings_of(pos[int(poly_v)])
                 # vectorized even-odd over the grid: evaluate per row j
                 glon = np.repeat(lon[None, :], TILE, axis=0).ravel()
                 glat = np.repeat(lat[:, None], TILE, axis=1).ravel()
                 hit = geom.pip_even_odd(glon, glat, rings)
                 burned = int(hit.sum())
                 if burned:
-                    rows.append((int(r["poly_id"]), z, tx, ty, ty_xyz, burned))
+                    rows.append((int(poly_v), z, tx, ty, ty_xyz, burned))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["poly_id", "z", "tx", "ty", "y_xyz", "burned"]
@@ -110,11 +110,11 @@ def rasterize_tiles(
         n = 1 << z
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
-                _, tx, ty_xyz = (int(v) for v in cells.np_cell_to_tile(int(r["cell"])))
+            for cell_v, poly_v in zip(b["cell"].values, b["poly_id"].values):
+                _, tx, ty_xyz = (int(v) for v in cells.np_cell_to_tile(int(cell_v)))
                 ty = n - 1 - ty_xyz
                 lon, lat = _tile_pixel_lonlat(tx, ty, z)
-                pid = int(r["poly_id"])
+                pid = int(poly_v)
                 rings = pk.rings_of(pos[pid])
                 glon = np.repeat(lon[None, :], TILE, axis=0).ravel()
                 glat = np.repeat(lat[:, None], TILE, axis=1).ravel()
@@ -133,10 +133,11 @@ def rasterize_tiles(
     def overlay(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         canvas = np.zeros((TILE, TILE), dtype=np.int32)
-        for _, r in pdf.sort_values("poly_id").iterrows():
-            m = np.unpackbits(np.frombuffer(r["mask"], np.uint8))[: TILE * TILE]
+        srt = pdf.sort_values("poly_id")
+        for mask_v, poly_v in zip(srt["mask"].values, srt["poly_id"].values):
+            m = np.unpackbits(np.frombuffer(mask_v, np.uint8))[: TILE * TILE]
             m = m.reshape(TILE, TILE).astype(bool)
-            v = int(burn_map.get(int(r["poly_id"]), r["poly_id"]))
+            v = int(burn_map.get(int(poly_v), poly_v))
             if merge_alg == "add":
                 canvas[m] += v
             else:
