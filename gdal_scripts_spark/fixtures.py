@@ -346,3 +346,38 @@ def make_labels_pdf(n: int = 8, seed: int = SEED + 3) -> pd.DataFrame:
 
 def labels_spark(spark, n: int = 8, seed: int = SEED + 3):
     return spark.createDataFrame(make_labels_pdf(n, seed), schema=IMAGES_SCHEMA)
+
+
+def make_audio_pdf(n: int = 16, seed: int = SEED + 4) -> pd.DataFrame:
+    """Deterministic WAV clips: sine mixtures + noise at varied rates/
+    channels — exercises the real RIFF/PCM decode path (no external data)."""
+    from . import multimodal
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rate = int(rng.choice([8000, 16000, 22050]))
+        dur = float(rng.uniform(0.05, 0.25))
+        t = np.arange(int(rate * dur)) / rate
+        f0 = float(rng.uniform(100, 2000))
+        sig = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(len(t))
+        ch = int(rng.choice([1, 2]))
+        if ch == 2:
+            sig = np.stack([sig, 0.5 * sig], axis=1)
+        rows.append({
+            "audio_id": f"a{i:04d}",
+            "bytes": multimodal.encode_wav(np.clip(sig, -1, 1), rate),
+            "fmt": "wav",
+            "sample_rate": rate,
+            "caption": f"tone {f0:.0f} Hz",
+        })
+    return pd.DataFrame(rows)
+
+
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, fmt string, sample_rate int, caption string"
+)
+
+
+def audio_spark(spark, n: int = 16, seed: int = SEED + 4):
+    return spark.createDataFrame(make_audio_pdf(n, seed), schema=AUDIO_SCHEMA)

@@ -125,3 +125,122 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 10) -> DataFrame:
     return videos.mapInPandas(
         run, schema="video_id string, frame_idx int, frame_bytes binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV/PCM — a REAL non-image modality (RIFF is a public spec and
+# needs only struct+numpy; no external codec). 8/16/24/32-bit int PCM and
+# 32-bit float, any channel count.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float samples in [-1, 1], shape (n,) or (n, channels) -> 16-bit PCM
+    WAV bytes (fixture/sink helper)."""
+    import struct
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.rint(a * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    ch = a.shape[1]
+    byte_rate = sample_rate * ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                 byte_rate, ch * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples (n, channels) in [-1, 1], sample_rate).
+
+    Walks RIFF chunks (fmt/data may be preceded by LIST etc.); supports PCM
+    (code 1: 8u/16/24/32-bit) and IEEE float (code 3: f32/f64)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (sz,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt_chunk
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            a = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            a = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            v = (raw[:, 0].astype(np.int32)
+                 | (raw[:, 1].astype(np.int32) << 8)
+                 | (raw[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            a = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            a = np.frombuffer(data, "<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        a = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_fmt}")
+    n = (len(a) // ch) * ch
+    return a[:n].reshape(-1, ch), rate
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "audio_id string, ok boolean, sample_rate int, n_samples long, "
+    "channels int, duration_s double, rms double, peak double, "
+    "zero_cross_rate double, spectral_centroid_hz double"
+)
+
+
+def extract_audio_features(audio: DataFrame, id_col: str = "audio_id",
+                           bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip audio features in one Arrow pass — duration, RMS, peak,
+    zero-crossing rate, FFT spectral centroid (mono mixdown). Undecodable
+    rows quarantine with ok=false, like extract_features."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, buf in zip(b[id_col].values, b[bytes_col].values):
+                try:
+                    s, rate = decode_wav(bytes(buf))
+                    mono = s.mean(axis=1)
+                    n = len(mono)
+                    rms = float(np.sqrt(np.mean(mono * mono))) if n else 0.0
+                    peak = float(np.abs(mono).max()) if n else 0.0
+                    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+                    if n > 1:
+                        spec = np.abs(np.fft.rfft(mono))
+                        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                        tot = spec.sum()
+                        cent = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+                    else:
+                        cent = 0.0
+                    rows.append((aid, True, rate, n, s.shape[1],
+                                 round(n / rate, 6), round(rms, 6),
+                                 round(peak, 6), round(zc, 6), round(cent, 3)))
+                except Exception:
+                    rows.append((aid, False, None, None, None,
+                                 None, None, None, None, None))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["audio_id", "ok", "sample_rate", "n_samples",
+                             "channels", "duration_s", "rms", "peak",
+                             "zero_cross_rate", "spectral_centroid_hz"])
+
+    return audio.select(id_col, bytes_col).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )

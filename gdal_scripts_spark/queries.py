@@ -717,6 +717,52 @@ def _q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("fillnodata_fill", _q_fillnodata, None)
 
+def _q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import contour as _contour
+
+    labels = fixtures.labels_spark(spark, n=8)
+    return _contour.contour_polylines(labels, interval=2.0, base=0.5).select(
+        "image_id", "level", "line_id", "n_pts",
+        F.round("length_px", 4).alias("length_px"),
+    )
+
+_add("contour_polylines", _q_contour_polylines, None)
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = fixtures.audio_spark(spark, n=16)
+    return multimodal.extract_audio_features(audio).select(
+        "audio_id", "ok", "sample_rate", "n_samples", "channels",
+        "duration_s", "rms", "zero_cross_rate",
+    )
+
+_add("audio_features", _q_audio_features, None)
+
+def _q_vector_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ogr2ogr field map: rename + cast + derived expr + typed NULL target
+    from . import etl
+
+    register_views(spark, sf_dir)
+    return etl.translate_layer(
+        spark.table("customer"),
+        fields=[
+            ("cust_id", "c_custkey", "bigint"),
+            ("name_upper", "upper(c_name)", None),
+            ("segment", "c_mktsegment", "string"),
+            ("balance_cents", "CAST(round(c_acctbal * 1.0e2) AS BIGINT)", None),
+            ("legacy_code", None, "int"),
+        ],
+        where="c_nationkey < 10",
+    )
+
+_add("vector_translate_map", _q_vector_translate, """
+SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+       upper(c_name) AS name_upper,
+       CAST(c_mktsegment AS VARCHAR) AS segment,
+       CAST(round(c_acctbal * 1.0e2) AS BIGINT) AS balance_cents,
+       CAST(NULL AS INT) AS legacy_code
+FROM customer WHERE c_nationkey < 10
+""")
+
 
 # ===========================================================================
 # P5 GEOS predicates + U2 layer algebra over deterministic integer-rect

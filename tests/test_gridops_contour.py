@@ -135,3 +135,54 @@ def test_clip_polygons_rect_matches_numpy(spark):
         if n_out:
             exp[rec["poly_id"]] = (round(area, 6), n_out)
     assert got == exp
+
+
+def test_contour_stitching_circle_ring():
+    # radial bump: iso-line at mid level is one closed ring
+    import numpy as np
+    from gdal_scripts_spark import contour
+
+    y, x = np.mgrid[0:21, 0:21]
+    z = 100.0 - ((y - 10.0) ** 2 + (x - 10.0) ** 2)
+    # 49.5: no lattice point satisfies d^2 == 50.5, so no exact-corner
+    # crossings -> no degenerate zero-length segments in the soup
+    segs = contour.np_contour_segments(z, 49.5)
+    lines = contour.np_stitch_segments(segs)
+    assert len(lines) == 1
+    ring = lines[0]
+    assert np.array_equal(ring[0], ring[-1])          # closed
+    # every original segment endpoint appears exactly once in the walk
+    assert len(ring) == len(segs) + 1
+    # total length preserved by stitching
+    seg_len = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1]).sum()
+    ring_len = np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1])).sum()
+    assert abs(seg_len - ring_len) < 1e-9
+
+
+def test_contour_stitching_open_line():
+    import numpy as np
+    from gdal_scripts_spark import contour
+
+    # monotonic ramp: iso-line is one open polyline border-to-border
+    z = np.tile(np.arange(10.0), (6, 1))
+    segs = contour.np_contour_segments(z, 4.5)
+    lines = contour.np_stitch_segments(segs)
+    assert len(lines) == 1
+    line = lines[0]
+    assert not np.array_equal(line[0], line[-1])      # open
+    assert len(line) == len(segs) + 1
+    # deterministic: re-stitching gives the identical walk
+    again = contour.np_stitch_segments(segs)
+    assert np.array_equal(line, again[0])
+
+
+def test_contour_polylines_spark(spark):
+    from gdal_scripts_spark import contour, fixtures
+
+    labels = fixtures.labels_spark(spark, n=4)
+    rows = contour.contour_polylines(labels, interval=2.0, base=0.5).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["wkt"].startswith("LINESTRING (")
+        assert r["n_pts"] >= 2
+        assert r["length_px"] > 0

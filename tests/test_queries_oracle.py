@@ -71,3 +71,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["poly_id", "n_images"]
+
+
+def test_translate_layer_schema_map(spark):
+    from gdal_scripts_spark import etl
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, "ann", 3.5), (2, "bob", -1.25)], "id int, name string, bal double"
+    )
+    out = etl.translate_layer(
+        src,
+        fields=[
+            ("uid", "id", "bigint"),
+            ("label", "upper(name)", None),
+            ("cents", "CAST(round(bal * 100) AS BIGINT)", None),
+            ("missing", None, "string"),
+        ],
+        where="id >= 1",
+    )
+    assert out.columns == ["uid", "label", "cents", "missing"]
+    assert dict(out.dtypes)["uid"] == "bigint"
+    assert dict(out.dtypes)["missing"] == "string"
+    rows = {r["uid"]: r for r in out.collect()}
+    assert rows[1]["label"] == "ANN" and rows[1]["cents"] == 350
+    assert rows[2]["cents"] == -125 and rows[2]["missing"] is None

@@ -162,3 +162,64 @@ def test_lsh_plan_has_no_vector_shuffle(spark):
     # stronger check: Aggregate (distinct) output schema carries only 2 ids
     m = re.search(r"Aggregate \[qid#\d+L?, neighbor_id#\d+L?\], \[qid#\d+L?, neighbor_id#\d+L?\]", plan)
     assert m is not None, plan[:2000]
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+    from gdal_scripts_spark import multimodal
+
+    rng = np.random.default_rng(8)
+    sig = np.clip(rng.standard_normal(2000) * 0.3, -1, 1)
+    buf = multimodal.encode_wav(sig, 16000)
+    out, rate = multimodal.decode_wav(buf)
+    assert rate == 16000
+    assert out.shape == (2000, 1)
+    # encode scales by 32767, decode divides by 32768 (both standard):
+    # error <= 0.5/32767 rounding + |a|/32768 scale skew
+    assert np.abs(out[:, 0] - sig).max() < 0.5 / 32767 + np.abs(sig).max() / 32768 + 1e-9
+    # stereo
+    st = np.stack([sig, -sig], axis=1)
+    out2, _ = multimodal.decode_wav(multimodal.encode_wav(st, 8000))
+    assert out2.shape == (2000, 2)
+    # extra chunk before data (LIST) must be skipped
+    import struct
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    hdr_end = 12
+    patched = buf[:hdr_end] + extra + buf[hdr_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    out3, _ = multimodal.decode_wav(patched)
+    assert np.array_equal(out3, out)
+    # 24-bit PCM path: hand-build a fmt/data pair
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1], dtype=np.int64)
+    raw = bytearray()
+    for v in vals:
+        u = int(v) & 0xFFFFFF
+        raw += bytes([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF])
+    body = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * 3, 3, 24)
+            + b"data" + struct.pack("<I", len(raw)) + bytes(raw))
+    wav24 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    s24, r24 = multimodal.decode_wav(wav24)
+    assert r24 == 8000
+    want = vals.astype(np.float64) / float(1 << 23)
+    assert np.abs(s24[:, 0] - want).max() < 1e-12
+
+
+def test_audio_features_spark(spark):
+    from gdal_scripts_spark import fixtures, multimodal
+
+    audio = fixtures.audio_spark(spark, n=8)
+    rows = {r["audio_id"]: r for r in
+            multimodal.extract_audio_features(audio).collect()}
+    assert len(rows) == 8 and all(r["ok"] for r in rows.values())
+    pdf = fixtures.make_audio_pdf(n=8)
+    for _, src in pdf.iterrows():
+        r = rows[src["audio_id"]]
+        assert r["sample_rate"] == src["sample_rate"]
+        assert 0 < r["rms"] < 1
+        # spectral centroid in a plausible band for a sine+noise mixture
+        assert 0 < r["spectral_centroid_hz"] < src["sample_rate"] / 2
+    # quarantine: garbage bytes -> ok=false
+    bad = spark.createDataFrame(
+        [("bad", b"not a wav")], "audio_id string, bytes binary")
+    q = multimodal.extract_audio_features(bad).collect()[0]
+    assert q["ok"] is False
