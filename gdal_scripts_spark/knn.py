@@ -86,16 +86,17 @@ def _rect_bound_m(lon, lat, qtx, qty, r: int, z: int):
 
 def auto_zoom(n_points: int, k: int) -> int:
     """Pick the grid zoom so an AVERAGE tile holds well under one point
-    (4^z ≈ 16·n). Erring fine is the right call under Zipf skew: empty-tile
+    (4^z ≈ 64·n). Erring fine is the right call under Zipf skew: empty-tile
     probes are near-free hash lookups, while one coarse hot tile turns
     round 0 into |Q_hot|·|hot tile| candidate rows (measured 47M rows at
-    z=8 on the 400k-point skewed fixture vs ~1M at z=12). Dense-region
-    queries finish in round 0 with a tight rect bound; sparse queries walk
-    the ring schedule and land in the vectorized brute fallback, which is
-    exact regardless of z."""
+    z=8 on the 400k-point skewed fixture vs ~1M at z=12; interleaved A/B on
+    the same fixture: z=13 beats z=12 by ~3x wall because the hot-city tile
+    population drops 4x again). Dense-region queries finish in round 0 with
+    a tight rect bound; sparse queries walk the ring schedule and land in
+    the vectorized brute fallback, which is exact regardless of z."""
     import math as _m
 
-    return max(4, min(14, int(_m.log(max(n_points, 2), 4)) + 3))
+    return max(4, min(14, int(_m.log(max(n_points, 2), 4)) + 4))
 
 
 def _topk_salted(
