@@ -678,6 +678,17 @@ def _q_gdaldem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("gdaldem_hillshade", _q_gdaldem, None)
 
+def _q_gdaldem_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dem as _dem
+
+    labels = fixtures.labels_spark(spark, n=6)
+    tiles = raster.retile(labels, tile_w=8, tile_h=8, pad=False)
+    return _dem.gdaldem_tiled(tiles, "hillshade").select(
+        "image_id", "tile_col", "tile_row", "tw", "th", "checksum"
+    )
+
+_add("gdaldem_tiled_halo", _q_gdaldem_tiled, None)
+
 def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import palette as _palette
 

@@ -160,8 +160,11 @@ def checksums(images: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def retile(images: DataFrame, tile_w: int = 10, tile_h: int = 10,
-           pad_value: int = 0) -> DataFrame:
-    """One row per (image, tile window); edge tiles padded to full size.
+           pad_value: int = 0, pad: bool = True) -> DataFrame:
+    """One row per (image, tile window); edge tiles padded to full size when
+    ``pad=True`` (gdal_retile default), else kept at their real dims (tw/th
+    reflect actual content — required by halo-exact consumers like
+    ``dem.gdaldem_tiled``).
 
     Output: image_id, tile_col, tile_row, tw, th, n_bands, tile_bytes (raw
     uint8 HxWxC) — the tile-index table (S9) is this DataFrame itself."""
@@ -177,12 +180,12 @@ def retile(images: DataFrame, tile_w: int = 10, tile_h: int = 10,
                     for tx in range((w + tile_w - 1) // tile_w):
                         window = img[ty * tile_h : (ty + 1) * tile_h,
                                      tx * tile_w : (tx + 1) * tile_w]
-                        if window.shape[:2] != (tile_h, tile_w):
+                        if pad and window.shape[:2] != (tile_h, tile_w):
                             padded = np.full((tile_h, tile_w, c), pad_value, np.uint8)
                             padded[: window.shape[0], : window.shape[1]] = window
                             window = padded
                         rows.append(
-                            (iid, tx, ty, tile_w, tile_h, c,
+                            (iid, tx, ty, window.shape[1], window.shape[0], c,
                              np.ascontiguousarray(window).tobytes())
                         )
             if rows:

@@ -98,3 +98,28 @@ def test_median_cut_exact_when_few_colors():
     expected = {(10 * 8 + 4, 5 * 8 + 4, 1 * 8 + 4), (2 * 8 + 4, 20 * 8 + 4, 7 * 8 + 4),
                 (31 * 8 + 4, 0 * 8 + 4, 31 * 8 + 4)}
     assert {tuple(int(v) for v in c) for c in pal} == expected
+
+
+def test_gdaldem_tiled_halo_exact(spark):
+    """Tiled focal op with halo exchange == whole-image op, every mode,
+    including tile seams and ragged mosaic borders."""
+    import numpy as np
+    import pandas as pd
+    from gdal_scripts_spark import codecs, dem, fixtures, raster
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 255, (25, 33)).astype(np.uint8)
+    pdf = pd.DataFrame([{"image_id": "d", "bytes": codecs.encode(img, "pgm"),
+                         "w": 33, "h": 25, "fmt": "pgm", "caption": "x",
+                         "phash": 0, "lon": 0.0, "lat": 0.0}])
+    df = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    tiles = raster.retile(df, tile_w=10, tile_h=10, pad=False)
+    for mode in ["hillshade", "slope", "aspect", "tri", "tpi", "roughness"]:
+        rows = dem.gdaldem_tiled(tiles, mode).collect()
+        got = np.zeros_like(img)
+        for r in rows:
+            a = np.frombuffer(bytes(r["tile_bytes"]), np.uint8).reshape(
+                r["th"], r["tw"])
+            got[r["tile_row"] * 10 : r["tile_row"] * 10 + r["th"],
+                r["tile_col"] * 10 : r["tile_col"] * 10 + r["tw"]] = a
+        assert np.array_equal(got, dem._MODES[mode](img, {})), mode
