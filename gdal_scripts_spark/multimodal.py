@@ -112,17 +112,39 @@ def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16,
     )
 
 
-def frame_sample_stub(videos: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — plumbing-only stub (no video codec in
-    container): schema + partition shape are the real design; the decode
-    raises. (video_id, frame_idx, frame_bytes)."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame decode requires an external codec library"
-        )
-        yield  # pragma: no cover
+def frame_sample_stub(videos: DataFrame, every_n: int = 10,
+                      deterministic_fake: bool = False) -> DataFrame:
+    """Video frame sampling — same gated-codec pattern as images/audio: the
+    Spark plumbing (schema, explode shape, partitioning) is real and tested
+    via ``deterministic_fake=True``; the actual container decode raises
+    NotImplementedError (no video codec in this container).
 
-    return videos.mapInPandas(
+    Input: (video_id, bytes, n_frames, w, h); output one row per sampled
+    frame (video_id, frame_idx, frame_bytes PNG-gray)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, buf, nf, w_, h_ in zip(
+                b["video_id"].values, b["bytes"].values,
+                b["n_frames"].values, b["w"].values, b["h"].values,
+            ):
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "video frame decode requires an external codec library; "
+                        "pass deterministic_fake=True to exercise the plumbing"
+                    )
+                for fi in range(0, int(nf), every_n):
+                    # frame-dependent fake: container bytes rolled by index
+                    frame = np.roll(
+                        np.resize(np.frombuffer(buf, np.uint8),
+                                  int(w_) * int(h_)), fi
+                    ).reshape(int(h_), int(w_))
+                    rows.append((vid, fi, codecs.encode_png(frame)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["video_id", "frame_idx", "frame_bytes"])
+
+    return videos.select("video_id", "bytes", "n_frames", "w", "h").mapInPandas(
         run, schema="video_id string, frame_idx int, frame_bytes binary"
     )
 

@@ -558,6 +558,13 @@ def _q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("cosine_topk_lsh", _q_cosine_lsh, None)  # approximate; rows-only
 
+def _q_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.cosine_topk_ivf(emb.filter("vec_id < 10"), emb, k=5,
+                                     n_centroids=16, n_probe=4)
+
+_add("cosine_topk_ivf", _q_cosine_ivf, None)  # approximate; rows-only
+
 
 # ===========================================================================
 # image-fixture pipelines (no DuckDB-side table -> rows-only checks)

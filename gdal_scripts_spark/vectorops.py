@@ -156,3 +156,83 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path next to LSH
+# ---------------------------------------------------------------------------
+
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10,
+                 seed: int = 11) -> np.ndarray:
+    """Tiny driver-side Lloyd's k-means on a bounded sample (deterministic
+    seeding): the coarse quantizer. Public textbook algorithm; a few
+    thousand sample rows x small k is millisecond work on the driver."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def _nearest_centroids_col(vec: Column, cent: np.ndarray, n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids — native Column expressions
+    (per-centroid squared distance via aggregate/zip_with, then argsort by
+    constructing (dist, id) structs and array_sort), zero UDF."""
+    v = vec.cast("array<double>")
+    structs = []
+    for ci, c in enumerate(cent):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(ci).alias("cid")))
+    ranked = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+
+
+def cosine_topk_ivf(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_centroids: int = 16,
+    n_probe: int = 4, sample_n: int = 2048, seed: int = 11,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in the bucket of their
+    nearest coarse centroid; each query probes its ``n_probe`` nearest
+    buckets and ranks only those candidates.
+
+    Scale shape: centroids come from a bounded driver-side sample (one
+    ``limit(sample_n)`` collect); bucket assignment is a NATIVE column
+    expression, so the corpus is scanned in place and partitions by a plain
+    equi-join key; candidate volume ~= corpus * n_probe / n_centroids per
+    query. Recall measured against brute force in tests; exactness is the
+    brute path's job."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    cb = corpus.select(
+        F.col(cid).alias("neighbor_id"), F.col(vec).alias("cv"),
+        _nearest_centroids_col(F.col(vec), cent, 1)[0].alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(qid).alias("qid"), F.col(vec).alias("qv"),
+        F.explode(
+            _nearest_centroids_col(F.col(vec), cent, n_probe)
+        ).alias("bucket"),
+    )
+    wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_cols(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

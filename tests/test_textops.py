@@ -119,9 +119,19 @@ def test_multimodal_quarantine_and_fake(spark):
 
 
 def test_frame_sample_stub_raises(spark):
-    df = spark.createDataFrame(pd.DataFrame({"video_id": ["v1"], "bytes": [b"x"]}))
+    df = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v1"], "bytes": [b"xyzw" * 16],
+                      "n_frames": [25], "w": [8], "h": [8]}))
     with pytest.raises(Exception):
         multimodal.frame_sample_stub(df).collect()
+    # deterministic-fake path exercises the real explode plumbing
+    rows = multimodal.frame_sample_stub(df, every_n=10,
+                                        deterministic_fake=True).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+    from gdal_scripts_spark import codecs
+    f0 = codecs.decode(bytes(rows[0]["frame_bytes"]), "png")
+    f1 = codecs.decode(bytes(rows[1]["frame_bytes"]), "png")
+    assert f0.shape == (8, 8) and not (f0 == f1).all()
 
 
 def test_simhash_recall_is_exact(near_dup_docs):
@@ -223,3 +233,29 @@ def test_audio_features_spark(spark):
         [("bad", b"not a wav")], "audio_id string, bytes binary")
     q = multimodal.extract_audio_features(bad).collect()[0]
     assert q["ok"] is False
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 20")
+    exact = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_bruteforce(q, df, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_ivf(q, df, k=5, n_centroids=8,
+                                           n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # probing half the coarse buckets
+    # bucket assignment is a native column: no Python eval in the corpus scan
+    from gdal_scripts_spark.vectorops import _kmeans_lite, _nearest_centroids_col
+    cent = _kmeans_lite(vecs[:128].astype(np.float64), 8)
+    plan = df.select(
+        _nearest_centroids_col(F.col("embedding"), cent, 1)[0].alias("b")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
