@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cells, geom
@@ -244,3 +244,56 @@ def spatial_join_cells(
     # only arise from a single join row — the old .distinct() here was a
     # pure 6M-row shuffle tax
     return _refine_pip(cand, pack, id_col, lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (training-pipeline extra; absent in the reference by design —
+# SURVEY.md §2.3 J6 — but a first-class large-pipeline operator here)
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: tuple[str, ...] = ("event_id",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, the LATEST right row of the same ``by`` key with
+    ``right.on <= left.on`` (at-or-before; NULLs when none). Equal
+    timestamps match (the right row sorts first).
+
+    Scale shape — the union+running-window formulation: tag and union both
+    sides, one window per ``by`` key ordered by (on, side, id) carrying
+    ``last(right_payload, ignorenulls)``, keep left rows. ONE shuffle on the
+    by-key; no range-join candidate explosion, no per-key driver loop;
+    skewed keys behave exactly like any windowed aggregation (AQE handles
+    them). Right rows with duplicate (by, on) are deduped deterministically
+    to the max-id row so the result is well-defined (and matches the DuckDB
+    ASOF oracle)."""
+    rid = right_cols[0]
+    wdup = Window.partitionBy(by, on).orderBy(F.col(rid).desc())
+    r_uniq = (
+        right.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    r_tag = r_uniq.select(
+        F.col(by), F.col(on),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
+        F.lit(0).alias("_side"),
+    )
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(r_tag.schema["_rv"].dataType)
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    out_cols = [c for c in left.columns] + [
+        F.col("_m")[c].alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return matched.filter(F.col("_side") == 1).select(*out_cols)

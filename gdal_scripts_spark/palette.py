@@ -146,3 +146,79 @@ def pct2rgb(indexed: DataFrame, palette: np.ndarray) -> DataFrame:
     return indexed.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema="image_id string, bytes binary, fmt string, w int, h int"
     )
+
+
+# ---------------------------------------------------------------------------
+# R10 — Floyd–Steinberg dither (alg/gdaldither.cpp : GDALDitherRGB2PCT)
+# ---------------------------------------------------------------------------
+
+def np_dither_fs(img: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Floyd–Steinberg error-diffusion quantization to a palette: returns
+    (h, w) uint8 palette indices. Error diffusion is inherently serial per
+    image (GDAL's loop is too); the nearest-color search is precomputed as
+    a 5-bit color-cube LUT (the GDALDitherRGB2PCT device), so the scan is
+    O(pixels) cheap steps — images parallelize across rows of the table."""
+    pal = np.asarray(palette, np.int32)
+    # 32^3 LUT: quantized rgb -> nearest palette index
+    g = np.arange(32) * 8 + 4
+    rr, gg, bb = np.meshgrid(g, g, g, indexing="ij")
+    cube = np.stack([rr, gg, bb], axis=-1).reshape(-1, 3)
+    d = ((cube[:, None, :] - pal[None, :, :]) ** 2).sum(axis=2)
+    lut = d.argmin(axis=1).astype(np.uint8).reshape(32, 32, 32)
+
+    a = img.astype(np.float64)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    out = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        row = a[y]
+        nxt = a[y + 1] if y + 1 < h else None
+        for x in range(w):
+            px = row[x]
+            q = np.clip(px, 0, 255).astype(np.int64) >> 3
+            idx = lut[q[0], q[1], q[2]]
+            out[y, x] = idx
+            err = px - pal[idx]
+            if x + 1 < w:
+                row[x + 1] += err * (7 / 16)
+            if nxt is not None:
+                if x > 0:
+                    nxt[x - 1] += err * (3 / 16)
+                nxt[x] += err * (5 / 16)
+                if x + 1 < w:
+                    nxt[x + 1] += err * (1 / 16)
+    return out
+
+
+def dither_to_palette(images: DataFrame, n_colors: int = 64) -> tuple:
+    """rgb2pct with Floyd–Steinberg dithering (GDAL's default path):
+    median-cut global palette, then per-image error-diffused indices.
+    Returns (indexed DataFrame, palette)."""
+    from collections.abc import Iterator as _It
+
+    _, pal = rgb2pct(images, n_colors)  # reuse the global median-cut palette
+    spark = images.sparkSession
+    bc = spark.sparkContext.broadcast(pal)
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        p = bc.value
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = codecs.decode(bytes(byts), fmt)
+                idx = np_dither_fs(img, p)
+                rows.append((iid, codecs.encode(idx, "pgm"), "pgm",
+                             idx.shape[1], idx.shape[0],
+                             codecs.gdal_style_checksum(idx)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "w", "h", "checksum"])
+
+    indexed = images.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )
+    return indexed, pal

@@ -705,6 +705,22 @@ def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("rgb2pct_quantize", _q_rgb2pct, None)
 
+def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = fixtures.images_spark(spark, n=16).filter("fmt = 'ppm'")
+    pan = raster.translate(images, "pgm", bands=[0])
+    return raster.pansharpen(images, pan).select("image_id", "w", "h", "checksum")
+
+_add("pansharpen_brovey", _q_pansharpen, None)
+
+def _q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import palette as _palette
+
+    images = fixtures.images_spark(spark, n=12)
+    indexed, _pal = _palette.dither_to_palette(images, n_colors=32)
+    return indexed.select("image_id", "w", "h", "checksum")
+
+_add("dither_floyd_steinberg", _q_dither, None)
+
 def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = fixtures.labels_spark(spark, n=8)
     return polygonize.sieve(labels, threshold=4).select(
@@ -1001,6 +1017,30 @@ FROM d WHERE dist_m <= 2.5e5 GROUP BY qid
 # more OGR-SQL / SQLite-dialect relational parity (J1 first-match, CUBE,
 # percentile_cont, sessionization)
 # ===========================================================================
+
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    views = ev.filter("event_type = 'view'").select("event_id", "ts", "user_id")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+    out = joins.asof_join(views, clicks, on="ts", by="user_id",
+                          right_cols=("event_id",))
+    return out.select(
+        "event_id", "ts", "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+    )
+
+_add("asof_join_events", _q_asof, """
+WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+c AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT v.event_id, v.ts, v.user_id,
+       coalesce(c.event_id, -1) AS asof_event_id
+FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+""")
+
 
 _add_shared("first_match_left_join", """
 SELECT c_custkey, first_orderkey FROM (

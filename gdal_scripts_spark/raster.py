@@ -769,3 +769,64 @@ def fillnodata(images: DataFrame, nodata: int = 0, max_search: int = 16,
         run,
         schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
     )
+
+
+# ---------------------------------------------------------------------------
+# R10 — pansharpen (osgeo_utils/gdal_pansharpen.py : weighted Brovey,
+#       backed by alg/gdalpansharpen.cpp : GDALPansharpenOperation)
+# ---------------------------------------------------------------------------
+
+def np_pansharpen(ms: np.ndarray, pan: np.ndarray,
+                  weights: tuple[float, ...] | None = None) -> np.ndarray:
+    """Weighted-Brovey pansharpening: upsample the multispectral bands to
+    the pan grid (nearest), compute pseudo-pan = sum(w_i * ms_i), scale each
+    band by pan/pseudo_pan. ms (h, w, c) uint8, pan (H, W) uint8 ->
+    (H, W, c) uint8."""
+    H, W = pan.shape
+    h, w, c = ms.shape
+    if weights is None:
+        weights = tuple(1.0 / c for _ in range(c))
+    ys = (np.arange(H) * h // H)
+    xs = (np.arange(W) * w // W)
+    up = ms[np.ix_(ys, xs)].astype(np.float64)
+    pseudo = np.tensordot(up, np.asarray(weights, np.float64), axes=([2], [0]))
+    ratio = pan.astype(np.float64) / np.maximum(pseudo, 1e-9)
+    out = up * ratio[:, :, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def pansharpen(ms_images: DataFrame, pan_images: DataFrame,
+               weights: tuple[float, ...] | None = None,
+               out_fmt: str = "ppm") -> DataFrame:
+    """gdal_pansharpen over paired tables (joined on image_id: ms = RGB row,
+    pan = single-band row). Bytes join by id — the only shuffle — then one
+    Arrow pass fuses."""
+    ms = ms_images.select(
+        "image_id", F.col("bytes").alias("_mb"), F.col("fmt").alias("_mf"))
+    pan = pan_images.select(
+        "image_id", F.col("bytes").alias("_pb"), F.col("fmt").alias("_pf"))
+    pairs = ms.join(pan, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, mb, mf, pb, pf in zip(
+                b["image_id"].values, b["_mb"].values, b["_mf"].values,
+                b["_pb"].values, b["_pf"].values,
+            ):
+                msa = _decode_row(mb, mf)
+                pana = codecs.decode(bytes(pb), pf)
+                if pana.ndim == 3:
+                    pana = pana[:, :, 0]
+                out = np_pansharpen(msa, pana, weights)
+                rows.append((iid, codecs.encode(out, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0],
+                             codecs.gdal_style_checksum(out)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "fmt", "w", "h", "checksum"])
+
+    return pairs.mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )

@@ -123,3 +123,61 @@ def test_gdaldem_tiled_halo_exact(spark):
             got[r["tile_row"] * 10 : r["tile_row"] * 10 + r["th"],
                 r["tile_col"] * 10 : r["tile_col"] * 10 + r["tw"]] = a
         assert np.array_equal(got, dem._MODES[mode](img, {})), mode
+
+
+def test_pansharpen_brovey_properties():
+    import numpy as np
+    from gdal_scripts_spark import raster
+
+    rng = np.random.default_rng(5)
+    # single-band ms with weight 1: ratio cancels, output == pan exactly
+    ms = rng.integers(10, 250, (8, 8, 1)).astype(np.uint8)
+    pan = rng.integers(10, 250, (16, 16)).astype(np.uint8)
+    out = raster.np_pansharpen(ms, pan, weights=(1.0,))
+    assert np.array_equal(out[:, :, 0], pan)
+    # RGB: per-pixel band RATIOS are preserved (Brovey invariant)
+    ms3 = rng.integers(20, 240, (8, 8, 3)).astype(np.uint8)
+    out3 = raster.np_pansharpen(ms3, pan).astype(np.float64)
+    up = ms3[np.ix_(np.arange(16) * 8 // 16, np.arange(16) * 8 // 16)].astype(np.float64)
+    got_ratio = out3[:, :, 0] / np.maximum(out3[:, :, 1], 1)
+    want_ratio = up[:, :, 0] / np.maximum(up[:, :, 1], 1)
+    assert np.abs(got_ratio - want_ratio).mean() < 0.1
+
+
+def test_pansharpen_spark(spark):
+    from gdal_scripts_spark import fixtures, raster
+
+    imgs = fixtures.images_spark(spark, n=12).filter("fmt = 'ppm'")
+    pan = raster.translate(imgs, "pgm", bands=[0])
+    rows = raster.pansharpen(imgs, pan).collect()
+    assert len(rows) == imgs.count()
+    for r in rows:
+        assert r["fmt"] == "ppm" and r["w"] > 0
+
+
+def test_dither_fs_properties():
+    import numpy as np
+    from gdal_scripts_spark import palette
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [128, 0, 0]], np.int32)
+    # exact palette color -> constant index, no diffusion artifacts
+    img = np.full((6, 6, 3), 255, np.uint8)
+    idx = palette.np_dither_fs(img, pal)
+    assert (idx == 1).all()
+    # mid-gray against black/white palette: diffusion preserves the mean
+    gray = np.full((24, 24, 3), 128, np.uint8)
+    idx2 = palette.np_dither_fs(gray, pal[:2])
+    approx = pal[:2][idx2].mean()
+    assert abs(approx - 128.0) < 8.0
+    # deterministic
+    assert np.array_equal(idx2, palette.np_dither_fs(gray, pal[:2]))
+
+
+def test_dither_spark(spark):
+    from gdal_scripts_spark import fixtures, palette
+
+    imgs = fixtures.images_spark(spark, n=10)
+    indexed, pal = palette.dither_to_palette(imgs, n_colors=16)
+    rows = indexed.collect()
+    assert len(rows) == 10
+    assert len(pal) <= 16
