@@ -95,7 +95,10 @@ def rgb2pct(images: DataFrame, n_colors: int = 256, bits: int = 5) -> tuple[Data
     indices (the reference writes a paletted GTiff; the index raster +
     palette table is the same information)."""
     spark = images.sparkSession
-    hist = [(r["bin"], r["count"]) for r in rgb_histogram(images, bits).collect()]
+    # sort by bin: collect() order is partition-dependent, and median_cut's
+    # stable tie-breaks depend on row order — sorted input makes the palette
+    # (and the committed dither goldens) run-deterministic
+    hist = sorted((r["bin"], r["count"]) for r in rgb_histogram(images, bits).collect())
     palette = median_cut(hist, n_colors, bits)
     bc = spark.sparkContext.broadcast(palette)
 

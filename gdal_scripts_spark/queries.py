@@ -486,7 +486,9 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 5.0e-1
 """)
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 120")
+    # doc_id < 400 covers planted near-dup pairs (8/245, 98/290, ...) so the
+    # candidate set is non-empty — same fix as ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 400")
     return textops.minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=8)
 
 _add("minhash_lsh_pairs", _q_minhash, None)  # hash-seeded; rows-only check
@@ -599,7 +601,9 @@ _add("images_polygonize", _q_polygonize, None)
 def _q_knn_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = fixtures.images_spark(spark, n=500)
     queries = fixtures.query_points_spark(spark, q=60)
-    return knn.knn_join(queries, images, k=5, z=8)
+    return knn.knn_join(queries, images, k=5, z=8).select(
+        "qid", "rank", "image_id", F.round("dist_m", 2).alias("dist_m")
+    )
 
 _add("images_knn", _q_knn_images, None)
 
@@ -635,10 +639,19 @@ def _q_geometry_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("geometry_scalar_cols", _q_geometry_cols, None)
 
 def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # random 64-bit phashes have no hamming<=8 pairs (expected count ~1e-5),
+    # so plant near-dups: ids < 50 get a twin at xor with two low bits set
+    # -> exactly 50 planted pairs at hamming 2 must be found (recall 1.0)
     from . import probe as _probe
 
-    pts = fixtures.points_spark(spark, 20000)
-    return _probe.hamming_dedup_pairs(pts, max_hamming=8)
+    pts = fixtures.points_spark(spark, 20000).select("image_id", "phash")
+    planted = pts.filter(
+        F.col("image_id").substr(4, 10).cast("long") < 50
+    ).select(
+        F.concat(F.lit("dup_"), F.col("image_id")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0x41)).alias("phash"),
+    )
+    return _probe.hamming_dedup_pairs(pts.unionByName(planted), max_hamming=8)
 
 _add("phash_hamming_dedup", _q_phash_dedup, None)
 
@@ -1308,3 +1321,19 @@ def all_queries() -> dict:
 
 def all_oracles() -> dict[str, str]:
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+# ===========================================================================
+# committed VALUES goldens for deterministic rows-only entries (generated by
+# tools/make_goldens.py — the GDAL-autotest checksum-golden mechanism,
+# SURVEY.md §5.1): attach as oracles where no SQL oracle exists
+# ===========================================================================
+
+try:
+    from .goldens_sf001 import GOLDEN_SQL as _GOLDEN_SQL
+except ImportError:  # pre-generation bootstrap
+    _GOLDEN_SQL = {}
+
+for _gname, _gsql in _GOLDEN_SQL.items():
+    if _gname in QUERIES and QUERIES[_gname][1] is None:
+        QUERIES[_gname] = (QUERIES[_gname][0], _gsql)
