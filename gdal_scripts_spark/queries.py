@@ -170,6 +170,11 @@ _add_shared("distinct_vals", """
 SELECT DISTINCT c_mktsegment FROM customer
 """)
 
+_add_shared("limit_offset", """
+SELECT o_orderkey, o_custkey
+FROM orders ORDER BY o_orderkey LIMIT 25 OFFSET 100
+""")
+
 _add_shared("orderby_limit_topk", """
 SELECT o_orderkey, CAST(round(o_totalprice, 2) AS DOUBLE) AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -1174,6 +1179,19 @@ def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _contour.contour_metrics(labels, interval=1.0, base=0.5)
 
 _add("contour_lines", _q_contour, None)
+
+def _q_contour_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import contour as _contour
+
+    labels = fixtures.labels_spark(spark, n=8)
+    m = _contour.contour_metrics(labels, interval=1.0, base=0.5)
+    return m.groupBy("image_id").agg(
+        F.count("*").alias("n_levels"),
+        F.sum("n_segments").alias("n_segments"),
+        F.round(F.sum("length_px"), 4).alias("total_length_px"),
+    )
+
+_add("contour_summary", _q_contour_summary, None)
 
 
 def _q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
