@@ -747,6 +747,15 @@ def _q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("sieve_filter", _q_sieve, None)
 
+def _q_vrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import vrt as _vrt
+
+    labels = fixtures.labels_spark(spark, n=8)
+    spec = _vrt.VrtSpec(scale=2.0, offset=5.0, lut=[(0.0, 0.0), (8.0, 64.0)])
+    return _vrt.vrt_apply(labels, spec).select("image_id", "w", "h", "checksum")
+
+_add("vrt_transfer", _q_vrt, None)
+
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = fixtures.images_spark(spark, n=120)
     return raster.histogram(images, band=0).select("bin", "count")

@@ -285,3 +285,33 @@ def test_fillnodata_smoothing_touches_only_filled():
     out = raster.np_fillnodata(img, nodata=0, max_search=4, smoothing=2)
     assert (out[img != 0] == 100).all()          # valid pixels untouched
     assert (out[3:5, 3:5] == 100).all()          # hole filled from uniform
+
+
+def test_vrt_transfer_function():
+    import numpy as np
+    from gdal_scripts_spark import vrt
+
+    a = np.array([[0, 100, 200, 255]], np.uint8)
+    # scale/offset only
+    s = vrt.VrtSpec(scale=0.5, offset=10)
+    assert vrt.np_vrt_apply(a, s).ravel().tolist() == [10, 60, 110, 138]
+    # LUT (linear stretch 50..200 -> 0..255) applied before scale
+    s2 = vrt.VrtSpec(lut=[(50, 0), (200, 255)])
+    out = vrt.np_vrt_apply(a, s2).ravel()
+    assert out.tolist() == [0, 85, 255, 255]
+    # nodata passthrough
+    s3 = vrt.VrtSpec(scale=2.0, nodata=0, nodata_out=255)
+    assert vrt.np_vrt_apply(a, s3).ravel()[0] == 255
+
+
+def test_vrt_is_lazy_and_composes(spark):
+    from gdal_scripts_spark import fixtures, raster, vrt
+
+    imgs = fixtures.labels_spark(spark, n=4)
+    v = vrt.vrt_apply(imgs, vrt.VrtSpec(scale=30.0))  # no action yet
+    # compose a downstream op on the unevaluated VRT: one single plan
+    stats = raster.global_band_stats(v)
+    rows = {r["band"]: r for r in stats.collect()}
+    assert 0 in rows and rows[0]["vmax"] <= 255.0
+    # the transfer really applied (labels are small ints; x30 spreads them)
+    assert rows[0]["vmax"] >= 30.0
