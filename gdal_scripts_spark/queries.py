@@ -694,6 +694,37 @@ def _q_tile_sink_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("tile_sink_resume", _q_tile_sink_resume, None)
 
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import streaming as _streaming
+
+    tmp = tempfile.mkdtemp(prefix="streamwin_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(f"{tmp}/in")
+    _streaming.stream_windowed_counts(
+        spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck",
+        window="30 minutes", watermark="60 minutes",
+    )
+    return spark.read.parquet(f"{tmp}/out").select(
+        "win_start", "event_type", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+_add("streaming_windowed_counts", _q_stream_windowed, None)
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import streaming as _streaming
+
+    tmp = tempfile.mkdtemp(prefix="streamdd_")
+    imgs = fixtures.images_spark(spark, n=40)
+    dup = imgs.limit(12)
+    imgs.unionByName(dup).write.parquet(f"{tmp}/in")
+    _streaming.stream_first_seen(spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck")
+    return spark.read.parquet(f"{tmp}/out").select("image_id", "caption", "phash")
+
+_add("streaming_stateful_dedup", _q_stream_dedup, None)
+
 
 def _q_gdaldem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import dem as _dem

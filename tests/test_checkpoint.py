@@ -99,3 +99,53 @@ def test_streaming_available_now_incremental(spark, tmp_path):
     i = 3
     exp = int(cells.np_cell_id(np.array([row["lon"]]), np.array([row["lat"]]), 8)[0])
     assert row["cell"] == exp
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "ev_in"); out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev.write.parquet(src)
+    streaming.stream_windowed_counts(
+        spark, src, out, ckpt, window="10 minutes", watermark="30 minutes")
+    got = spark.read.parquet(out)
+    # append mode emits only FINALIZED windows: win_end <= max_ts - watermark
+    row = ev.agg(F.max("ts").alias("m")).collect()[0]
+    cutoff = row["m"] - __import__("datetime").timedelta(minutes=30)
+    want = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= F.lit(cutoff))
+    )
+    got_d = {(r["win_start"], r["event_type"]): r["n"] for r in got.collect()}
+    want_d = {(r["w"]["start"], r["event_type"]): r["n"] for r in want.collect()}
+    assert got_d == want_d
+    assert len(got_d) > 0
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "fs_in"); out = str(tmp_path / "fs_out")
+    ckpt = str(tmp_path / "fs_ck")
+    imgs = fixtures.make_images_pdf(n=30)
+    base = imgs[["image_id", "caption", "phash"]]
+    # drain 1: 30 uniques + 10 in-batch duplicates
+    batch1 = pd.concat([imgs, imgs.iloc[:10]], ignore_index=True)
+    spark.createDataFrame(batch1, schema=fixtures.IMAGES_SCHEMA) \
+        .write.mode("overwrite").parquet(src)
+    streaming.stream_first_seen(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 30  # in-batch duplicates suppressed
+    # drain 2: re-send 15 old ids (cross-restart duplicates) + 5 new
+    imgs2 = fixtures.make_images_pdf(n=35, seed=fixtures.SEED)
+    newpart = imgs2.iloc[30:]
+    batch2 = pd.concat([imgs.iloc[:15], newpart], ignore_index=True)
+    spark.createDataFrame(batch2, schema=fixtures.IMAGES_SCHEMA) \
+        .write.mode("append").parquet(src)
+    streaming.stream_first_seen(spark, src, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 35  # only the 5 new ids got through round 2
+    assert final.select("image_id").distinct().count() == 35
