@@ -212,8 +212,11 @@ def cosine_topk_ivf(
     equi-join key; candidate volume ~= corpus * n_probe / n_centroids per
     query. Recall measured against brute force in tests; exactness is the
     brute path's job."""
+    # orderBy before limit: an unordered limit's row order is partition-
+    # layout-dependent, which would make the seeded k-means (and therefore
+    # the committed goldens) vary with core count
     sample = np.array(
-        [r[0] for r in corpus.select(vec).limit(sample_n).collect()],
+        [r[1] for r in corpus.select(cid, vec).orderBy(cid).limit(sample_n).collect()],
         dtype=np.float64,
     )
     cent = _kmeans_lite(sample, n_centroids, seed=seed)
