@@ -1250,7 +1250,7 @@ _add_shared("scalar_subquery", """
 SELECT o_orderkey,
        CAST(round(o_totalprice, 2) AS DOUBLE) AS price
 FROM orders
-WHERE o_totalprice > 4.0e0 * (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.8e0 * (SELECT round(avg(o_totalprice), 2) FROM orders)
 """)
 
 _add_shared("date_trunc_monthly", """
