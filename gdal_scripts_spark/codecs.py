@@ -13,13 +13,14 @@ specs):
             implementation of the PNG spec (RFC 2083): 8-bit gray (color
             type 0) and RGB (color type 2), all five scanline filters on
             decode, filter 0 on encode.
-- checksum: ``alg/gdalchecksum.cpp : GDALChecksumImage (≈L40)`` — GDAL-style
-            position-weighted 16-bit checksum; used as the golden-test
-            invariant exactly as the GDAL autotest suite uses it
-            (SURVEY.md §5.1). Weighting here is pinned by OUR committed
-            goldens (the empty reference snapshot means exact upstream
-            constants can't be reproduced bit-for-bit; the invariant role —
-            cheap, deterministic, order-sensitive — is preserved).
+- checksum: ``alg/gdalchecksum.cpp : GDALChecksumImage (≈L40)`` — EXACT
+            per-band reimplementation of GDAL's prime-weighted 16-bit
+            checksum (see ``gdal_checksum_band``: 11-prime table {7..43},
+            C truncated remainder, mod-65536 running sum — the autotest
+            golden convention, e.g. gcore/data/byte.tif -> 4672). Only the
+            multiband single-int reduction (sum of per-band checksums mod
+            65536) is this engine's convention, documented at
+            ``gdal_style_checksum``.
 - aHash:    mean-threshold 8x8 average hash (public pHash family) for the
             ``phash`` column of the input table (BASELINE.json : input_hint).
 """

@@ -122,17 +122,19 @@ def frame_sample_stub(videos: DataFrame, every_n: int = 10,
     Input: (video_id, bytes, n_frames, w, h); output one row per sampled
     frame (video_id, frame_idx, frame_bytes PNG-gray)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not deterministic_fake:
+            # fail fast regardless of input size — an empty partition must
+            # not make the unsupported path look supported
+            raise NotImplementedError(
+                "video frame decode requires an external codec library; "
+                "pass deterministic_fake=True to exercise the plumbing"
+            )
         for b in batches:
             rows = []
             for vid, buf, nf, w_, h_ in zip(
                 b["video_id"].values, b["bytes"].values,
                 b["n_frames"].values, b["w"].values, b["h"].values,
             ):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "video frame decode requires an external codec library; "
-                        "pass deterministic_fake=True to exercise the plumbing"
-                    )
                 for fi in range(0, int(nf), every_n):
                     # frame-dependent fake: container bytes rolled by index
                     frame = np.roll(

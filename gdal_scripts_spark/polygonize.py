@@ -351,14 +351,17 @@ def _tile_ccl(tile: np.ndarray, connectivity: int) -> np.ndarray:
 def polygonize(
     images: DataFrame,
     connectivity: int = 4,
-    tile: int = 10,
+    tile: int = 64,
     max_rounds: int = 16,
     trace_rings: bool = True,
 ) -> DataFrame:
     """Distributed polygonize over single-band images (fmt pgm/png gray).
 
     Returns (image_id, label, value, pixel_count, min_y, min_x[, wkt]).
-    label = global min pixel index of the component (canonical)."""
+    label = global min pixel index of the component (canonical). Results are
+    tile-independent; ``tile`` only trades per-task array size against
+    border-row volume (default 64 suits 256px+ rasters — a tiny tile on a
+    big raster explodes border rows)."""
     spark = images.sparkSession
 
     def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -86,16 +86,20 @@ def probe_pixels(
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for bt in batches:
             rows = []
-            for pid_v, iid, px, py, buf, fmt in zip(
-                bt[probe_id].values, bt["image_id"].values,
-                bt["px"].values, bt["py"].values,
-                bt["bytes"].values, bt["fmt"].values,
-            ):
-                img = codecs.decode(bytes(buf), fmt)
+            # decode once per image within the batch, not once per probe row
+            # (the join on image_id co-locates same-image probes already)
+            for iid, grp in bt.groupby("image_id", sort=False):
+                img = codecs.decode(
+                    bytes(grp["bytes"].iloc[0]), grp["fmt"].iloc[0]
+                )
                 if img.ndim == 2:
                     img = img[:, :, None]
-                rows.append((pid_v, iid, int(px), int(py),
-                             [int(v) for v in img[py, px]]))
+                pxs = grp["px"].values.astype(np.int64)
+                pys = grp["py"].values.astype(np.int64)
+                vals = img[pys, pxs]
+                for pid_v, x, y, v in zip(grp[probe_id].values, pxs, pys, vals):
+                    rows.append((pid_v, iid, int(x), int(y),
+                                 [int(c) for c in v]))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=[probe_id, "image_id", "px", "py", "value"])

@@ -41,6 +41,7 @@ Tile table convention: ``(z int, tx long, ty long)`` with ty in **TMS**
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -525,25 +526,51 @@ def translate(images: DataFrame, dst_fmt: str, bands: list[int] | None = None) -
     )
 
 
-def np_warp_resize(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.ndarray:
-    """Inverse-mapped resample of one image to (out_h, out_w) — the scalar
-    core of ``alg/gdalwarpkernel.cpp : GWKNearestNoMasks / GWKBilinear``
-    for a pure scale transform (source grid == full image extent)."""
+def _warp_finish(out: np.ndarray, like: np.ndarray) -> np.ndarray:
+    """uint8 inputs round+clip back to uint8; float inputs stay float64
+    (lets the analytic-ramp exactness tests bypass quantization)."""
+    if like.dtype == np.uint8:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out
+
+
+def _keys_weights(d: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Cubic-convolution tap weights (Keys 1981, GDAL's GWKCubic a=-0.5):
+    4 taps at source offsets -1..+2 around floor(u), for fractional part d
+    in [0,1). Shape (4, len(d)). a=-0.5 reproduces polynomials up to degree
+    2 exactly (third-order accurate) — the basis of the analytic golden."""
+    d = np.asarray(d, dtype=np.float64)
+    d2, d3 = d * d, d * d * d
+    # W(x) for |x|<=1: (a+2)|x|^3 - (a+3)|x|^2 + 1 ; taps 0 (|x|=d), 1 (1-d)
+    # W(x) for 1<|x|<2: a(|x|^3 - 5|x|^2 + 8|x| - 4)  ; taps -1 (1+d), 2 (2-d)
+    w_m1 = a * (d3 - 2 * d2 + d)                      # |x| = 1+d expanded
+    w_0 = (a + 2) * d3 - (a + 3) * d2 + 1
+    w_p1 = -(a + 2) * d3 + (2 * a + 3) * d2 - a * d   # |x| = 1-d expanded
+    w_p2 = a * (-d3 + d2)                             # |x| = 2-d expanded
+    return np.stack([w_m1, w_0, w_p1, w_p2])
+
+
+def np_sample_sep(img: np.ndarray, uf: np.ndarray, vf: np.ndarray,
+                  method: str) -> np.ndarray:
+    """Separable inverse-map sampler — the scalar core of
+    ``alg/gdalwarpkernel.cpp : GWKNearestNoMasks / GWKBilinear / GWKCubic``
+    for axis-aligned transforms (scale and 3857<->4326 reprojection are both
+    separable). Output pixel (j, i) reads source pixel-CENTER coordinates
+    (vf[j], uf[i]); coordinates clamp at edges (replicate padding)."""
     h, w, c = img.shape
-    sx, sy = w / out_w, h / out_h
-    u = (np.arange(out_w) + 0.5) * sx
-    v = (np.arange(out_h) + 0.5) * sy
+    uf = np.asarray(uf, dtype=np.float64)
+    vf = np.asarray(vf, dtype=np.float64)
     if method == "nearest":
-        ui = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
-        vi = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
+        ui = np.clip(np.floor(uf + 0.5).astype(np.int64), 0, w - 1)
+        vi = np.clip(np.floor(vf + 0.5).astype(np.int64), 0, h - 1)
         return img[np.ix_(vi, ui, np.arange(c))]
     if method == "bilinear":
-        uf = np.clip(u - 0.5, 0.0, w - 1.0)
-        vf = np.clip(v - 0.5, 0.0, h - 1.0)
-        u0 = np.clip(np.floor(uf).astype(np.int64), 0, max(w - 2, 0))
-        v0 = np.clip(np.floor(vf).astype(np.int64), 0, max(h - 2, 0))
-        du = (uf - u0)[None, :, None]
-        dv = (vf - v0)[:, None, None]
+        ufc = np.clip(uf, 0.0, w - 1.0)
+        vfc = np.clip(vf, 0.0, h - 1.0)
+        u0 = np.clip(np.floor(ufc).astype(np.int64), 0, max(w - 2, 0))
+        v0 = np.clip(np.floor(vfc).astype(np.int64), 0, max(h - 2, 0))
+        du = (ufc - u0)[None, :, None]
+        dv = (vfc - v0)[:, None, None]
         u1 = np.minimum(u0 + 1, w - 1)
         v1 = np.minimum(v0 + 1, h - 1)
         a = img[np.ix_(v0, u0)].astype(np.float64)
@@ -552,16 +579,92 @@ def np_warp_resize(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.n
         d = img[np.ix_(v1, u1)].astype(np.float64)
         out = (a * (1 - du) * (1 - dv) + b * du * (1 - dv)
                + cq * (1 - du) * dv + d * du * dv)
-        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        return _warp_finish(out, img)
+    if method in ("cubic", "cubicspline"):
+        ufc = np.clip(uf, 0.0, w - 1.0)
+        vfc = np.clip(vf, 0.0, h - 1.0)
+        u0 = np.floor(ufc).astype(np.int64)
+        v0 = np.floor(vfc).astype(np.int64)
+        wu = _keys_weights(ufc - u0)
+        wv = _keys_weights(vfc - v0)
+        if method == "cubicspline":  # B-spline smoothing kernel variant
+            wu = _bspline_weights(ufc - u0)
+            wv = _bspline_weights(vfc - v0)
+        acc = np.zeros((len(vf), len(uf), c), dtype=np.float64)
+        for ti in range(4):
+            rows = np.clip(v0 - 1 + ti, 0, h - 1)
+            band_w = wv[ti][:, None, None]
+            for tj in range(4):
+                cols = np.clip(u0 - 1 + tj, 0, w - 1)
+                acc += img[np.ix_(rows, cols)].astype(np.float64) * (
+                    band_w * wu[tj][None, :, None]
+                )
+        return _warp_finish(acc, img)
+    raise ValueError(f"unknown resampling {method!r}")
+
+
+def _bspline_weights(d: np.ndarray) -> np.ndarray:
+    """Cubic B-spline taps (GDAL GRA_CubicSpline): smoothing, not
+    interpolating — weights (1/6)B_i(d), partition of unity."""
+    d = np.asarray(d, dtype=np.float64)
+    d2, d3 = d * d, d * d * d
+    w_m1 = (1 - 3 * d + 3 * d2 - d3) / 6.0
+    w_0 = (4 - 6 * d2 + 3 * d3) / 6.0
+    w_p1 = (1 + 3 * d + 3 * d2 - 3 * d3) / 6.0
+    w_p2 = d3 / 6.0
+    return np.stack([w_m1, w_0, w_p1, w_p2])
+
+
+def np_warp_resize(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.ndarray:
+    """Inverse-mapped resample of one image to (out_h, out_w) — pure scale
+    transform over the full image extent (``alg/gdalwarpkernel.cpp``
+    kernels; see ``np_sample_sep``)."""
+    h, w, c = img.shape
+    sx, sy = w / out_w, h / out_h
+    u = (np.arange(out_w) + 0.5) * sx
+    v = (np.arange(out_h) + 0.5) * sy
     if method == "average":
         # exact box average when the scale is an integer shrink, else the
         # bilinear path (matches gdal2tiles' average-for-overviews usage)
         fy, fx = h // out_h, w // out_w
         if fy >= 1 and fx >= 1 and fy * out_h == h and fx * out_w == w:
             small = img.reshape(out_h, fy, out_w, fx, c).mean(axis=(1, 3))
-            return np.clip(np.rint(small), 0, 255).astype(np.uint8)
+            return _warp_finish(small, img)
         return np_warp_resize(img, out_w, out_h, "bilinear")
-    raise ValueError(f"unknown resampling {method!r}")
+    return np_sample_sep(img, u - 0.5, v - 0.5, method)
+
+
+def np_warp_reproject_geodetic(
+    img: np.ndarray, lon0: float, lat0: float, pix_m: float,
+    out_w: int | None = None, out_h: int | None = None,
+    method: str = "bilinear",
+) -> tuple[np.ndarray, tuple[float, float, float, float]]:
+    """``gdalwarp -t_srs EPSG:4326`` analog for one north-up EPSG:3857 image
+    anchored top-left at (lon0, lat0) with square ``pix_m`` pixels: inverse-
+    mapped resample onto a regular lon/lat grid covering the same footprint.
+    Both CRS are axis-aligned, so the inverse map is separable — the
+    horizontal map is linear (mx ∝ lon) and the vertical map carries the
+    full Mercator nonlinearity (rows sample non-uniformly in source y).
+    Returns (out_img, (lon0, lat_south, lon_east, lat0)) — the geodetic
+    bbox of the output grid."""
+    h, w, _c = img.shape
+    os_m = cells.ORIGIN_SHIFT
+    mx0 = lon0 * os_m / 180.0
+    my0 = math.log(math.tan((90.0 + lat0) * math.pi / 360.0)) / (
+        math.pi / 180.0) * os_m / 180.0
+    my1 = my0 - h * pix_m
+    lon1 = (mx0 + w * pix_m) / os_m * 180.0
+    lat1 = (2.0 * math.atan(math.exp(my1 / os_m * math.pi)) * 180.0
+            / math.pi - 90.0)
+    ow = out_w or w
+    oh = out_h or h
+    lons = lon0 + (np.arange(ow) + 0.5) * (lon1 - lon0) / ow
+    lats = lat0 + (np.arange(oh) + 0.5) * (lat1 - lat0) / oh  # descending
+    uf = (lons * os_m / 180.0 - mx0) / pix_m - 0.5
+    mys = np.log(np.tan((90.0 + lats) * np.pi / 360.0)) / (
+        np.pi / 180.0) * os_m / 180.0
+    vf = (my0 - mys) / pix_m - 0.5
+    return np_sample_sep(img, uf, vf, method), (lon0, lat1, lon1, lat0)
 
 
 def warp_resize(images: DataFrame, scale: float | None = None,
@@ -595,6 +698,42 @@ def warp_resize(images: DataFrame, scale: float | None = None,
     return images.select(*_DEC_COLS).mapInPandas(
         run,
         schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
+    )
+
+
+def warp_reproject(images: DataFrame, method: str = "bilinear",
+                   pix_m: float = DEFAULT_PIX_M,
+                   out_fmt: str = "png") -> DataFrame:
+    """gdalwarp -t_srs EPSG:4326 over the images table: per-image inverse-
+    mapped reprojection (R5), one Arrow pass, zero shuffle — the map-only
+    plan shape that holds at any scale. Returns
+    (image_id, bytes, fmt, w, h, lon_w, lat_s, lon_e, lat_n, checksum)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt, lon, lat in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["lon"].values, b["lat"].values,
+            ):
+                img = _decode_row(byts, fmt)
+                out, bbox = np_warp_reproject_geodetic(
+                    img, float(lon), float(lat), pix_m, method=method
+                )
+                sq = out[:, :, 0] if out.shape[2] == 1 else out
+                rows.append((iid, codecs.encode(sq, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0],
+                             bbox[0], bbox[1], bbox[2], bbox[3],
+                             codecs.gdal_style_checksum(out)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "bytes", "fmt", "w", "h",
+                    "lon_w", "lat_s", "lon_e", "lat_n", "checksum"])
+
+    return images.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, "
+               "lon_w double, lat_s double, lon_e double, lat_n double, "
+               "checksum int",
     )
 
 

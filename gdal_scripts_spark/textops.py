@@ -70,7 +70,10 @@ def ngram_jaccard_pairs(
     Scale path note: the gram join explodes by document length; at 100 TB
     this runs AFTER minhash banding prunes candidates — provided here as the
     exact verifier and for modest corpora."""
-    sh = shingles(docs, n, text_col, id_col).persist()
+    # no persist: shingles is a cheap narrow transform and caching it here
+    # leaked blocks for the caller's lifetime (the knn.py round-2 bug class).
+    # Recomputing it for sizes/a/b keeps the plan lazy and leak-free.
+    sh = shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "gram")
     b = sh.select(F.col("id").alias("id_b"), "gram")
@@ -178,6 +181,12 @@ def hamming_block_structs(hcol: Column, n_blocks: int) -> list[Column]:
     public method). More blocks = sound for larger radii but wider buckets
     (64/n_blocks bits each) — callers pick the radius, the block count
     follows."""
+    if not 2 <= n_blocks <= 64:
+        raise ValueError(
+            f"n_blocks={n_blocks} out of range [2, 64]; n_blocks is "
+            "max_hamming + 1 — for max_hamming=0 use an exact-hash equi-join "
+            "on the full 64-bit value instead of block bucketing"
+        )
     base, rem = divmod(64, n_blocks)
     out, start = [], 0
     for i in range(n_blocks):

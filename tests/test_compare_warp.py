@@ -77,3 +77,102 @@ def test_warp_resize_spark(spark):
         s = src[r["image_id"]]
         assert r["w"] == max(1, round(s["w"] * 0.5))
         assert r["h"] == max(1, round(s["h"] * 0.5))
+
+
+# ---------------------------------------------------------------------------
+# R5 depth (round 3): cubic kernel + inverse-map reprojection — analytic
+# goldens, independent of the engine's own output (Keys a=-0.5 reproduces
+# polynomials up to degree 2 exactly; bilinear reproduces degree 1).
+# ---------------------------------------------------------------------------
+
+def _interior_coords(w, h):
+    uf = np.linspace(3.3, w - 4.7, 23)
+    vf = np.linspace(2.9, h - 3.1, 19)
+    return uf, vf
+
+
+def test_cubic_reproduces_quadratic_exactly():
+    h, w = 40, 50
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = (0.3 * xs**2 + 0.2 * ys**2 + 0.1 * xs * ys + 5 * xs - 3 * ys + 7)[
+        :, :, None
+    ]
+    uf, vf = _interior_coords(w, h)
+    out = raster.np_sample_sep(img, uf, vf, "cubic")
+    U, V = np.meshgrid(uf, vf)
+    want = 0.3 * U**2 + 0.2 * V**2 + 0.1 * U * V + 5 * U - 3 * V + 7
+    assert np.abs(out[:, :, 0] - want).max() < 1e-9
+
+
+def test_bilinear_reproduces_linear_exactly():
+    h, w = 30, 30
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = (5 * xs - 3 * ys + 7)[:, :, None]
+    uf, vf = _interior_coords(w, h)
+    out = raster.np_sample_sep(img, uf, vf, "bilinear")
+    U, V = np.meshgrid(uf, vf)
+    assert np.abs(out[:, :, 0] - (5 * U - 3 * V + 7)).max() < 1e-9
+
+
+def test_cubicspline_partition_of_unity():
+    img = np.full((20, 20, 1), 42.0)
+    uf, vf = _interior_coords(20, 20)
+    out = raster.np_sample_sep(img, uf, vf, "cubicspline")
+    assert np.abs(out - 42.0).max() < 1e-9
+
+
+def test_cubic_uint8_resize_shape_and_range():
+    img = _img(16, 16)
+    out = raster.np_warp_resize(img, 24, 24, "cubic")
+    assert out.shape == (24, 24, 3) and out.dtype == np.uint8
+
+
+def test_reproject_linear_field_matches_independent_map():
+    """Independent oracle: the test recomputes the 3857->4326 inverse map
+    with its own mercator math; a linear-in-pixel field must round-trip
+    exactly under bilinear."""
+    import math as m
+
+    h, w, pix_m = 36, 44, 150.0
+    lon0, lat0 = 12.0, 47.0
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = (2.0 * xs + 0.5 * ys + 3.0)[:, :, None]
+    out, (lw, ls, le, ln_) = raster.np_warp_reproject_geodetic(
+        img, lon0, lat0, pix_m, method="bilinear"
+    )
+    assert (lw, ln_) == (lon0, lat0) and ls < ln_ and le > lw
+    OS = 2 * m.pi * 6378137.0 / 2.0
+    mx0 = lon0 * OS / 180.0
+    my0 = m.log(m.tan((90 + lat0) * m.pi / 360.0)) / (m.pi / 180.0) * OS / 180.0
+    lons = lon0 + (np.arange(w) + 0.5) * (le - lon0) / w
+    lats = lat0 + (np.arange(h) + 0.5) * (ls - lat0) / h
+    uf = (lons * OS / 180.0 - mx0) / pix_m - 0.5
+    mys = np.log(np.tan((90 + lats) * np.pi / 360.0)) / (np.pi / 180.0) * OS / 180.0
+    vf = (my0 - mys) / pix_m - 0.5
+    # interior only (edge clamping breaks linearity at the border row/col)
+    U, V = np.meshgrid(uf, vf)
+    want = 2.0 * U + 0.5 * V + 3.0
+    inner = (slice(2, -2), slice(2, -2))
+    assert np.abs(out[:, :, 0][inner] - want[inner]).max() < 1e-9
+
+
+def test_reproject_rows_sample_nonuniformly():
+    """The vertical inverse map must carry the Mercator nonlinearity:
+    vf spacing at the north edge differs from the south edge."""
+    img = np.zeros((64, 8, 1))
+    _, (lw, ls, le, ln_) = raster.np_warp_reproject_geodetic(
+        img, 0.0, 60.0, 500.0, method="nearest"
+    )
+    lats = np.linspace(ln_, ls, 65)
+    mys = np.log(np.tan((90 + lats) * np.pi / 360.0))
+    d = np.diff(mys)
+    assert abs(d[0]) > abs(d[-1]) * 1.0001  # strictly non-uniform
+
+
+def test_warp_reproject_spark_roundtrip(spark):
+    imgs = fixtures.images_spark(spark, n=6)
+    out = raster.warp_reproject(imgs, method="cubic").collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.lat_s < r.lat_n and r.lon_w < r.lon_e
+        assert r.w > 0 and r.h > 0 and 0 <= r.checksum < 65536

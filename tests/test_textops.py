@@ -167,9 +167,7 @@ def test_lsh_plan_has_no_vector_shuffle(spark):
     # the dedupe must run on ids only: no Exchange/Aggregate touching the
     # embedding column before vectors re-attach
     import re
-    dedup_region = plan.split("Deduplicate")[-1] if "Deduplicate" in plan else plan
-    assert "embedding" not in plan.split("Join")[0] or True  # smoke: plan built
-    # stronger check: Aggregate (distinct) output schema carries only 2 ids
+    # the Aggregate (distinct) output schema must carry only the 2 ids
     m = re.search(r"Aggregate \[qid#\d+L?, neighbor_id#\d+L?\], \[qid#\d+L?, neighbor_id#\d+L?\]", plan)
     assert m is not None, plan[:2000]
 
