@@ -10,21 +10,20 @@ Reference semantics:
   (≈L3700), Clip (≈L3800), Erase (≈L4000)``; Python wrapper
   ``osgeo_utils/samples/ogr_layer_algebra.py``.
 
-Engine scope (documented, honest): SIMPLE polygons — one outer ring, no
-holes, no self-intersection. The predicate kernel is exact segment /
-point-classification numpy math: proper-crossing + touch classification of
-every boundary edge pair, strict/boundary/outside classification of every
-vertex, and a scanline-derived interior representative point per polygon,
-combined into the GEOS truth table. ``crosses`` for two areal geometries is
-identically false (GEOS dimension rule) and is emitted as such.
+Engine scope: the PREDICATE kernel covers SIMPLE polygons — one outer ring,
+no self-intersection (exact segment/point-classification numpy math: proper
+crossing + touch classification of every boundary edge pair, vertex and
+edge-midpoint classification, scanline interior representative points,
+combined into the GEOS truth table; ``crosses`` for two areal geometries is
+identically false per the GEOS dimension rule).
 
-Geometry construction for the layer ops uses the generalized Sutherland–
-Hodgman clip (subject = any simple polygon, clip = CONVEX polygon) — the
-same closed-form family the rect clip in ``geom.clip_ring_rect`` uses.
-Method layers whose polygons are non-convex must be pre-decomposed by the
-caller; Erase/Union remainder AREAS assume the method polygons are mutually
-disjoint (else inclusion–exclusion would be needed) — both limits are
-docstring contracts, not silent wrongness.
+LAYER-ALGEBRA generality (round 3): ``intersection_layer_general`` /
+``erase_layer_general`` accept polygons that are NON-CONVEX and carry
+HOLES, and erase no longer assumes a disjoint method layer — overlapping
+method features are de-overlapped into one interior-disjoint convex cover
+before area accounting (see the convex-split section below). The original
+``intersection_layer``/``erase_layer``/``union_layer`` (convex method,
+disjoint erase contract) remain for the common fast case.
 
 Spark shape: layers join on a native bbox-bucket equi-join (never a cross
 join), pairs refine in one Arrow kernel; geometry payloads stay out of the
@@ -233,6 +232,321 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
                 out.append(isect(cur, nxt))
         poly = out
     return np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# general polygons (round 3): ear-clip triangulation + convex-split algebra.
+#
+# Retires the round-2 convex-method / disjoint-erase contracts. Instead of a
+# Greiner–Hormann vertex walk (notoriously fragile on vertex-on-edge and
+# shared-edge degeneracies), every general polygon — non-convex, holed — is
+# decomposed ONCE into interior-disjoint CONVEX pieces; all boolean area
+# math then reduces to the exact Sutherland–Hodgman convex kernels above:
+#
+#   A \ B (both convex)  = disjoint pieces via progressive halfplane split
+#   holed polygon        = outer triangles minus hole triangles (convex \ convex)
+#   union of a layer     = sequential de-overlap of pieces (convex \ convex)
+#   area(subject ∩ X)    = sum over X's disjoint pieces of S–H clip areas
+#
+# Piece areas add exactly because pieces are interior-disjoint by
+# construction; no inclusion–exclusion, no special-cased degeneracies.
+# Reference: ``ogr/ogrsf_frmts/generic/ogrlayer.cpp : Intersection/Erase``
+# semantics; decomposition approach is the classic convex-decomposition
+# boolean (public computational-geometry folklore; cf. GEOS overlayng's
+# edge-noding strategy serving the same robustness goal).
+# ---------------------------------------------------------------------------
+
+def _open_ccw(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) > 1 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if geom.shoelace_area(r) < 0:
+        r = r[::-1]
+    return r
+
+
+def triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a SIMPLE polygon (any winding, no
+    holes): list of (3, 2) CCW triangles whose disjoint union is the
+    polygon. O(n^2); collinear vertices are consumed as zero-area ears."""
+    r = _open_ccw(ring)
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    guard = 0
+    while len(idx) > 3 and guard < 4 * len(r) * len(r):
+        guard += 1
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            p0, p1, p2 = r[i0], r[i1], r[i2]
+            c = cross(p0, p1, p2)
+            if c < 0:
+                continue  # reflex
+            if c == 0:
+                idx.pop(k)  # collinear: zero-area ear, drop the vertex
+                clipped = True
+                break
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                q = r[j]
+                # inside OR on the ear boundary blocks the ear: a vertex
+                # exactly on the candidate diagonal would pinch the
+                # remainder polygon into a self-touching shape
+                if (cross(p0, p1, q) >= 0 and cross(p1, p2, q) >= 0
+                        and cross(p2, p0, q) >= 0):
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([p0, p1, p2]))
+                idx.pop(k)
+                clipped = True
+                break
+        if not clipped:  # numerically stuck (degenerate input): fan fallback
+            break
+    if len(idx) == 3:
+        t = r[idx]
+        if cross(t[0], t[1], t[2]) > 0:
+            tris.append(t)
+    elif len(idx) > 3:  # fallback fan (only for degenerate inputs)
+        for k in range(1, len(idx) - 1):
+            t = r[[idx[0], idx[k], idx[k + 1]]]
+            if cross(t[0], t[1], t[2]) > 0:
+                tris.append(t)
+    return tris
+
+
+def _clip_halfplane(poly: np.ndarray, ex1, ey1, ex2, ey2, keep_left: bool) -> np.ndarray:
+    """One Sutherland–Hodgman pass of ``poly`` against the (in)side of a
+    single directed edge. keep_left=True keeps the CCW-interior side."""
+    dx, dy = ex2 - ex1, ey2 - ey1
+    sign = 1.0 if keep_left else -1.0
+    if len(poly) == 0:
+        return poly
+    out = []
+    m = len(poly)
+    for j in range(m):
+        cur, nxt = poly[j], poly[(j + 1) % m]
+        ci = sign * (dx * (cur[1] - ey1) - dy * (cur[0] - ex1)) >= 0
+        ni = sign * (dx * (nxt[1] - ey1) - dy * (nxt[0] - ex1)) >= 0
+        if ci:
+            out.append((cur[0], cur[1]))
+        if ci != ni:
+            sx, sy = nxt[0] - cur[0], nxt[1] - cur[1]
+            denom = dx * sy - dy * sx
+            t = (dx * (cur[1] - ey1) - dy * (cur[0] - ex1)) / -denom
+            out.append((cur[0] + t * sx, cur[1] + t * sy))
+    # drop consecutive duplicates (incl. wraparound): a repeated vertex
+    # becomes a zero-length edge whose halfplane is the whole plane in
+    # later convex_split passes
+    dedup = [p for i, p in enumerate(out) if p != out[i - 1]]
+    return np.asarray(dedup, dtype=np.float64).reshape(-1, 2)
+
+
+def convex_split(a: np.ndarray, b: np.ndarray) -> tuple[list[np.ndarray], np.ndarray]:
+    """(pieces of A \\ B, A ∩ B) for CONVEX a, b — progressive halfplane
+    split: for edge i of b (CCW), piece_i = rem ∩ outside(edge_i) and
+    rem := rem ∩ inside(edge_i). Pieces are convex, interior-disjoint, and
+    together with the final rem partition A exactly."""
+    a = _open_ccw(a)
+    b = _open_ccw(b)
+    pieces: list[np.ndarray] = []
+    rem = a
+    n = len(b)
+    for i in range(n):
+        if len(rem) < 3:
+            break
+        ex1, ey1 = b[i]
+        ex2, ey2 = b[(i + 1) % n]
+        if ex1 == ex2 and ey1 == ey2:
+            continue  # zero-length edge: no halfplane (defense in depth)
+        outside = _clip_halfplane(rem, ex1, ey1, ex2, ey2, keep_left=False)
+        if len(outside) >= 3 and abs(geom.shoelace_area(outside)) > 1e-12:
+            pieces.append(outside)
+        rem = _clip_halfplane(rem, ex1, ey1, ex2, ey2, keep_left=True)
+    inter = rem if len(rem) >= 3 and abs(geom.shoelace_area(rem)) > 1e-12 else \
+        np.empty((0, 2))
+    return pieces, inter
+
+
+def holed_to_pieces(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Disjoint convex cover of a polygon-with-holes (rings[0] outer,
+    rings[1:] holes strictly inside the outer, mutually disjoint):
+    triangulate the outer, subtract every hole triangle via convex_split."""
+    pieces = triangulate(rings[0])
+    for hole in rings[1:]:
+        hole_tris = triangulate(hole)
+        for ht in hole_tris:
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                diff, _inter = convex_split(p, ht)
+                nxt.extend(diff)
+            pieces = nxt
+    return pieces
+
+
+def disjoint_cover(piece_lists: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """De-overlapped union cover across FEATURES: sequentially subtract the
+    already-covered region from each new feature's pieces. The result is a
+    set of interior-disjoint convex pieces whose union is the union of all
+    inputs — this is what lifts the round-2 'method polygons must be
+    mutually disjoint' Erase contract."""
+    cover: list[np.ndarray] = []
+    boxes: list[tuple[float, float, float, float]] = []
+    for pieces in piece_lists:
+        fresh = list(pieces)
+        for d, (bx0, by0, bx1, by1) in zip(list(cover), list(boxes)):
+            nxt: list[np.ndarray] = []
+            for p in fresh:
+                px0, py0 = p.min(axis=0)
+                px1, py1 = p.max(axis=0)
+                if px0 >= bx1 or bx0 >= px1 or py0 >= by1 or by0 >= py1:
+                    nxt.append(p)  # bbox-disjoint: keep whole
+                    continue
+                diff, _ = convex_split(p, d)
+                nxt.extend(diff)
+            fresh = nxt
+            if not fresh:
+                break
+        for p in fresh:
+            cover.append(p)
+            mn = p.min(axis=0)
+            mx = p.max(axis=0)
+            boxes.append((mn[0], mn[1], mx[0], mx[1]))
+    return cover
+
+
+def _all_rings_np(rings) -> list[np.ndarray]:
+    return [np.array([(p["x"], p["y"]) for p in ring], dtype=np.float64)
+            for ring in rings]
+
+
+def area_with_holes(rings: list[np.ndarray]) -> float:
+    a = abs(geom.shoelace_area(_open_ccw(rings[0])))
+    for h in rings[1:]:
+        a -= abs(geom.shoelace_area(_open_ccw(h)))
+    return a
+
+
+def clip_area_general(subject_rings: list[np.ndarray],
+                      method_pieces: list[np.ndarray]) -> float:
+    """area(subject ∩ ∪pieces) for a holed, possibly non-convex subject and
+    interior-disjoint convex pieces: per piece, S–H clip of the outer ring
+    minus S–H clips of the holes; exact because pieces are disjoint and
+    holes are inside the outer."""
+    total = 0.0
+    s_outer = _open_ccw(subject_rings[0])
+    s_holes = [_open_ccw(h) for h in subject_rings[1:]]
+    ox0, oy0 = s_outer.min(axis=0)
+    ox1, oy1 = s_outer.max(axis=0)
+    for p in method_pieces:
+        px0, py0 = p.min(axis=0)
+        px1, py1 = p.max(axis=0)
+        if px0 >= ox1 or ox0 >= px1 or py0 >= oy1 or oy0 >= py1:
+            continue
+        c = clip_ring_convex(s_outer, p)
+        if len(c) < 3:
+            continue
+        a = abs(geom.shoelace_area(c))
+        for h in s_holes:
+            ch = clip_ring_convex(h, p)
+            if len(ch) >= 3:
+                a -= abs(geom.shoelace_area(ch))
+        total += a
+    return total
+
+
+def intersection_layer_general(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """OGRLayer::Intersection analog, GENERAL polygons: subjects and method
+    features may be non-convex and carry holes. One row per pair with a
+    positive intersection area — (id_a, id_b, inter_area)."""
+    pairs = _bucketed_pairs(a, b, id_a, id_b, bucket)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for ia, ib, ra, rb in zip(
+                bt[id_a].values, bt[id_b].values,
+                bt["rings_a"].values, bt["rings_b"].values,
+            ):
+                m_pieces = holed_to_pieces(_all_rings_np(rb))
+                area = clip_area_general(_all_rings_np(ra), m_pieces)
+                if area > 1e-12:
+                    rows.append((ia, ib, area))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_a, id_b, "inter_area"])
+
+    return pairs.mapInPandas(
+        run, schema=f"{id_a} long, {id_b} long, inter_area double"
+    )
+
+
+def erase_layer_general(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """OGRLayer::Erase analog, GENERAL polygons and OVERLAPPING method
+    layers: per subject, the method features it bbox-meets are decomposed
+    into one de-overlapped convex cover (disjoint_cover), so each eroded
+    region is counted once no matter how many method features overlap it.
+    Returns (id_a, area, erased_area, remaining_area) for every subject."""
+    pairs = _bucketed_pairs(a, b, id_a, id_b, bucket)
+    grouped = pairs.groupBy(id_a).agg(
+        F.first("rings_a").alias("rings_a"),
+        F.collect_list("rings_b").alias("methods"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for ia, ra, ms in zip(
+                bt[id_a].values, bt["rings_a"].values, bt["methods"].values,
+            ):
+                s_rings = _all_rings_np(ra)
+                cover = disjoint_cover(
+                    [holed_to_pieces(_all_rings_np(m)) for m in ms]
+                )
+                area = area_with_holes(s_rings)
+                erased = clip_area_general(s_rings, cover)
+                rows.append((ia, area, erased, area - erased))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[id_a, "area", "erased_area", "remaining_area"])
+
+    matched = grouped.mapInPandas(
+        run,
+        schema=f"{id_a} long, area double, erased_area double, "
+               "remaining_area double",
+    )
+    # subjects with no bbox-overlapping method feature: erased = 0
+    # (area = outer ring minus holes, all as native Column math)
+    hole_sum = F.aggregate(
+        F.slice(F.col("rings"), 2, 1 << 30),
+        F.lit(0.0), lambda acc, _r: acc + _ring_area_col(_r),
+    )
+    base = a.select(
+        F.col(id_a),
+        (_ring_area_col(F.col("rings")[0]) - hole_sum).alias("_sum_abs"),
+    )
+    untouched = (
+        base.join(matched.select(id_a), id_a, "left_anti")
+        .select(
+            F.col(id_a),
+            F.col("_sum_abs").alias("area"),
+            F.lit(0.0).alias("erased_area"),
+            F.col("_sum_abs").alias("remaining_area"),
+        )
+    )
+    return matched.unionByName(untouched)
 
 
 # ---------------------------------------------------------------------------

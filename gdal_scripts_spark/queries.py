@@ -1008,6 +1008,148 @@ FROM a LEFT JOIN inter ON inter.id_a = a.id_a
 
 
 # ===========================================================================
+# U2 GENERAL layer algebra (round 3): non-convex L-shaped method polygons,
+# hole-carrying subjects, OVERLAPPING method layers. All coordinates are
+# integers, so every boolean-combination area equals a count of unit cells
+# — the DuckDB oracle counts pixel centers on the integer grid (exact and
+# fully independent of the engine's convex-split decomposition).
+# ===========================================================================
+
+_HOLED_A_SQL = """
+SELECT event_id AS id_a,
+       CAST(event_id * 7919 % 88 AS DOUBLE) AS ax0,
+       CAST(event_id * 4099 % 88 AS DOUBLE) AS ay0,
+       CAST(event_id * 7919 % 88 + 3 + event_id % 6 AS DOUBLE) AS ax1,
+       CAST(event_id * 4099 % 88 + 3 + event_id % 4 AS DOUBLE) AS ay1
+FROM events WHERE event_id % 17 = 0 AND event_id < 5000
+"""
+
+_LSHAPE_SQL = """
+SELECT n_nationkey AS id_b,
+       CAST(n_nationkey * 13 % 80 AS DOUBLE) AS x0,
+       CAST(n_nationkey * 17 % 80 AS DOUBLE) AS y0,
+       CAST(8 + n_nationkey % 5 AS DOUBLE) AS wl,
+       CAST(8 + n_nationkey % 7 AS DOUBLE) AS hl,
+       CAST(3 AS DOUBLE) AS t
+FROM nation WHERE n_nationkey < 25
+"""
+
+_OVLP_M_SQL = """
+SELECT n_nationkey AS id_b,
+       CAST(n_nationkey * 7 % 60 AS DOUBLE) AS bx0,
+       CAST(n_nationkey * 11 % 60 AS DOUBLE) AS by0,
+       CAST(n_nationkey * 7 % 60 + 15 AS DOUBLE) AS bx1,
+       CAST(n_nationkey * 11 % 60 + 15 AS DOUBLE) AS by1
+FROM nation WHERE n_nationkey < 25
+"""
+
+_CELLS_SQL = """
+SELECT CAST(u AS DOUBLE) + 5.0e-1 AS cx, CAST(v AS DOUBLE) + 5.0e-1 AS cy
+FROM range(0, 100) AS t1(u), range(0, 100) AS t2(v)
+"""
+
+
+def _pt_struct(x, y):
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def _holed_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a = spark.sql(_HOLED_A_SQL)
+    c = F.col
+    outer = F.array(
+        _pt_struct(c("ax0"), c("ay0")), _pt_struct(c("ax1"), c("ay0")),
+        _pt_struct(c("ax1"), c("ay1")), _pt_struct(c("ax0"), c("ay1")),
+    )
+    hole = F.array(
+        _pt_struct(c("ax0") + 1, c("ay0") + 1),
+        _pt_struct(c("ax1") - 1, c("ay0") + 1),
+        _pt_struct(c("ax1") - 1, c("ay1") - 1),
+        _pt_struct(c("ax0") + 1, c("ay1") - 1),
+    )
+    return a.select("id_a", F.array(outer, hole).alias("rings"))
+
+
+def _lshape_methods(spark: SparkSession) -> DataFrame:
+    lyr = spark.sql(_LSHAPE_SQL)
+    c = F.col
+    ring = F.array(
+        _pt_struct(c("x0"), c("y0")),
+        _pt_struct(c("x0") + c("wl"), c("y0")),
+        _pt_struct(c("x0") + c("wl"), c("y0") + c("t")),
+        _pt_struct(c("x0") + c("t"), c("y0") + c("t")),
+        _pt_struct(c("x0") + c("t"), c("y0") + c("hl")),
+        _pt_struct(c("x0"), c("y0") + c("hl")),
+    )
+    return lyr.select("id_b", F.array(ring).alias("rings"))
+
+
+def _q_overlay_intersection_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import overlay
+
+    a = _holed_subjects(spark, sf_dir)
+    b = _lshape_methods(spark)
+    return overlay.intersection_layer_general(a, b, bucket=32.0).select(
+        "id_a", "id_b", F.round("inter_area", 6).alias("inter_area")
+    )
+
+_add("overlay_intersection_general", _q_overlay_intersection_general, f"""
+WITH a AS ({_HOLED_A_SQL}), l AS ({_LSHAPE_SQL}),
+pairs AS (
+  SELECT id_a, ax0, ay0, ax1, ay1, id_b, x0, y0, wl, hl, t
+  FROM a JOIN l
+    ON ax0 < x0 + wl AND x0 < ax1 AND ay0 < y0 + hl AND y0 < ay1
+),
+cells AS ({_CELLS_SQL})
+SELECT id_a, id_b, CAST(count(*) AS DOUBLE) AS inter_area
+FROM pairs, cells
+WHERE cx > ax0 AND cx < ax1 AND cy > ay0 AND cy < ay1
+  AND NOT (cx > ax0 + 1 AND cx < ax1 - 1 AND cy > ay0 + 1 AND cy < ay1 - 1)
+  AND ((cx > x0 AND cx < x0 + wl AND cy > y0 AND cy < y0 + t)
+    OR (cx > x0 AND cx < x0 + t AND cy > y0 + t AND cy < y0 + hl))
+GROUP BY id_a, id_b
+""")
+
+
+def _q_overlay_erase_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import overlay
+
+    a = _holed_subjects(spark, sf_dir)
+    m = spark.sql(_OVLP_M_SQL).select(
+        "id_b", _rect_rings("bx0", "by0", "bx1", "by1").alias("rings")
+    )
+    return overlay.erase_layer_general(a, m, bucket=32.0).select(
+        "id_a", F.round("area", 6).alias("area"),
+        F.round("erased_area", 6).alias("erased_area"),
+        F.round("remaining_area", 6).alias("remaining_area"),
+    )
+
+_add("overlay_erase_general", _q_overlay_erase_general, f"""
+WITH a AS ({_HOLED_A_SQL}), m AS ({_OVLP_M_SQL}),
+cells AS ({_CELLS_SQL}),
+subj_cells AS (
+  SELECT id_a, cx, cy
+  FROM a, cells
+  WHERE cx > ax0 AND cx < ax1 AND cy > ay0 AND cy < ay1
+    AND NOT (cx > ax0 + 1 AND cx < ax1 - 1 AND cy > ay0 + 1 AND cy < ay1 - 1)
+),
+tot AS (SELECT id_a, count(*) AS n FROM subj_cells GROUP BY id_a),
+er AS (
+  SELECT id_a, count(*) AS n FROM (
+    SELECT DISTINCT s.id_a, s.cx, s.cy
+    FROM subj_cells s JOIN m
+      ON s.cx > bx0 AND s.cx < bx1 AND s.cy > by0 AND s.cy < by1
+  ) GROUP BY id_a
+)
+SELECT t.id_a,
+       CAST(t.n AS DOUBLE) AS area,
+       CAST(coalesce(er.n, 0) AS DOUBLE) AS erased_area,
+       CAST(t.n - coalesce(er.n, 0) AS DOUBLE) AS remaining_area
+FROM tot t LEFT JOIN er ON t.id_a = er.id_a
+""")
+
+
+# ===========================================================================
 # gdal_grid family (R8/J4): IDW + radius data metrics over event-derived
 # points (value = events.value), queries derived from customer keys
 # ===========================================================================
@@ -1434,6 +1576,7 @@ _FRONT_WINDOW = [
     "pyramid_levels", "streaming_ingest", "warp_resize", "jpeg_psnr_gate",
     # round-3 additions (never driver-verified, by construction)
     "warp_cubic", "warp_reproject_geodetic",
+    "overlay_intersection_general", "overlay_erase_general",
 ]
 
 

@@ -137,3 +137,113 @@ def test_predicate_join_matches_kernel(spark):
     assert (1, 5) in rows and rows[(1, 5)]["overlaps"]
     assert (1, 6) in rows and rows[(1, 6)]["touches"]
     assert (2, 7) not in rows  # bbox-disjoint pairs pruned natively
+
+
+# ---------------------------------------------------------------------------
+# round 3: general polygons (non-convex, holed, overlapping method layers)
+# ---------------------------------------------------------------------------
+
+def _area_of(pieces):
+    return sum(abs(geom.shoelace_area(p)) for p in pieces)
+
+
+L_SHAPE = np.array([(0, 0), (10, 0), (10, 3), (3, 3), (3, 12), (0, 12)], float)
+SQ10 = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+HOLE4 = np.array([(3, 3), (7, 3), (7, 7), (3, 7)], float)
+
+
+def test_triangulate_lshape_exact_area():
+    tris = overlay.triangulate(L_SHAPE)
+    assert len(tris) == 4
+    assert _area_of(tris) == 57.0
+
+
+def test_convex_split_partitions_exactly():
+    b = np.array([(5, 5), (15, 5), (15, 15), (5, 15)], float)
+    diff, inter = overlay.convex_split(SQ10, b)
+    assert _area_of(diff) == 75.0
+    assert abs(geom.shoelace_area(inter)) == 25.0
+
+
+def test_holed_pieces_and_disjoint_cover():
+    assert _area_of(overlay.holed_to_pieces([SQ10, HOLE4])) == 84.0
+    c = np.array([(5, 0), (15, 0), (15, 10), (5, 10)], float)
+    cover = overlay.disjoint_cover(
+        [overlay.triangulate(SQ10), overlay.triangulate(c)]
+    )
+    assert _area_of(cover) == 150.0
+
+
+def test_clip_area_general_holed_subject_lshape_method():
+    got = overlay.clip_area_general(
+        [SQ10, HOLE4], overlay.holed_to_pieces([L_SHAPE])
+    )
+    assert abs(got - 51.0) < 1e-9
+
+
+def test_general_machinery_vs_raster_oracle():
+    """Randomized cross-check: erase area of holed subjects under
+    OVERLAPPING L-shaped methods vs a 10x-supersampled pixel-center
+    rasterization oracle (independent sequential numpy)."""
+    rng = np.random.default_rng(11)
+    N = 10  # supersample factor; all coords integers so centers never touch edges
+    for trial in range(6):
+        ox0, oy0 = rng.integers(0, 6, 2)
+        w, h = rng.integers(6, 14, 2)
+        outer = np.array([(ox0, oy0), (ox0 + w, oy0), (ox0 + w, oy0 + h),
+                          (ox0, oy0 + h)], float)
+        hole = np.array([(ox0 + 1, oy0 + 1), (ox0 + w - 1, oy0 + 1),
+                         (ox0 + w - 1, oy0 + h - 1), (ox0 + 1, oy0 + h - 1)],
+                        float)
+        methods = []
+        for _ in range(3):
+            mx, my = rng.integers(0, 15, 2)
+            wl, hl = rng.integers(4, 10, 2)
+            t = int(rng.integers(1, 4))
+            methods.append(np.array([
+                (mx, my), (mx + wl, my), (mx + wl, my + t), (mx + t, my + t),
+                (mx + t, my + hl), (mx, my + hl)], float))
+        cover = overlay.disjoint_cover(
+            [overlay.holed_to_pieces([m]) for m in methods]
+        )
+        got = overlay.clip_area_general([outer, hole], cover)
+
+        # oracle: pixel centers on a 1/N grid over [0,32)^2
+        g = (np.arange(32 * N) + 0.5) / N
+        X, Y = np.meshgrid(g, g)
+        in_subj = ((X > ox0) & (X < ox0 + w) & (Y > oy0) & (Y < oy0 + h)
+                   & ~((X > ox0 + 1) & (X < ox0 + w - 1)
+                       & (Y > oy0 + 1) & (Y < oy0 + h - 1)))
+        in_any = np.zeros_like(in_subj)
+        for m in methods:
+            mx, my = m[0]
+            wl = m[1][0] - mx
+            t = m[2][1] - my
+            hl = m[5][1] - my
+            in_any |= ((X > mx) & (X < mx + wl) & (Y > my) & (Y < my + t)) | (
+                (X > mx) & (X < mx + t) & (Y > my + t) & (Y < my + hl))
+        want = (in_subj & in_any).sum() / (N * N)
+        assert abs(got - want) < 1e-9, (trial, got, want)
+
+
+def test_erase_layer_general_spark_overlapping_methods(spark):
+    """Spark end-to-end: overlapping method rects must not double-count."""
+    def rings_row(*rings):
+        return [[{"x": float(x), "y": float(y)} for (x, y) in r] for r in rings]
+
+    a = spark.createDataFrame(
+        [(1, rings_row([(0, 0), (10, 0), (10, 10), (0, 10)],
+                       [(3, 3), (7, 3), (7, 7), (3, 7)]))],
+        schema="id_a long, rings array<array<struct<x:double,y:double>>>",
+    )
+    b = spark.createDataFrame(
+        [(1, rings_row([(0, 0), (6, 0), (6, 6), (0, 6)])),
+         (2, rings_row([(4, 0), (10, 0), (10, 6), (4, 6)]))],
+        schema="id_b long, rings array<array<struct<x:double,y:double>>>",
+    )
+    row = overlay.erase_layer_general(a, b, bucket=8.0).collect()[0]
+    # union of methods = [0,10]x[0,6] = 60; subject minus hole inside it:
+    # 60 - hole∩ = 60 - (4x3) = 48 erased; subject area 84; remaining 36
+    assert abs(row.area - 84.0) < 1e-9
+    assert abs(row.erased_area - 48.0) < 1e-9
+    assert abs(row.remaining_area - 36.0) < 1e-9
