@@ -1150,6 +1150,187 @@ FROM tot t LEFT JOIN er ON t.id_a = er.id_a
 
 
 # ===========================================================================
+# LineString features (round 3): deterministic 4-vertex polylines derived
+# from events — shared SQL fragment (parses in BOTH dialects), Spark side
+# assembles the pts array and uses the pure-Column kernels in lines.py.
+# Multiplier choice guarantees every segment has nonzero length (no
+# (dki_x, dki_y) pair can be (0,0) mod 9), so centroids are well-defined.
+# ===========================================================================
+
+_LINES_SQL = """
+SELECT event_id AS line_id,
+       CAST(event_id % 4 AS STRING) AS grp,
+       CAST(event_id * 7919 % 900 AS DOUBLE) / 1.0e1 AS x0,
+       CAST(event_id * 4099 % 900 AS DOUBLE) / 1.0e1 AS y0,
+       CAST(event_id % 9 AS DOUBLE) - 4 AS d1x,
+       CAST(event_id * 3 % 9 AS DOUBLE) - 4 AS d1y,
+       CAST(event_id * 5 % 9 AS DOUBLE) - 4 AS d2x,
+       CAST(event_id * 7 % 9 AS DOUBLE) - 4 AS d2y,
+       CAST(event_id * 2 % 9 AS DOUBLE) - 4 AS d3x,
+       CAST(event_id * 4 % 9 AS DOUBLE) - 4 AS d3y
+FROM events WHERE event_id % 11 = 0 AND event_id < 9000
+"""
+
+# unrolled vertex xs/ys as SQL strings (vertex k = base + prefix sums)
+_LX = ["x0", "(x0 + d1x)", "(x0 + d1x + d2x)", "(x0 + d1x + d2x + d3x)"]
+_LY = ["y0", "(y0 + d1y)", "(y0 + d1y + d2y)", "(y0 + d1y + d2y + d3y)"]
+_LSEG_LEN = [
+    "sqrt(d1x*d1x + d1y*d1y)",
+    "sqrt(d2x*d2x + d2y*d2y)",
+    "sqrt(d3x*d3x + d3y*d3y)",
+]
+_LLEN_SQL = " + ".join(_LSEG_LEN)
+
+
+def _lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lines as _lines  # noqa: F401 (module used by callers)
+
+    register_views(spark, sf_dir)
+    base = spark.sql(_LINES_SQL)
+    c = F.col
+    vx = [c("x0"), c("x0") + c("d1x"), c("x0") + c("d1x") + c("d2x"),
+          c("x0") + c("d1x") + c("d2x") + c("d3x")]
+    vy = [c("y0"), c("y0") + c("d1y"), c("y0") + c("d1y") + c("d2y"),
+          c("y0") + c("d1y") + c("d2y") + c("d3y")]
+    pts = F.array(*[_pt_struct(x, y) for x, y in zip(vx, vy)])
+    return base.select("line_id", "grp", pts.alias("pts"))
+
+
+def _q_lines_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lines as _lines
+
+    df = _lines_df(spark, sf_dir)
+    cx, cy = _lines.centroid_cols(F.col("pts"))
+    x0c, y0c, x1c, y1c = _lines.bbox_cols(F.col("pts"))
+    return df.select(
+        "line_id",
+        F.round(_lines.length_col(F.col("pts")), 6).alias("length"),
+        F.round(cx, 6).alias("cx"),
+        F.round(cy, 6).alias("cy"),
+        F.round(x0c, 6).alias("xmin"),
+        F.round(y1c, 6).alias("ymax"),
+        F.size("pts").alias("npoints"),
+    )
+
+_add("lines_scalar_cols", _q_lines_scalar, f"""
+WITH l AS ({_LINES_SQL})
+SELECT line_id,
+       CAST(round({_LLEN_SQL}, 6) AS DOUBLE) AS length,
+       CAST(round((  {_LSEG_LEN[0]} * ({_LX[0]} + {_LX[1]}) / 2
+                   + {_LSEG_LEN[1]} * ({_LX[1]} + {_LX[2]}) / 2
+                   + {_LSEG_LEN[2]} * ({_LX[2]} + {_LX[3]}) / 2)
+                  / ({_LLEN_SQL}), 6) AS DOUBLE) AS cx,
+       CAST(round((  {_LSEG_LEN[0]} * ({_LY[0]} + {_LY[1]}) / 2
+                   + {_LSEG_LEN[1]} * ({_LY[1]} + {_LY[2]}) / 2
+                   + {_LSEG_LEN[2]} * ({_LY[2]} + {_LY[3]}) / 2)
+                  / ({_LLEN_SQL}), 6) AS DOUBLE) AS cy,
+       CAST(round(least({", ".join(_LX)}), 6) AS DOUBLE) AS xmin,
+       CAST(round(greatest({", ".join(_LY)}), 6) AS DOUBLE) AS ymax,
+       4 AS npoints
+FROM l
+""")
+
+
+def _q_lines_length_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lines as _lines
+
+    df = _lines_df(spark, sf_dir)
+    return (
+        df.select("grp", _lines.length_col(F.col("pts")).alias("len"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("len"), 4).alias("total_len"),
+            F.round(F.avg("len"), 4).alias("avg_len"),
+        )
+    )
+
+_add("lines_length_agg", _q_lines_length_agg, f"""
+WITH l AS ({_LINES_SQL})
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum({_LLEN_SQL}), 4) AS DOUBLE) AS total_len,
+       CAST(round(avg({_LLEN_SQL}), 4) AS DOUBLE) AS avg_len
+FROM l GROUP BY grp
+""")
+
+
+def _q_lines_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lines as _lines
+
+    df = _lines_df(spark, sf_dir)
+    rects = spark.sql(_RECT_A_SQL).select(
+        "id_a", F.col("ax0").alias("rx0"), F.col("ay0").alias("ry0"),
+        F.col("ax1").alias("rx1"), F.col("ay1").alias("ry1"),
+    )
+    return _lines.bbox_join(df, rects, bucket=16.0)
+
+_add("lines_bbox_join_rects", _q_lines_bbox_join, f"""
+WITH l AS ({_LINES_SQL}), a AS ({_RECT_A_SQL}),
+env AS (
+  SELECT line_id,
+         least({", ".join(_LX)}) AS lx0, greatest({", ".join(_LX)}) AS lx1,
+         least({", ".join(_LY)}) AS ly0, greatest({", ".join(_LY)}) AS ly1
+  FROM l
+)
+SELECT line_id, id_a
+FROM env JOIN a
+  ON lx0 <= ax1 AND ax0 <= lx1 AND ly0 <= ay1 AND ay0 <= ly1
+""")
+
+
+def _lb_clip_sql(k: int, X0: float, Y0: float, X1: float, Y1: float) -> str:
+    """Liang–Barsky clipped length of segment k as a DuckDB SQL expression
+    (mirrors lines.clip_length_rect; d==0 handled by the slab-band case)."""
+    px, py = _LX[k], _LY[k]
+    dx, dy = f"d{k + 1}x", f"d{k + 1}y"
+
+    def slab(p, d, lo_b, hi_b):
+        lo = (f"CASE WHEN {d} <> 0 THEN least(({lo_b} - {p}) / {d}, "
+              f"({hi_b} - {p}) / {d}) "
+              f"WHEN {p} >= {lo_b} AND {p} <= {hi_b} THEN -1.0e308 "
+              f"ELSE 1 END")
+        hi = (f"CASE WHEN {d} <> 0 THEN greatest(({lo_b} - {p}) / {d}, "
+              f"({hi_b} - {p}) / {d}) "
+              f"WHEN {p} >= {lo_b} AND {p} <= {hi_b} THEN 1.0e308 "
+              f"ELSE 0 END")
+        return lo, hi
+
+    xlo, xhi = slab(px, dx, X0, X1)
+    ylo, yhi = slab(py, dy, Y0, Y1)
+    return (f"({_LSEG_LEN[k]} * greatest(0, least(1, {xhi}, {yhi}) "
+            f"- greatest(0, {xlo}, {ylo})))")
+
+
+def _q_lines_clip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import lines as _lines
+
+    df = _lines_df(spark, sf_dir)
+    clip = _lines.clip_length_rect(F.col("pts"), 20.0, 10.0, 70.0, 60.0)
+    return df.select(
+        "line_id",
+        F.round(_lines.length_col(F.col("pts")), 6).alias("length"),
+        F.round(clip, 6).alias("clip_len"),
+    ).filter(F.col("clip_len") > 0)
+
+_add("lines_clip_rect", _q_lines_clip_rect, f"""
+WITH l AS ({_LINES_SQL}),
+c AS (
+  SELECT line_id,
+         {_LLEN_SQL} AS len,
+         {_lb_clip_sql(0, 20.0, 10.0, 70.0, 60.0)}
+       + {_lb_clip_sql(1, 20.0, 10.0, 70.0, 60.0)}
+       + {_lb_clip_sql(2, 20.0, 10.0, 70.0, 60.0)} AS clip
+  FROM l
+)
+SELECT line_id,
+       CAST(round(len, 6) AS DOUBLE) AS length,
+       CAST(round(clip, 6) AS DOUBLE) AS clip_len
+FROM c WHERE round(clip, 6) > 0
+""")
+
+
+# ===========================================================================
 # gdal_grid family (R8/J4): IDW + radius data metrics over event-derived
 # points (value = events.value), queries derived from customer keys
 # ===========================================================================
@@ -1577,6 +1758,8 @@ _FRONT_WINDOW = [
     # round-3 additions (never driver-verified, by construction)
     "warp_cubic", "warp_reproject_geodetic",
     "overlay_intersection_general", "overlay_erase_general",
+    "lines_scalar_cols", "lines_length_agg", "lines_bbox_join_rects",
+    "lines_clip_rect",
 ]
 
 
