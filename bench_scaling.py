@@ -187,6 +187,60 @@ spark.stop()
 """
 
 
+BUCKET_AB = r"""
+import json, sys, time, os, shutil
+from pyspark.sql import functions as F
+from gdal_scripts_spark import bucketing, joins, fixtures
+from gdal_scripts_spark.session import get_spark
+cpus = 32; n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{cpus}g"
+wh = "/dev/shm/spark-graft-warehouse" if os.path.isdir("/dev/shm") else None
+extra = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+if wh:
+    shutil.rmtree(wh, ignore_errors=True)
+    extra["spark.sql.warehouse.dir"] = wh
+spark = get_spark(app_name="bucket_ab", cpus=cpus, shuffle_partitions=2*cpus,
+                  extra_conf=extra)
+# synthetic cell-keyed fact + dim; ONE bucketed write (the amortized cost),
+# then the same join bucketed vs plain — evidence for the 100 TB
+# co-location story (Iceberg: PARTITIONED BY (bucket(N, cell)))
+fact = spark.range(0, n, 1, 4*cpus).select(
+    F.col("id"), F.pmod(F.xxhash64("id"), F.lit(100000)).alias("cell"),
+    (F.col("id") % 1000).alias("v"))
+dim = spark.range(0, 100000, 1, 8).select(
+    F.col("id").alias("cell"), F.pmod(F.xxhash64("id", F.lit(7)), F.lit(97)).alias("w"))
+for t in ("bf", "bd"):
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+t0 = time.time()
+bucketing.write_bucketed(fact, "bf", key="cell", n_buckets=2*cpus)
+bucketing.write_bucketed(dim, "bd", key="cell", n_buckets=2*cpus)
+t_write = round(time.time() - t0, 3)
+agg = lambda d: d.select((F.col("v") * F.col("w")).alias("x")).agg(
+    F.sum("x"), F.count("*")).collect()
+res = {"n": n, "t_bucketed_write": t_write}
+co = bucketing.bucketed_join(spark, "bf", "bd", "cell")
+res["exchanges_bucketed"] = bucketing.count_exchanges(co)
+# plain arm: same data re-read WITHOUT bucket metadata (raw parquet files)
+fact.write.mode("overwrite").parquet((wh or "/tmp") + "/plain_fact")
+dim.write.mode("overwrite").parquet((wh or "/tmp") + "/plain_dim")
+pf = spark.read.parquet((wh or "/tmp") + "/plain_fact")
+pd_ = spark.read.parquet((wh or "/tmp") + "/plain_dim")
+pj = pf.join(pd_, "cell")
+res["exchanges_plain"] = bucketing.count_exchanges(pj)
+for arm, d in (("bucketed", co), ("plain", pj)):
+    agg(d)  # warm
+    walls = []
+    for _ in range(3):
+        t0 = time.time(); agg(d); walls.append(round(time.time() - t0, 3))
+    res[f"wall_{arm}"] = min(walls); res[f"walls_{arm}"] = walls
+res["speedup"] = round(res["wall_plain"] / res["wall_bucketed"], 3)
+print(json.dumps(res), flush=True)
+for t in ("bf", "bd"):
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+spark.stop()
+"""
+
+
 def run_worker(script: str, *args: str) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
@@ -308,6 +362,7 @@ def main() -> None:
     s_off = run_worker(SALT_AB, "nosalt")
     results["salting"] = {"on": s_on, "off": s_off,
                           "speedup": round(s_off["wall_s"] / s_on["wall_s"], 3)}
+    results["bucketed_join"] = run_worker(BUCKET_AB)
     results["control_mp"] = control_mp()
     results["control_pip_kernel"] = control_pip_kernel()
     wls = results["workloads"]
@@ -383,6 +438,19 @@ unsalted {s_off["wall_s"]} s vs salted {s_on["wall_s"]} s →
 ({s_on["pairs"]:,} result pairs, identical in both arms; with AQE skew
 handling ON Spark's runtime splitter adds the same defense automatically —
 the engine ships both).
+
+**Bucketed co-located join A/B at local[32]** (fact {results["bucketed_join"]["n"]:,}
+rows x 100k-row dim on `cell`, broadcast disabled so the co-location effect
+is visible): bucketed-table join plan has
+**{results["bucketed_join"]["exchanges_bucketed"]} Exchange nodes** vs
+{results["bucketed_join"]["exchanges_plain"]} for the identical join over
+plain parquet; wall {results["bucketed_join"]["wall_bucketed"]} s vs
+{results["bucketed_join"]["wall_plain"]} s →
+**{results["bucketed_join"]["speedup"]}x from co-location** (one-time
+bucketed write {results["bucketed_join"]["t_bucketed_write"]} s amortizes
+across every subsequent join; Iceberg deployment =
+`PARTITIONED BY (bucket(N, cell))`). This turns the 100 TB "pre-shuffle the
+points table once" story from a plan assertion into a measured delta.
 
 Hardware: {platform.processor() or "x86_64"}, 32 vCPU (1 thread/core
 reported), single node, one shared disk, virtualized (avg ~3% CPU steal,
