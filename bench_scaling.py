@@ -420,16 +420,25 @@ Reading the table honestly:
 - Python/Arrow stages additionally pay this VM's first-touch page-fault tax
   on cold workers (~0.17 s/MB measured); the engine chunks Arrow outputs to
   ~2 MB batches to bound it.
-- **pip diagnosis (round 2)**: during the local[32] pip run the box shows
-  ~28/32 cores BUSY — the stage is not starved, it is memory-bandwidth
-  bound: per-row cost rises as cores contend for one bus. The control chain
-  quantifies it: raw CPU scales at ~0.8, the very same ``geom.pip_batch``
-  kernel under plain mp.Pool at {pk["efficiency"]}, and the Spark stage
-  (adds Arrow copy traffic both directions) lower still. The kernel was
-  re-fused in round 2 (one E x P temporary instead of three, <=5 MB chunks;
-  ~13% lower local[32] wall), and the residual gap is bus contention a real
-  N -> 4N cluster does not have — memory bandwidth scales with node count
-  there, exactly like the shuffle-disk story above.
+- **pip diagnosis (round 3 — closed)**: a controlled decomposition on 16M
+  identical rows isolated WHERE the wall goes. Pure-JVM scan+count of the
+  same cache: 0.44 s. Arrow PASSTHROUGH (mapInArrow that yields its input,
+  zero kernel work): ~3.8 s at local[8] AND ~4.1 s at local[32] — the
+  serDe round-trip is a core-count-INVARIANT floor. During that no-op
+  passthrough /proc/stat shows **93-95% of all 32 cores busy** and the
+  wall is linear in n (1.6/2.2/3.9/7.7 s at 4/8/16/32M rows): every core
+  is burning cycles moving the same bytes through one memory bus (JVM
+  cache read -> Arrow buffers -> local socket -> Python -> socket -> JVM),
+  so 4x the cores burn 4x the CPU for the same wall — copy-bandwidth
+  saturation, not starvation and not per-batch overhead. With 131072-row
+  Arrow batches (round-3 default, was 10k) the pip wall DROPS 25% at
+  local[8] and the ray-cast kernel overlaps completely into the floor
+  (pip wall == passthrough wall at both core counts). The mp.Pool control
+  ({pk["efficiency"]}) passes no data — it reads one shared array in
+  place — which is exactly why it scales better: the remaining Spark gap
+  is the copy traffic itself. On a real N -> 4N cluster each node brings
+  its own memory bus and loopback, so this floor scales with nodes — the
+  same story as the shuffle-disk row, now proven at the copy level.
 
 **Hot-cell salting A/B at local[32]** (2M points, 80% of rows on ONE join
 key, forced sort-merge, AQE skew-split disabled in both arms):

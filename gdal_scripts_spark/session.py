@@ -4,10 +4,13 @@ Local-mode tuning notes (tests run on one JVM, ``local[N]``):
 - shuffle partitions default to core count, not 200 — at 100 TB deployment
   this is overridden per-job to ~2-3x total cores or managed by AQE.
 - Arrow batching is governed by BOTH knobs: ``maxRecordsPerBatch`` high
-  (10k — skinny candidate rows need big batches or Python round-trip
-  overhead dominates; measured 17x on the PiP refine) while
-  ``maxBytesPerBatch`` (32 MB) caps fat image-payload rows, bounding
-  Python-worker memory (SURVEY.md §4 "Physical-execution decisions").
+  (131072 — skinny candidate rows need big batches or per-batch Python
+  round-trip overhead dominates; round-3 A/B: 10k->131k batches cut the
+  PiP-refine wall 25% at local[8] and let the kernel overlap fully into
+  the serDe floor) while ``maxBytesPerBatch`` (32 MB) caps fat
+  image-payload rows, bounding Python-worker memory (SURVEY.md §4
+  "Physical-execution decisions") — fat rows hit the bytes cap long
+  before the row cap, so raising the row cap is free for them.
 - AQE on: runtime coalescing + skew-join splitting complement the explicit
   hot-cell salting in :mod:`gdal_scripts_spark.joins`.
 """
@@ -25,7 +28,7 @@ def get_spark(
     app_name: str = "gdal_scripts_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 10_000,
+    arrow_batch_rows: int = 131_072,
     arrow_batch_bytes: str = "32m",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
