@@ -45,7 +45,27 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def control_unit_s() -> float:
+    """No-Spark numpy+zlib unit wall — this VM's effective speed drifts up
+    to ~10x across hours (BENCH/BASELINE.md), so absolute query walls are
+    only comparable across rounds when normalized by this control."""
+    import zlib
+
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rng = np.random.default_rng(0)
+        for _i in range(30):
+            a = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+            zlib.compress(a.tobytes(), 3)
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
+    ctrl_pre = control_unit_s()
     spark = get_spark(app_name="gdal_scripts_spark_bench", cpus=CPUS,
                       shuffle_partitions=2 * CPUS)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -121,6 +141,7 @@ def main() -> None:
                 "n_points": N_POINTS,
                 "n_images": N_IMAGES,
                 "cpus": CPUS,
+                "control_unit_s": round(min(ctrl_pre, control_unit_s()), 4),
             }
         )
     )
