@@ -462,6 +462,78 @@ def clip_area_general(subject_rings: list[np.ndarray],
     return total
 
 
+def polygon_predicates_general(rings_a: list[np.ndarray],
+                               rings_b: list[np.ndarray],
+                               tol: float = 1e-6) -> dict[str, bool]:
+    """GEOS boolean relations for GENERAL polygons — non-convex outers,
+    holes (rings[0] outer, rest holes). Derivation (areal x areal):
+
+    - interiors intersect  <=>  area(a ∩ b) > 0 (open-set overlap of areal
+      regions always has positive measure); computed exactly via the
+      convex-split decomposition
+    - contains/within      <=>  area(a ∩ b) equals area(b) / area(a)
+      (an areal region poking outside the other always contributes
+      positive area — no zero-width protrusions exist for simple rings)
+    - boundary contact     <=>  any edge pair of ANY ring of a x ANY ring
+      of b properly crosses or touches (a boundary point strictly interior
+      to the other region already implies interior overlap, so edge-pair
+      contact is the only extra case)
+    - touches = intersects and not interiors; crosses identically false
+      (GEOS dimension rule for two areas).
+    """
+    a_rings = [_open_ccw(r) for r in rings_a]
+    b_rings = [_open_ccw(r) for r in rings_b]
+    area_a = area_with_holes(rings_a)
+    area_b = area_with_holes(rings_b)
+    inter = clip_area_general(rings_a, holed_to_pieces(rings_b))
+    interiors = inter > tol
+    contains = interiors and abs(inter - area_b) <= tol
+    within = interiors and abs(inter - area_a) <= tol
+
+    ea = np.concatenate([_edges(r) for r in a_rings])
+    eb = np.concatenate([_edges(r) for r in b_rings])
+    proper, touch = _seg_relations(ea, eb)
+    intersects = bool(interiors or proper or touch)
+    return {
+        "intersects": intersects,
+        "touches": intersects and not interiors,
+        "contains": bool(contains),
+        "within": bool(within),
+        "equals": bool(contains and within),
+        "overlaps": bool(interiors and not contains and not within),
+        "crosses": False,
+        "disjoint": not intersects,
+    }
+
+
+def predicate_join_general(
+    a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    bucket: float = 32.0,
+) -> DataFrame:
+    """P5 as a join over GENERAL polygons (holes, non-convex): one truth
+    row per bbox-overlapping candidate pair (disjoint-but-bbox-meeting
+    pairs are emitted with the constant disjoint row — same contract as
+    the bucketed candidate join)."""
+    pairs = _bucketed_pairs(a, b, id_a, id_b, bucket)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            rows = []
+            for ia, ib, ra, rb in zip(
+                bt[id_a].values, bt[id_b].values,
+                bt["rings_a"].values, bt["rings_b"].values,
+            ):
+                p = polygon_predicates_general(
+                    _all_rings_np(ra), _all_rings_np(rb)
+                )
+                rows.append((ia, ib) + tuple(bool(p[k]) for k in PREDICATES))
+            if rows:
+                yield pd.DataFrame(rows, columns=[id_a, id_b, *PREDICATES])
+
+    preds = ", ".join(f"{k} boolean" for k in PREDICATES)
+    return pairs.mapInPandas(run, schema=f"{id_a} long, {id_b} long, {preds}")
+
+
 def intersection_layer_general(
     a: DataFrame, b: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     bucket: float = 32.0,

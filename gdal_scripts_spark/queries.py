@@ -1111,6 +1111,80 @@ GROUP BY id_a, id_b
 """)
 
 
+def _q_geos_predicates_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import overlay
+
+    a = _holed_subjects(spark, sf_dir)
+    b = _lshape_methods(spark)
+    return overlay.predicate_join_general(a, b, bucket=32.0)
+
+# oracle: cells give interiors/contains/within EXACTLY for integer-coord
+# regions (any nonempty open overlap of integer-bounded regions contains a
+# unit-cell center); `intersects` adds closure contact via closed-interval
+# logic per L leg, minus the only no-contact case (leg strictly inside the
+# open hole)
+_add("geos_predicates_general", _q_geos_predicates_general, f"""
+WITH a AS ({_HOLED_A_SQL}), l AS ({_LSHAPE_SQL}),
+legs AS (
+  SELECT id_b, x0 AS rx0, y0 AS ry0, x0 + wl AS rx1, y0 + t AS ry1 FROM l
+  UNION ALL
+  SELECT id_b, x0, y0 + t, x0 + t, y0 + hl FROM l
+),
+pairs AS (
+  SELECT id_a, ax0, ay0, ax1, ay1, id_b, x0, y0, wl, hl, t
+  FROM a JOIN l
+    ON ax0 <= x0 + wl AND x0 <= ax1 AND ay0 <= y0 + hl AND y0 <= ay1
+),
+cells AS ({_CELLS_SQL}),
+ca AS (
+  SELECT id_a, count(*) AS c_a FROM a, cells
+  WHERE cx > ax0 AND cx < ax1 AND cy > ay0 AND cy < ay1
+    AND NOT (cx > ax0 + 1 AND cx < ax1 - 1 AND cy > ay0 + 1 AND cy < ay1 - 1)
+  GROUP BY id_a
+),
+cb AS (
+  SELECT id_b, count(*) AS c_b FROM l, cells
+  WHERE (cx > x0 AND cx < x0 + wl AND cy > y0 AND cy < y0 + t)
+     OR (cx > x0 AND cx < x0 + t AND cy > y0 + t AND cy < y0 + hl)
+  GROUP BY id_b
+),
+cab AS (
+  SELECT id_a, id_b, count(*) AS c_ab FROM pairs, cells
+  WHERE cx > ax0 AND cx < ax1 AND cy > ay0 AND cy < ay1
+    AND NOT (cx > ax0 + 1 AND cx < ax1 - 1 AND cy > ay0 + 1 AND cy < ay1 - 1)
+    AND ((cx > x0 AND cx < x0 + wl AND cy > y0 AND cy < y0 + t)
+      OR (cx > x0 AND cx < x0 + t AND cy > y0 + t AND cy < y0 + hl))
+  GROUP BY id_a, id_b
+),
+cl AS (
+  SELECT p.id_a, p.id_b,
+         max(CASE WHEN greatest(p.ax0, g.rx0) <= least(p.ax1, g.rx1)
+                   AND greatest(p.ay0, g.ry0) <= least(p.ay1, g.ry1)
+                   AND NOT (greatest(p.ax0, g.rx0) > p.ax0 + 1
+                        AND least(p.ax1, g.rx1) < p.ax1 - 1
+                        AND greatest(p.ay0, g.ry0) > p.ay0 + 1
+                        AND least(p.ay1, g.ry1) < p.ay1 - 1)
+             THEN 1 ELSE 0 END) AS touch_any
+  FROM pairs p JOIN legs g ON g.id_b = p.id_b
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       cl.touch_any = 1 AS intersects,
+       cl.touch_any = 1 AND coalesce(c_ab, 0) = 0 AS touches,
+       coalesce(c_ab, 0) >= 1 AND coalesce(c_ab, 0) = c_b AS contains,
+       coalesce(c_ab, 0) >= 1 AND coalesce(c_ab, 0) = c_a AS within,
+       coalesce(c_ab, 0) >= 1 AND c_ab = c_a AND c_ab = c_b AS equals,
+       coalesce(c_ab, 0) >= 1 AND c_ab <> c_a AND c_ab <> c_b AS overlaps,
+       FALSE AS crosses,
+       cl.touch_any = 0 AS disjoint
+FROM pairs p
+JOIN cl ON cl.id_a = p.id_a AND cl.id_b = p.id_b
+JOIN ca ON ca.id_a = p.id_a
+JOIN cb ON cb.id_b = p.id_b
+LEFT JOIN cab ON cab.id_a = p.id_a AND cab.id_b = p.id_b
+""")
+
+
 def _q_overlay_erase_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import overlay
 
@@ -1662,6 +1736,22 @@ def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("pyramid_levels", _q_pyramid, None)
 
 
+def _q_pyramid_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 overview kernels beyond 2x2 average (round 3):
+    gauss/mode/rms/nearest — alg/overview.cpp GDALRegenerateOverviews."""
+    images = fixtures.labels_spark(spark, n=6)
+    base = raster.cut_base_tiles(images, z=10, resampling="nearest").persist()
+    out = None
+    for m in ("average", "gauss", "mode", "rms", "nearest"):
+        lvl = raster.overview_tiles(base, 10, resampling=m).select(
+            F.lit(m).alias("method"), "tx", "ty", "checksum"
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+_add("pyramid_resampling_modes", _q_pyramid_modes, None)
+
+
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 incremental ingest: drain a parquet dir with Trigger.AvailableNow,
     cell/tile-encode in flight, exactly-once via the checkpoint offset log —
@@ -1742,24 +1832,32 @@ _add("jpeg_psnr_gate", _q_jpeg_psnr_gate, None)
 _FRONT_WINDOW = [
     "geometry_scalar_cols", "phash_hamming_dedup", "pixel_probe",
     "tile_sink_resume", "streaming_windowed_counts", "streaming_stateful_dedup",
-    "gdaldem_hillshade", "gdaldem_tiled_halo", "rgb2pct_quantize",
-    "pansharpen_brovey", "dither_floyd_steinberg", "sieve_filter",
+    "rgb2pct_quantize",
+    "pansharpen_brovey", "dither_floyd_steinberg",
     "vrt_transfer", "raster_histogram", "proximity_map", "fillnodata_fill",
     "contour_polylines", "audio_features", "vector_translate_map",
     "geos_predicates_rects", "overlay_intersection_rects",
     "overlay_erase_rects", "idw_interpolate", "radius_metrics",
     "asof_join_events", "first_match_left_join", "cube_counts",
-    "percentile_prices", "sessionize", "band_calc_expr", "raster_to_xyz",
-    "retile_grid", "rasterize_burn", "translate_fmt", "contour_lines",
+    "percentile_prices", "sessionize",
+    "translate_fmt", "contour_lines",
     "contour_summary", "vector_clip_rect", "scalar_subquery",
     "date_trunc_monthly", "grouping_sets_mix", "except_all_parts",
     "multi_distinct", "string_normalize", "nearest_value_grid",
-    "pyramid_levels", "streaming_ingest", "warp_resize", "jpeg_psnr_gate",
+    "pyramid_levels", "streaming_ingest", "warp_resize",
     # round-3 additions (never driver-verified, by construction)
     "warp_cubic", "warp_reproject_geodetic",
     "overlay_intersection_general", "overlay_erase_general",
     "lines_scalar_cols", "lines_length_agg", "lines_bbox_join_rects",
-    "lines_clip_rect",
+    "lines_clip_rect", "pyramid_resampling_modes",
+    "geos_predicates_general",
+    # --- entries 51+: never driver-verified but carrying the STRONGEST
+    # independent local oracles (numpy/BFS/analytic twins in pytest), so
+    # they wait for round 4's window; everything after them is already
+    # driver-green (rounds 1-2)
+    "gdaldem_hillshade", "gdaldem_tiled_halo", "sieve_filter",
+    "band_calc_expr", "raster_to_xyz", "retile_grid", "rasterize_burn",
+    "jpeg_psnr_gate",
 ]
 
 

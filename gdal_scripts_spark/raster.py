@@ -410,8 +410,55 @@ def cut_image_tiles(images: DataFrame, z: int, pix_m: float = DEFAULT_PIX_M,
     )
 
 
-def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
-    """One pyramid step: z_child tiles -> z_child-1 tiles by 2x2 average.
+def np_downsample2x(canvas: np.ndarray, method: str = "average") -> np.ndarray:
+    """2x downsample kernels of ``alg/overview.cpp : GDALRegenerateOverviews``
+    (round 3 — modes beyond plain average):
+
+    - average: 2x2 box mean (GDAL 'AVERAGE')
+    - nearest: top-left pixel of each 2x2 block ('NEAREST')
+    - rms:     sqrt of the 2x2 mean of squares ('RMS')
+    - mode:    most frequent of the 4 values, ties -> smallest value
+               ('MODE'; the tie rule is pinned here and in the tests)
+    - gauss:   3x3 kernel [1 2 1; 2 4 2; 1 2 1]/16 centered on the block's
+               top-left source pixel, edge-replicate padding ('GAUSS';
+               symmetric kernel => reproduces linear ramps exactly at
+               interior pixels — the analytic golden in tests)
+    """
+    h, w, c = canvas.shape
+    q00 = canvas[0::2, 0::2].astype(np.float64)
+    q01 = canvas[0::2, 1::2].astype(np.float64)
+    q10 = canvas[1::2, 0::2].astype(np.float64)
+    q11 = canvas[1::2, 1::2].astype(np.float64)
+    if method == "average":
+        out = (q00 + q01 + q10 + q11) / 4.0
+    elif method == "nearest":
+        return canvas[0::2, 0::2].copy()
+    elif method == "rms":
+        out = np.sqrt((q00 * q00 + q01 * q01 + q10 * q10 + q11 * q11) / 4.0)
+    elif method == "mode":
+        vals = np.stack([q00, q01, q10, q11])           # (4, H, W, C)
+        counts = sum((vals[j] == vals) for j in range(4))  # occurrences each
+        # rank: most frequent wins; ties -> smallest value
+        score = counts.astype(np.float64) * 256.0 + (255.0 - vals)
+        pick = np.argmax(score, axis=0)
+        out = np.take_along_axis(vals, pick[None], axis=0)[0]
+    elif method == "gauss":
+        pad = np.pad(canvas.astype(np.float64), ((1, 1), (1, 1), (0, 0)),
+                     mode="edge")
+        k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 16.0
+        out = np.zeros((h // 2, w // 2, c))
+        for dy in range(3):
+            for dx in range(3):
+                out += k[dy, dx] * pad[dy : dy + h : 2, dx : dx + w : 2]
+    else:
+        raise ValueError(f"unknown overview resampling {method!r}")
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def overview_tiles(tiles: DataFrame, z_child: int,
+                   resampling: str = "average") -> DataFrame:
+    """One pyramid step: z_child tiles -> z_child-1 tiles by a 2x
+    downsample kernel (see ``np_downsample2x``).
 
     TMS orientation: the child with the LARGER ty is the TOP half of the
     parent image (y-up grid vs y-down pixels — pinned by test)."""
@@ -432,9 +479,7 @@ def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
             dy = int(r_ty) - 2 * pty             # 0 (bottom) or 1 (top)
             row0 = (1 - dy) * TILE               # ty parity 1 -> top half
             canvas[row0 : row0 + TILE, dx * TILE : (dx + 1) * TILE] = img
-        # 2x2 average downsample
-        small = canvas.reshape(TILE, 2, TILE, 2, c).mean(axis=(1, 3))
-        small = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+        small = np_downsample2x(canvas, resampling)
         img = small[:, :, 0] if c == 1 else small
         return pd.DataFrame(
             [(zp, ptx, pty, (1 << zp) - 1 - pty, codecs.encode_png(img),
@@ -454,13 +499,14 @@ def overview_tiles(tiles: DataFrame, z_child: int) -> DataFrame:
     )
 
 
-def build_pyramid(base_tiles: DataFrame, z_base: int, z_min: int) -> dict[int, DataFrame]:
+def build_pyramid(base_tiles: DataFrame, z_base: int, z_min: int,
+                  resampling: str = "average") -> dict[int, DataFrame]:
     """gdal2tiles generate_overview_tiles: one Spark job per level (the same
     per-zoom barrier the reference has). Caches each level before reducing."""
     out = {z_base: base_tiles.persist()}
     cur = out[z_base]
     for z in range(z_base, z_min, -1):
-        cur = overview_tiles(cur, z).persist()
+        cur = overview_tiles(cur, z, resampling=resampling).persist()
         out[z - 1] = cur
     return out
 

@@ -247,3 +247,62 @@ def test_erase_layer_general_spark_overlapping_methods(spark):
     assert abs(row.area - 84.0) < 1e-9
     assert abs(row.erased_area - 48.0) < 1e-9
     assert abs(row.remaining_area - 36.0) < 1e-9
+
+
+def test_predicates_general_reference_cases():
+    """Hand-built truth rows for holed subject x L method."""
+    subj = [SQ10, HOLE4]                       # [0,10]^2 minus [3,7]^2
+    # L overlapping partially
+    p = overlay.polygon_predicates_general(subj, [L_SHAPE])
+    assert p["intersects"] and p["overlaps"] and not p["touches"]
+    assert not p["contains"] and not p["within"] and not p["disjoint"]
+    # small rect strictly inside the hole: disjoint from the annulus
+    inner = np.array([(4, 4), (6, 4), (6, 6), (4, 6)], float)
+    p = overlay.polygon_predicates_general(subj, [inner])
+    assert p["disjoint"] and not p["intersects"]
+    # rect exactly filling the hole: touches the hole ring, no interior
+    fill = np.array([(3, 3), (7, 3), (7, 7), (3, 7)], float)
+    p = overlay.polygon_predicates_general(subj, [fill])
+    assert p["intersects"] and p["touches"] and not p["overlaps"]
+    # rect inside the annulus (left band [0,3]x[0,10] minus nothing):
+    band = np.array([(0.5, 0.5), (2.5, 0.5), (2.5, 9.5), (0.5, 9.5)], float)
+    p = overlay.polygon_predicates_general(subj, [band])
+    assert p["intersects"] and p["contains"] and not p["within"]
+    # identical holed polygons: equals
+    p = overlay.polygon_predicates_general(subj, subj)
+    assert p["equals"] and p["contains"] and p["within"]
+
+
+def test_predicates_general_vs_sampling_reference():
+    """Randomized: interiors/contains/within vs a dense-sampling reference
+    on integer-coordinate holed-rect x L pairs."""
+    rng = np.random.default_rng(21)
+    N = 8  # supersample (integer coords -> centers never on boundaries)
+    g = (np.arange(40 * N) + 0.5) / N
+    X, Y = np.meshgrid(g, g)
+    for trial in range(12):
+        ox, oy = map(int, rng.integers(0, 8, 2))
+        w, h = map(int, rng.integers(4, 14, 2))
+        subj = [np.array([(ox, oy), (ox + w, oy), (ox + w, oy + h),
+                          (ox, oy + h)], float),
+                np.array([(ox + 1, oy + 1), (ox + w - 1, oy + 1),
+                          (ox + w - 1, oy + h - 1), (ox + 1, oy + h - 1)],
+                         float)]
+        mx, my = map(int, rng.integers(0, 18, 2))
+        wl, hl = map(int, rng.integers(4, 12, 2))
+        t = int(rng.integers(1, 4))
+        L = np.array([(mx, my), (mx + wl, my), (mx + wl, my + t),
+                      (mx + t, my + t), (mx + t, my + hl), (mx, my + hl)],
+                     float)
+        got = overlay.polygon_predicates_general(subj, [L])
+        in_a = ((X > ox) & (X < ox + w) & (Y > oy) & (Y < oy + h)
+                & ~((X > ox + 1) & (X < ox + w - 1)
+                    & (Y > oy + 1) & (Y < oy + h - 1)))
+        in_b = ((X > mx) & (X < mx + wl) & (Y > my) & (Y < my + t)) | (
+            (X > mx) & (X < mx + t) & (Y > my + t) & (Y < my + hl))
+        c_ab = (in_a & in_b).sum()
+        assert got["intersects"] >= (c_ab > 0)      # interiors => intersects
+        assert got["overlaps"] == bool(
+            c_ab > 0 and c_ab != in_a.sum() and c_ab != in_b.sum()), trial
+        assert got["contains"] == bool(c_ab > 0 and c_ab == in_b.sum()), trial
+        assert got["within"] == bool(c_ab > 0 and c_ab == in_a.sum()), trial

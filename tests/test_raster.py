@@ -315,3 +315,54 @@ def test_vrt_is_lazy_and_composes(spark):
     assert 0 in rows and rows[0]["vmax"] <= 255.0
     # the transfer really applied (labels are small ints; x30 spreads them)
     assert rows[0]["vmax"] >= 30.0
+
+
+# ---------------------------------------------------------------------------
+# A5 round 3: overview kernels beyond 2x2 average — closed-form oracles
+# ---------------------------------------------------------------------------
+
+def test_downsample2x_closed_forms():
+    from gdal_scripts_spark.raster import np_downsample2x
+
+    # 4x4 single-band with known 2x2 blocks
+    a = np.array([
+        [10, 20, 0, 0],
+        [30, 40, 0, 4],
+        [7, 7, 255, 255],
+        [7, 9, 255, 253],
+    ], np.uint8)[:, :, None]
+    # block (255,255,255,253): mean 254.5 -> rint half-to-even -> 254
+    assert np_downsample2x(a, "average")[:, :, 0].tolist() == [[25, 1], [8, 254]]
+    assert np_downsample2x(a, "nearest")[:, :, 0].tolist() == [[10, 0], [7, 255]]
+    # rms block1: sqrt((100+400+900+1600)/4) = sqrt(750) = 27.386 -> 27
+    # rms block (255,255,255,253): sqrt(64771) = 254.501 -> 255
+    rms = np_downsample2x(a, "rms")[:, :, 0]
+    assert rms[0, 0] == 27 and rms[1, 1] == 255
+    # mode: block (7,7,7,9) -> 7; block (0,0,0,4) -> 0;
+    # all-distinct block (10,20,30,40) ties at count 1 -> smallest = 10
+    md = np_downsample2x(a, "mode")[:, :, 0]
+    assert md[1, 0] == 7 and md[0, 1] == 0 and md[0, 0] == 10
+
+
+def test_downsample2x_gauss_properties():
+    from gdal_scripts_spark.raster import np_downsample2x
+
+    const = np.full((16, 16, 3), 99, np.uint8)
+    assert np.array_equal(np_downsample2x(const, "gauss"), const[0::2, 0::2])
+    # symmetric 3x3 kernel reproduces a linear ramp exactly at interior
+    ys, xs = np.mgrid[0:32, 0:32]
+    ramp = (2 * xs + 3 * ys + 10).astype(np.float64)
+    img = np.clip(ramp, 0, 255).astype(np.uint8)
+    out = np_downsample2x(img[:, :, None], "gauss")[:, :, 0]
+    want = img[0::2, 0::2]
+    inner = (slice(1, -1), slice(1, -1))
+    sel = want[inner] < 250  # avoid the clipped region
+    assert np.array_equal(out[inner][sel], want[inner][sel])
+
+
+def test_overview_modes_spark_roundtrip(spark):
+    imgs = fixtures.labels_spark(spark, n=3)
+    base = raster.cut_base_tiles(imgs, z=10, resampling="nearest")
+    for m in ("gauss", "mode", "rms"):
+        rows = raster.overview_tiles(base, 10, resampling=m).collect()
+        assert rows and all(0 <= r.checksum < 65536 for r in rows), m
