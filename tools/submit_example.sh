@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# North-rule deployment recipe: the SAME job via spark-submit --py-files at
+# two cluster sizes (N and 4N executors); throughput at both + efficiency
+# is the scaling criterion (sandbox stand-in: bench_scaling.py local[8] vs
+# local[32] — see BENCH/BASELINE.md).
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+
+cd "$REPO"
+zip -qr /tmp/gdal_scripts_spark.zip gdal_scripts_spark
+
+N_EXEC="${N_EXEC:-8}"            # run once with N, once with 4N
+run () {
+  local execs="$1" out="$2"
+  SPARK_GRAFT_CLUSTER=1 spark-submit \
+    --master "${MASTER:-yarn}" \
+    --deploy-mode client \
+    --num-executors "$execs" \
+    --executor-cores "${EXEC_CORES:-4}" \
+    --executor-memory "${EXEC_MEM:-8g}" \
+    --conf spark.sql.shuffle.partitions=$((execs * 8)) \
+    --py-files /tmp/gdal_scripts_spark.zip \
+    "$REPO/gdal_scripts_spark/cli.py" \
+    tile-sink --input "${INPUT:?set INPUT=images parquet}" \
+    --output "$out/tiles" --manifest "$out/manifest" --z "${Z:-11}" \
+    --n-units $((execs * 32))
+}
+
+t0=$(date +%s); run "$N_EXEC"        "${OUT:-/tmp/tiles_N}";  tN=$(( $(date +%s) - t0 ))
+t0=$(date +%s); run $((N_EXEC * 4))  "${OUT:-/tmp/tiles_4N}"; t4N=$(( $(date +%s) - t0 ))
+echo "{\"wall_N\": $tN, \"wall_4N\": $t4N, \"efficiency\": $(python3 -c "print(round($tN/$t4N/4, 3))")}"
