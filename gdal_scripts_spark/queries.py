@@ -22,6 +22,7 @@ SQL-expressible (minhash/simhash/LSH candidates, image-fixture pipelines).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1806,6 +1807,46 @@ def _q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("warp_reproject_geodetic", _q_warp_reproject, None)
 
 
+def _q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 lanczos (GWKLanczosSinc radius 3); identity-at-scale-1 and
+    constant-preservation pinned in tests, registry pin is the checksum."""
+    images = fixtures.images_spark(spark, n=40)
+    return raster.warp_resize(images, scale=0.6, method="lanczos").select(
+        "image_id", "w", "h", "checksum"
+    )
+
+_add("warp_lanczos", _q_warp_lanczos, None)
+
+
+def _q_warp_reduce_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 footprint-reduce kernels (GRA_Min/Max/Med/Q1/Q3/Sum/Mode) at an
+    exact integer shrink; order-statistic tie rules pinned in tests."""
+    images = fixtures.images_spark(spark, n=12)
+    out = None
+    for m in raster.REDUCE_KERNELS:
+        part = raster.warp_resize(images, scale=0.5, method=m).select(
+            F.lit(m).alias("method"), "image_id", "w", "h", "checksum"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+_add("warp_reduce_modes", _q_warp_reduce_modes, None)
+
+
+def _q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 gdalwarp -cutline: pixel-center mask against a holed cutline
+    layer; rect-cutline==bbox closed form pinned in tests."""
+    images = fixtures.images_spark(spark, n=40)
+    outer = np.array([(-180, -85), (180, -85), (180, 85), (-180, 85)], float)
+    hole = np.array([(139.0, 35.0), (140.5, 35.0), (140.5, 36.2),
+                     (139.0, 36.2)], float)  # over the Tokyo hot center
+    return raster.warp_cutline(images, [outer, hole]).select(
+        "image_id", "kept", "total", "checksum"
+    )
+
+_add("warp_cutline", _q_warp_cutline, None)
+
+
 def _q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star lossy invariant end-to-end: re-encode fixtures as baseline
     JPEG (q=90), decode, and assert PSNR>=40dB per image via the
@@ -1858,6 +1899,7 @@ _FRONT_WINDOW = [
     "gdaldem_hillshade", "gdaldem_tiled_halo", "sieve_filter",
     "band_calc_expr", "raster_to_xyz", "retile_grid", "rasterize_burn",
     "jpeg_psnr_gate",
+    "warp_lanczos", "warp_reduce_modes", "warp_cutline",
 ]
 
 

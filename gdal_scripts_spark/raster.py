@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import cells, codecs
+from . import cells, codecs, geom
 
 DEFAULT_PIX_M = 100.0
 TILE = 256
@@ -626,27 +626,51 @@ def np_sample_sep(img: np.ndarray, uf: np.ndarray, vf: np.ndarray,
         out = (a * (1 - du) * (1 - dv) + b * du * (1 - dv)
                + cq * (1 - du) * dv + d * du * dv)
         return _warp_finish(out, img)
-    if method in ("cubic", "cubicspline"):
+    if method in ("cubic", "cubicspline", "lanczos"):
         ufc = np.clip(uf, 0.0, w - 1.0)
         vfc = np.clip(vf, 0.0, h - 1.0)
         u0 = np.floor(ufc).astype(np.int64)
         v0 = np.floor(vfc).astype(np.int64)
-        wu = _keys_weights(ufc - u0)
-        wv = _keys_weights(vfc - v0)
-        if method == "cubicspline":  # B-spline smoothing kernel variant
-            wu = _bspline_weights(ufc - u0)
-            wv = _bspline_weights(vfc - v0)
+        if method == "cubic":
+            wu, wv = _keys_weights(ufc - u0), _keys_weights(vfc - v0)
+        elif method == "cubicspline":  # B-spline smoothing kernel variant
+            wu, wv = _bspline_weights(ufc - u0), _bspline_weights(vfc - v0)
+        else:  # lanczos: 6 taps, radius 3 (GWKLanczosSinc)
+            wu, wv = _lanczos_weights(ufc - u0), _lanczos_weights(vfc - v0)
+        n_taps = wu.shape[0]
+        first = -(n_taps // 2 - 1)                 # -1 (cubic) or -2 (lanczos)
         acc = np.zeros((len(vf), len(uf), c), dtype=np.float64)
-        for ti in range(4):
-            rows = np.clip(v0 - 1 + ti, 0, h - 1)
+        for ti in range(n_taps):
+            rows = np.clip(v0 + first + ti, 0, h - 1)
             band_w = wv[ti][:, None, None]
-            for tj in range(4):
-                cols = np.clip(u0 - 1 + tj, 0, w - 1)
+            for tj in range(n_taps):
+                cols = np.clip(u0 + first + tj, 0, w - 1)
                 acc += img[np.ix_(rows, cols)].astype(np.float64) * (
                     band_w * wu[tj][None, :, None]
                 )
         return _warp_finish(acc, img)
     raise ValueError(f"unknown resampling {method!r}")
+
+
+def _lanczos_weights(d: np.ndarray, r: int = 3) -> np.ndarray:
+    """Lanczos windowed-sinc taps (GDAL GRA_Lanczos, radius 3): 2r taps at
+    source offsets -(r-1)..r around floor(u); W(x) = sinc(x)·sinc(x/r),
+    weights normalized to sum 1 (GDAL normalizes the tap sum too, so
+    constants are reproduced exactly — pinned by test). sinc at integer
+    offsets is 0 except the center, so d=0 degrades to identity: a scale-1
+    lanczos warp returns the image bit-exactly (second pinned property)."""
+    d = np.asarray(d, dtype=np.float64)
+    taps = []
+    for k in range(-(r - 1), r + 1):
+        x = d - k
+        w = np.where(
+            np.abs(x) < 1e-12, 1.0,
+            np.sinc(x) * np.sinc(x / r),
+        )
+        w = np.where(np.abs(x) >= r, 0.0, w)
+        taps.append(w)
+    w = np.stack(taps)
+    return w / w.sum(axis=0, keepdims=True)
 
 
 def _bspline_weights(d: np.ndarray) -> np.ndarray:
@@ -661,14 +685,61 @@ def _bspline_weights(d: np.ndarray) -> np.ndarray:
     return np.stack([w_m1, w_0, w_p1, w_p2])
 
 
+REDUCE_KERNELS = ("min", "max", "med", "q1", "q3", "sum", "mode")
+
+
+def _np_reduce_block(img: np.ndarray, out_w: int, out_h: int,
+                     method: str) -> np.ndarray:
+    """Footprint-reduce warp kernels (GDAL GRA_Min/Max/Med/Q1/Q3/Sum/Mode,
+    ``alg/gdalwarpkernel.cpp : GWKAverageOrModeThread``): each output pixel
+    reduces ALL source pixels in its footprint. Contract: integer shrink
+    factors only (footprints uniform => vectorizable reshape-reduce); GDAL
+    computes ragged footprints for arbitrary scales — callers resize to a
+    divisor first. Pinned tie rules: med/q1/q3 pick the LOWER order statistic
+    (index floor(q*(n-1)) of the sorted block — integer output, no
+    interpolation); mode ties -> smallest value (same pin as
+    ``np_downsample2x``); sum clips at the uint8 ceiling."""
+    h, w, c = img.shape
+    fy, fx = h // out_h, w // out_w
+    if not (fy >= 1 and fx >= 1 and fy * out_h == h and fx * out_w == w):
+        raise ValueError(
+            f"reduce kernel {method!r} needs integer shrink factors; "
+            f"{w}x{h} -> {out_w}x{out_h} is not an integer shrink"
+        )
+    blk = img.reshape(out_h, fy, out_w, fx, c).transpose(0, 2, 4, 1, 3)
+    blk = blk.reshape(out_h, out_w, c, fy * fx).astype(np.float64)
+    if method == "min":
+        out = blk.min(axis=3)
+    elif method == "max":
+        out = blk.max(axis=3)
+    elif method == "sum":
+        out = blk.sum(axis=3)
+    elif method in ("med", "q1", "q3"):
+        q = {"q1": 0.25, "med": 0.5, "q3": 0.75}[method]
+        srt = np.sort(blk, axis=3)
+        out = srt[:, :, :, int(q * (fy * fx - 1))]
+    else:  # mode: most frequent, ties -> smallest value
+        srt = np.sort(blk, axis=3)
+        n = fy * fx
+        counts = np.zeros_like(srt)
+        for j in range(n):
+            counts[:, :, :, j] = (srt == srt[:, :, :, j : j + 1]).sum(axis=3)
+        score = counts * 256.0 + (255.0 - srt)
+        pick = np.argmax(score, axis=3)
+        out = np.take_along_axis(srt, pick[:, :, :, None], axis=3)[:, :, :, 0]
+    return _warp_finish(out, img)
+
+
 def np_warp_resize(img: np.ndarray, out_w: int, out_h: int, method: str) -> np.ndarray:
     """Inverse-mapped resample of one image to (out_h, out_w) — pure scale
     transform over the full image extent (``alg/gdalwarpkernel.cpp``
-    kernels; see ``np_sample_sep``)."""
+    kernels; see ``np_sample_sep`` and ``_np_reduce_block``)."""
     h, w, c = img.shape
     sx, sy = w / out_w, h / out_h
     u = (np.arange(out_w) + 0.5) * sx
     v = (np.arange(out_h) + 0.5) * sy
+    if method in REDUCE_KERNELS:
+        return _np_reduce_block(img, out_w, out_h, method)
     if method == "average":
         # exact box average when the scale is an integer shrink, else the
         # bilinear path (matches gdal2tiles' average-for-overviews usage)
@@ -780,6 +851,70 @@ def warp_reproject(images: DataFrame, method: str = "bilinear",
         schema="image_id string, bytes binary, fmt string, w int, h int, "
                "lon_w double, lat_s double, lon_e double, lat_n double, "
                "checksum int",
+    )
+
+
+def np_cutline_apply(
+    img: np.ndarray, lon0: float, lat0: float, pix_m: float,
+    rings: list[np.ndarray], nodata: int = 0,
+) -> tuple[np.ndarray, int]:
+    """``gdalwarp -cutline`` mask for one north-up EPSG:3857 image anchored
+    top-left at (lon0, lat0): pixels whose CENTER falls outside the cutline
+    polygon (lon/lat rings, even-odd => holes subtract) are set to
+    ``nodata`` (``apps/gdalwarp_lib.cpp : -cutline ≈L2000`` +
+    ``alg/gdalwarper.cpp : GDALWarpCutlineMasker``; ALL_TOUCHED=false pixel-
+    center rule shared with rasterize). Returns (masked_img, kept_count)."""
+    h, w, _c = img.shape
+    os_m = cells.ORIGIN_SHIFT
+    mx0 = lon0 * os_m / 180.0
+    my0 = math.log(math.tan((90.0 + lat0) * math.pi / 360.0)) / (
+        math.pi / 180.0) * os_m / 180.0
+    mx = mx0 + (np.arange(w) + 0.5) * pix_m
+    my = my0 - (np.arange(h) + 0.5) * pix_m
+    lon, _ = cells.np_meters_to_lonlat(mx, np.zeros_like(mx))
+    _, lat = cells.np_meters_to_lonlat(np.zeros_like(my), my)
+    glon = np.repeat(lon[None, :], h, axis=0).ravel()
+    glat = np.repeat(lat[:, None], w, axis=1).ravel()
+    inside = geom.pip_even_odd(glon, glat, rings).reshape(h, w)
+    out = img.copy()
+    out[~inside] = nodata
+    return out, int(inside.sum())
+
+
+def warp_cutline(
+    images: DataFrame, rings: list[np.ndarray], nodata: int = 0,
+    pix_m: float = DEFAULT_PIX_M, out_fmt: str = "png",
+) -> DataFrame:
+    """gdalwarp -cutline over the images table: per-image pixel-center mask
+    against one broadcast cutline layer — map-only, zero shuffle (R5).
+    Returns (image_id, bytes, fmt, w, h, kept, total, checksum)."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt, lon, lat in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["lon"].values, b["lat"].values,
+            ):
+                img = _decode_row(byts, fmt)
+                out, kept = np_cutline_apply(
+                    img, float(lon), float(lat), pix_m, rings, nodata
+                )
+                sq = out[:, :, 0] if out.shape[2] == 1 else out
+                rows.append((iid, codecs.encode(sq, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0], kept,
+                             out.shape[0] * out.shape[1],
+                             codecs.gdal_style_checksum(out)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "bytes", "fmt", "w", "h", "kept", "total",
+                    "checksum"])
+
+    return images.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, "
+               "kept long, total long, checksum int",
     )
 
 

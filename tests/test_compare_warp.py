@@ -176,3 +176,95 @@ def test_warp_reproject_spark_roundtrip(spark):
     for r in out:
         assert r.lat_s < r.lat_n and r.lon_w < r.lon_e
         assert r.w > 0 and r.h > 0 and 0 <= r.checksum < 65536
+
+
+# ---------------------------------------------------------------------------
+# R5 round 3b: lanczos, footprint-reduce kernels, cutline — closed forms
+# ---------------------------------------------------------------------------
+
+def test_lanczos_identity_at_scale_1():
+    # sinc vanishes at nonzero integers: d=0 taps = identity
+    img = _img(10, 7)
+    out = raster.np_warp_resize(img, 7, 10, "lanczos")
+    assert np.array_equal(out, img)
+
+
+def test_lanczos_constant_preserved():
+    img = np.full((12, 12, 3), 137, np.uint8)
+    out = raster.np_warp_resize(img, 7, 5, "lanczos")
+    assert np.array_equal(out, np.full((5, 7, 3), 137, np.uint8))
+
+
+def test_lanczos_weights_normalized_and_6tap():
+    w = raster._lanczos_weights(np.linspace(0, 0.999, 17))
+    assert w.shape[0] == 6
+    assert np.allclose(w.sum(axis=0), 1.0)
+
+
+def test_reduce_kernels_closed_form():
+    # one 2x2 output, 3x3 blocks with known order statistics
+    img = np.zeros((6, 6, 1), np.uint8)
+    img[:3, :3, 0] = [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    img[:3, 3:, 0] = [[10, 10, 10], [10, 20, 20], [30, 30, 40]]
+    img[3:, :3, 0] = 7
+    img[3:, 3:, 0] = [[0, 0, 0], [0, 0, 0], [0, 0, 255]]
+    want = {
+        "min": [[1, 10], [7, 0]],
+        "max": [[9, 40], [7, 255]],
+        # lower order statistic at index floor(q*(n-1)), n=9 -> med idx 4,
+        # q1 idx 2, q3 idx 6
+        "med": [[5, 20], [7, 0]],
+        "q1": [[3, 10], [7, 0]],
+        "q3": [[7, 30], [7, 0]],
+        "sum": [[45, 180], [63, 255]],    # sum clips at 255
+        "mode": [[1, 10], [7, 0]],        # all-distinct ties -> smallest
+    }
+    for m, exp in want.items():
+        got = raster.np_warp_resize(img, 2, 2, m)[:, :, 0].tolist()
+        assert got == exp, (m, got)
+
+
+def test_reduce_kernel_rejects_non_integer_shrink():
+    img = _img(6, 6)
+    with pytest.raises(ValueError):
+        raster.np_warp_resize(img, 4, 4, "med")
+
+
+def test_cutline_rect_equals_bbox_mask():
+    """Rectangular cutline == independent bbox test on pixel centers."""
+    from gdal_scripts_spark import cells
+    img = np.full((20, 16, 1), 200, np.uint8)
+    lon0, lat0, pix_m = 10.0, 45.0, 100.0
+    # cutline rect in lon/lat strictly inside the footprint
+    os_m = cells.ORIGIN_SHIFT
+    mx0 = lon0 * os_m / 180.0
+    import math
+    my0 = math.log(math.tan((90 + lat0) * math.pi / 360)) / (math.pi / 180) * os_m / 180
+    # rect covering source pixels [3, 11) x [5, 14) exactly (pixel edges)
+    rx0, rx1 = mx0 + 3 * pix_m, mx0 + 11 * pix_m
+    ry1, ry0 = my0 - 5 * pix_m, my0 - 14 * pix_m
+    lon_a, _ = cells.np_meters_to_lonlat(np.array([rx0, rx1]), np.zeros(2))
+    _, lat_a = cells.np_meters_to_lonlat(np.zeros(2), np.array([ry0, ry1]))
+    ring = np.array([(lon_a[0], lat_a[0]), (lon_a[1], lat_a[0]),
+                     (lon_a[1], lat_a[1]), (lon_a[0], lat_a[1])])
+    out, kept = raster.np_cutline_apply(img, lon0, lat0, pix_m, [ring], nodata=0)
+    assert kept == (11 - 3) * (14 - 5)
+    want = np.zeros((20, 16), bool)
+    want[5:14, 3:11] = True
+    assert np.array_equal(out[:, :, 0] != 0, want)
+
+
+def test_cutline_hole_subtracts(spark):
+    imgs = fixtures.images_spark(spark, n=5)
+    # one big ring covering everything, plus a hole that nukes a band:
+    outer = np.array([(-180, -85), (180, -85), (180, 85), (-180, 85)], float)
+    rows_all = raster.warp_cutline(imgs, [outer]).select("image_id", "kept", "total").collect()
+    assert all(r.kept == r.total for r in rows_all)
+    # hole centered on the first image's anchor (guaranteed overlap)
+    a = imgs.select("lon", "lat").first()
+    hole = np.array([(a.lon - 1, a.lat - 1), (a.lon + 1, a.lat - 1),
+                     (a.lon + 1, a.lat + 1), (a.lon - 1, a.lat + 1)], float)
+    rows_hole = raster.warp_cutline(imgs, [outer, hole]).select(
+        "image_id", "kept", "total").collect()
+    kept_by_id = {r.image_id: r.kept for r in rows_hole}
+    assert any(kept_by_id[r.image_id] < r.total for r in rows_all)
