@@ -1,23 +1,36 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) — from-scratch numpy codec.
+"""JPEG (ITU-T T.81 / ISO 10918-1) — from-scratch numpy codec.
 
 Closes the lossy tier of SURVEY.md §2.1 S3 (reference:
 ``frmts/jpeg/jpgdataset.cpp``, itself a libjpeg wrapper; this is a clean-room
 implementation from the public JPEG specification):
 
-- encoder: 4:4:4 (no chroma subsampling — keeps PSNR>=40 at q>=85 on the
-  fixture corpus), 8x8 matrix DCT, Annex-K quantization tables scaled by the
-  libjpeg quality convention, zigzag, run-length AC + DC-differential
-  entropy coding. Huffman tables are generated PER IMAGE as fixed-length
-  canonical codes over the symbols actually used (any decoder reads them
-  from DHT; simpler than hand-copying Annex-K code tables and bit-exactly
-  valid). Byte stuffing (FF 00) per spec.
-- decoder: marker parser (SOI/APP/DQT/SOF0/DHT/SOS/EOI), canonical Huffman
-  reconstruction from arbitrary DHT, MCU entropy decode, dequantize, IDCT,
-  YCbCr->RGB, edge-crop to the true dimensions. Baseline sequential,
-  components with identical sampling factors (what this encoder emits).
+- encoder: 8x8 matrix DCT, Annex-K quantization tables scaled by the libjpeg
+  quality convention, zigzag, run-length AC + DC-differential entropy coding.
+  Optional chroma subsampling (``4:4:4``/``4:2:2``/``4:2:0`` — box-filter
+  downsample, MCU-interleaved blocks), optional restart intervals (DRI +
+  byte-aligned RSTn, predictors reset per spec), and optional progressive
+  mode (SOF2: spectral selection + one successive-approximation refinement
+  pass per band, the scan-script shape libjpeg emits). Huffman tables are
+  generated PER SCAN as fixed-length canonical codes over the symbols
+  actually used (any decoder reads them from DHT). Byte stuffing (FF 00).
+  Defaults (sequential 4:4:4, no restarts) are bit-identical to the
+  original baseline-only encoder, so committed goldens are unaffected.
+- decoder: marker parser (SOI/APP/COM/DQT 8+16-bit/SOF0/SOF1/SOF2/DHT/DRI/
+  SOS/RSTn/EOI), canonical Huffman reconstruction from arbitrary DHT,
+  arbitrary per-component sampling factors with MCU-interleaved and
+  non-interleaved scans, restart-marker resynchronization, and full
+  progressive decoding (DC first/refine, AC first/refine with EOB-run
+  correction bits, per T.81 G.2 / the jdphuff.c algorithm). Coefficients
+  accumulate across scans; one batched dequantize + IDCT per component at
+  EOI, sample-replication chroma upsample, edge-crop to true dimensions.
 
-PSNR target: >=40 dB at quality>=85 (BASELINE.json : input_hint gate),
-verified in tests/test_jpeg.py.
+Progressive transmits the same quantized coefficients as sequential, so
+``decode(encode(img, progressive=True))`` is pixel-identical to the
+baseline roundtrip at the same quality/subsampling — tests pin that.
+
+PSNR target: >=40 dB at quality>=85 for 4:4:4 (BASELINE.json : input_hint
+gate), verified in tests/test_jpeg.py; robustness matrix (subsampling x
+restart x progressive) in tests/test_jpeg_robust.py.
 """
 
 from __future__ import annotations
@@ -51,6 +64,8 @@ _QCHROM = np.array([
     [99, 99, 99, 99, 99, 99, 99, 99],
     [99, 99, 99, 99, 99, 99, 99, 99],
 ], dtype=np.float64)
+
+_SUBSAMP = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
 def _zigzag_order() -> np.ndarray:
@@ -97,6 +112,13 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align with 1-fill and emit RSTm (not byte-stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -132,6 +154,15 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def restart(self) -> None:
+        """Discard pad bits, consume the expected RSTn marker."""
+        self.nbits = 0
+        if (self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +216,7 @@ def _extend(v: int, s: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# encoder
+# color / sampling / transform helpers
 # ---------------------------------------------------------------------------
 
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
@@ -208,106 +239,295 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 
-def _blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _downsample(chan: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-filter fx x fy chroma downsample (edge-padded to factor multiples)."""
+    if fx == 1 and fy == 1:
+        return chan
     h, w = chan.shape
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(chan, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-    return blocks.reshape(-1, 8, 8), bh, bw
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(chan, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
 def _quantize_channel(chan: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    blocks, _, _ = _blocks(chan.astype(np.float64) - 128.0)
+    """chan already padded to 8-multiples. Returns (bh, bw, 64) zigzag int32."""
+    h, w = chan.shape
+    bh, bw = h // 8, w // 8
+    blocks = (chan.astype(np.float64) - 128.0).reshape(
+        bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     coef = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
     q = np.rint(coef / qtab[None, :, :]).astype(np.int32)
-    return q.reshape(-1, 64)[:, _ZZ]
+    return q.reshape(bh, bw, 64)[:, :, _ZZ]
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    img = np.asarray(img)
-    gray = img.ndim == 2
-    if gray:
-        chans = [img.astype(np.float64)]
-        qtabs = [_scale_q(_QLUM, quality)]
-        tab_ids = [0]
-    else:
-        ycc = _rgb_to_ycbcr(img)
-        chans = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
-        qtabs = [_scale_q(_QLUM, quality), _scale_q(_QCHROM, quality)]
-        tab_ids = [0, 1, 1]
-    h, w = chans[0].shape
-    quant = [_quantize_channel(c, qtabs[tab_ids[i]]) for i, c in enumerate(chans)]
+# ---------------------------------------------------------------------------
+# encoder scan op-streams
+#
+# A scan encoder emits a flat op list: ("s", tclass, htid, symbol) Huffman
+# symbol, ("b", value, nbits) raw bits, ("r", m) restart marker. Pass 1
+# collects the "s" ops to build per-scan Huffman tables; pass 2 writes bits.
+# ---------------------------------------------------------------------------
 
-    # gather symbols for Huffman tables (one DC + one AC table per class:
-    # table 0 = luma/gray, table 1 = chroma)
-    def symbols_for(comp_idxs):
-        dc_syms, ac_syms = [], []
-        for ci in comp_idxs:
-            zz = quant[ci]
-            prev = 0
-            for blk in zz:
-                diff = int(blk[0]) - prev
-                prev = int(blk[0])
-                dc_syms.append(_category(diff))
-                run = 0
-                for v in blk[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ac_syms.append(0xF0)
-                        run -= 16
-                    ac_syms.append((run << 4) | _category(int(v)))
-                    run = 0
-                if run:
-                    ac_syms.append(0x00)
-        return dc_syms, ac_syms
+def _mcu_blocks(scomps, factors, mcx, mcy):
+    """(mcu_index, ci, by, bx) in interleaved MCU order."""
+    for my in range(mcy):
+        for mx in range(mcx):
+            idx = my * mcx + mx
+            for ci in scomps:
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        yield idx, ci, my * vi + v, mx * hi + u
 
-    groups = [[0]] if gray else [[0], [1, 2]]
-    dc_tabs, ac_tabs, dht_payload = [], [], b""
-    for tclass_id, comp_idxs in enumerate(groups):
-        dc_syms, ac_syms = symbols_for(comp_idxs)
-        dtab, dcounts, dsyms = _build_fixed_table(dc_syms)
-        atab, acounts, asyms = _build_fixed_table(ac_syms)
-        dc_tabs.append(dtab)
-        ac_tabs.append(atab)
-        dht_payload += bytes([0x00 | tclass_id]) + bytes(dcounts) + bytes(dsyms)
-        dht_payload += bytes([0x10 | tclass_id]) + bytes(acounts) + bytes(asyms)
 
-    # entropy-code interleaved MCUs (4:4:4 -> one block per component)
-    bw_ = _BitWriter()
-    nblocks = quant[0].shape[0]
-    prev_dc = [0] * len(chans)
-    for b in range(nblocks):
-        for ci in range(len(chans)):
-            tid = 0 if ci == 0 else 1
-            zz = quant[ci][b]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s, bits = _encode_value(diff)
-            code, ln = dc_tabs[tid][s]
-            bw_.write(code, ln)
-            if s:
-                bw_.write(bits, s)
+def _seq_scan_ops(scomps, factors, quant, htids, mcx, mcy, ri):
+    """Baseline sequential interleaved scan (full band, Al=0)."""
+    ops = []
+    prev = {ci: 0 for ci in scomps}
+    last_mcu, rstm = -1, 0
+    for idx, ci, by, bx in _mcu_blocks(scomps, factors, mcx, mcy):
+        if idx != last_mcu:
+            if ri and idx and idx % ri == 0:
+                ops.append(("r", rstm & 7))
+                rstm += 1
+                prev = {c: 0 for c in scomps}
+            last_mcu = idx
+        t = htids[ci]
+        zz = quant[ci][by, bx]
+        dc = int(zz[0])
+        diff = dc - prev[ci]
+        prev[ci] = dc
+        s, bits = _encode_value(diff)
+        ops.append(("s", 0, t, s))
+        if s:
+            ops.append(("b", bits, s))
+        run = 0
+        for v in zz[1:]:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("s", 1, t, 0xF0))
+                run -= 16
+            s, bits = _encode_value(v)
+            ops.append(("s", 1, t, (run << 4) | s))
+            ops.append(("b", bits, s))
             run = 0
-            for v in zz[1:]:
+        if run:
+            ops.append(("s", 1, t, 0x00))
+    return ops
+
+
+def _dc_scan_ops(scomps, factors, quant, htids, mcx, mcy, ri, ah, al):
+    """Progressive DC scan: first pass (Ah=0, arithmetic >> Al diff coding)
+    or refinement (one raw bit per block at position Al)."""
+    ops = []
+    prev = {ci: 0 for ci in scomps}
+    last_mcu, rstm = -1, 0
+    for idx, ci, by, bx in _mcu_blocks(scomps, factors, mcx, mcy):
+        if idx != last_mcu:
+            if ri and idx and idx % ri == 0:
+                ops.append(("r", rstm & 7))
+                rstm += 1
+                prev = {c: 0 for c in scomps}
+            last_mcu = idx
+        dc = int(quant[ci][by, bx, 0])
+        if ah == 0:
+            val = dc >> al  # arithmetic shift per spec (DC point transform)
+            diff = val - prev[ci]
+            prev[ci] = val
+            s, bits = _encode_value(diff)
+            ops.append(("s", 0, htids[ci], s))
+            if s:
+                ops.append(("b", bits, s))
+        else:
+            ops.append(("b", (dc >> al) & 1, 1))
+    return ops
+
+
+def _ac_first_ops(qc, htid, nbx, nby, ri, ss, se, al):
+    """Progressive AC first pass (Ah=0): non-interleaved single component,
+    EOB-run coding per T.81 G.1.2.2 / jcphuff.c encode_mcu_AC_first."""
+    ops = []
+    eobrun = 0
+    rstm = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("s", 1, htid, n << 4))
+            if n:
+                ops.append(("b", eobrun & ((1 << n) - 1), n))
+            eobrun = 0
+
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                flush_eob()
+                ops.append(("r", rstm & 7))
+                rstm += 1
+            unit += 1
+            vals = []
+            for v in qc[by, bx, ss:se + 1]:
                 v = int(v)
+                mag = (-v if v < 0 else v) >> al  # magnitude shift (to-zero)
+                vals.append(-mag if v < 0 else mag)
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in vals:
                 if v == 0:
                     run += 1
                     continue
                 while run > 15:
-                    code, ln = ac_tabs[tid][0xF0]
-                    bw_.write(code, ln)
+                    ops.append(("s", 1, htid, 0xF0))
                     run -= 16
                 s, bits = _encode_value(v)
-                code, ln = ac_tabs[tid][(run << 4) | s]
-                bw_.write(code, ln)
-                bw_.write(bits, s)
+                ops.append(("s", 1, htid, (run << 4) | s))
+                ops.append(("b", bits, s))
                 run = 0
             if run:
-                code, ln = ac_tabs[tid][0x00]
-                bw_.write(code, ln)
-    entropy = bw_.flush()
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(qc, htid, nbx, nby, ri, ss, se, al):
+    """Progressive AC refinement (Ah=Al+1): newly-significant coefficients
+    plus buffered correction bits for history coefficients, per T.81
+    G.1.2.3 / jcphuff.c encode_mcu_AC_refine."""
+    ops = []
+    eobrun = 0
+    # two correction-bit buffers, as in jcphuff.c: bits from COMPLETED blocks
+    # of the pending EOB run go right after the EOBn symbol; bits from the
+    # CURRENT block go after this block's own next emitted symbol.
+    pend_run: list[int] = []
+    pend_cur: list[int] = []
+    rstm = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("s", 1, htid, n << 4))
+            if n:
+                ops.append(("b", eobrun & ((1 << n) - 1), n))
+            for b in pend_run:
+                ops.append(("b", b, 1))
+            pend_run.clear()
+            eobrun = 0
+
+    def emit_cur():
+        for b in pend_cur:
+            ops.append(("b", b, 1))
+        pend_cur.clear()
+
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                emit_eobrun()
+                ops.append(("r", rstm & 7))
+                rstm += 1
+            unit += 1
+            band = [int(v) for v in qc[by, bx, ss:se + 1]]
+            mags = [(-v if v < 0 else v) >> al for v in band]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for k, m in enumerate(mags):
+                if m == 1:
+                    eob = k + 1
+            run = 0
+            for k, m in enumerate(mags):
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15 and k < eob:
+                    emit_eobrun()
+                    ops.append(("s", 1, htid, 0xF0))
+                    run -= 16
+                    emit_cur()
+                if m > 1:
+                    pend_cur.append(m & 1)  # history coef: correction bit
+                    continue
+                emit_eobrun()
+                ops.append(("s", 1, htid, (run << 4) | 1))
+                ops.append(("b", 0 if band[k] < 0 else 1, 1))
+                emit_cur()
+                run = 0
+            if run > 0 or pend_cur:
+                eobrun += 1
+                pend_run.extend(pend_cur)
+                pend_cur.clear()
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+    emit_eobrun()
+    return ops
+
+
+def _write_ops(ops, bw, dc_tabs, ac_tabs):
+    for op in ops:
+        kind = op[0]
+        if kind == "s":
+            _, tclass, tid, sym = op
+            code, ln = (dc_tabs if tclass == 0 else ac_tabs)[tid][sym]
+            bw.write(code, ln)
+        elif kind == "b":
+            bw.write(op[1], op[2])
+        else:
+            bw.restart_marker(op[1])
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, *,
+                subsampling: str = "4:4:4", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if subsampling not in _SUBSAMP:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMP)}")
+    if gray:
+        raw = [img.astype(np.float64)]
+        factors = [(1, 1)]
+        tab_ids = [0]
+        qtabs = [_scale_q(_QLUM, quality)]
+    else:
+        hs, vs = _SUBSAMP[subsampling]
+        ycc = _rgb_to_ycbcr(img)
+        raw = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+        factors = [(hs, vs), (1, 1), (1, 1)]
+        tab_ids = [0, 1, 1]
+        qtabs = [_scale_q(_QLUM, quality), _scale_q(_QCHROM, quality)]
+    h, w = raw[0].shape
+    ncomp = len(raw)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    ri = int(restart_interval)
+
+    quant = []
+    nbdims = []  # per comp: true (non-MCU-padded) block dims for AC scans
+    for ci, chan in enumerate(raw):
+        hi, vi = factors[ci]
+        chan = _downsample(chan, hmax // hi, vmax // vi)
+        ph, pw = mcy * vi * 8, mcx * hi * 8
+        chan = np.pad(chan, ((0, ph - chan.shape[0]), (0, pw - chan.shape[1])),
+                      mode="edge")
+        quant.append(_quantize_channel(chan, qtabs[tab_ids[ci]]))
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        nbdims.append((-(-cw // 8), -(-ch // 8)))
 
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -317,19 +537,67 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     for i, qt in enumerate(qtabs):
         zz_tab = qt.reshape(64)[_ZZ].astype(np.uint8)
         out += seg(0xDB, bytes([i]) + zz_tab.tobytes())
-    ncomp = len(chans)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, tab_ids[ci]])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, dht_payload)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += entropy
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, tab_ids[ci]])
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+
+    allc = list(range(ncomp))
+    # scan list: (ops, [(ci, dc_tid_or_None, ac_tid_or_None)], ss, se, ah, al)
+    scans = []
+    if not progressive:
+        ops = _seq_scan_ops(allc, factors, quant, tab_ids, mcx, mcy, ri)
+        scans.append((ops, [(ci, tab_ids[ci], tab_ids[ci]) for ci in allc],
+                      0, 63, 0, 0))
+    else:
+        # script: DC first (Al=1) -> AC first per comp (Al=1) ->
+        #         DC refine -> AC refine per comp (libjpeg-style shape)
+        scans.append((_dc_scan_ops(allc, factors, quant, tab_ids, mcx, mcy,
+                                   ri, 0, 1),
+                      [(ci, tab_ids[ci], None) for ci in allc], 0, 0, 0, 1))
+        for ci in allc:
+            nbx, nby = nbdims[ci]
+            scans.append((_ac_first_ops(quant[ci], tab_ids[ci], nbx, nby,
+                                        ri, 1, 63, 1),
+                          [(ci, None, tab_ids[ci])], 1, 63, 0, 1))
+        scans.append((_dc_scan_ops(allc, factors, quant, tab_ids, mcx, mcy,
+                                   ri, 1, 0),
+                      [(ci, tab_ids[ci], None) for ci in allc], 0, 0, 1, 0))
+        for ci in allc:
+            nbx, nby = nbdims[ci]
+            scans.append((_ac_refine_ops(quant[ci], tab_ids[ci], nbx, nby,
+                                         ri, 1, 63, 0),
+                          [(ci, None, tab_ids[ci])], 1, 63, 1, 0))
+
+    for ops, sccomps, ss, se, ah, al in scans:
+        dc_syms: dict[int, list[int]] = {}
+        ac_syms: dict[int, list[int]] = {}
+        for op in ops:
+            if op[0] == "s":
+                (dc_syms if op[1] == 0 else ac_syms).setdefault(op[2], []).append(op[3])
+        dc_tabs, ac_tabs, dht = {}, {}, b""
+        for tid in sorted(set(dc_syms) | set(ac_syms)):
+            if tid in dc_syms:
+                tab, counts, syms = _build_fixed_table(dc_syms[tid])
+                dc_tabs[tid] = tab
+                dht += bytes([0x00 | tid]) + bytes(counts) + bytes(syms)
+            if tid in ac_syms:
+                tab, counts, syms = _build_fixed_table(ac_syms[tid])
+                ac_tabs[tid] = tab
+                dht += bytes([0x10 | tid]) + bytes(counts) + bytes(syms)
+        if dht:
+            out += seg(0xC4, dht)
+        sos = bytes([len(sccomps)])
+        for ci, dct, act in sccomps:
+            sos += bytes([ci + 1, ((dct or 0) << 4) | (act or 0)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        _write_ops(ops, bw, dc_tabs, ac_tabs)
+        out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -338,66 +606,30 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 # decoder
 # ---------------------------------------------------------------------------
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
-    if buf[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    i = 2
-    qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    comps = []
-    h = w = 0
-    scan_comps = []
-    entropy_start = None
-    while i < len(buf):
-        if buf[i] != 0xFF:
-            raise ValueError("bad marker")
-        marker = buf[i + 1]
-        if marker == 0xD9:
-            break
-        (ln,) = struct.unpack(">H", buf[i + 2 : i + 4])
-        payload = buf[i + 4 : i + 2 + ln]
-        i += 2 + ln
-        if marker == 0xDB:
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit qtab unsupported")
-                tab = np.zeros(64)
-                tab[_ZZ] = np.frombuffer(payload[p + 1 : p + 65], np.uint8)
-                qtabs[tq] = tab.reshape(8, 8)
-                p += 65
-        elif marker == 0xC0:
-            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            for c in range(nc):
-                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comps.append({"id": cid, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline SOF0 supported")
-        elif marker == 0xC4:
-            p = 0
-            while p < len(payload):
-                tc, th = payload[p] >> 4, payload[p] & 0xF
-                counts = list(payload[p + 1 : p + 17])
-                n = sum(counts)
-                syms = list(payload[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _decode_table(counts, syms)
-                p += 17 + n
-        elif marker == 0xDA:
-            ns = payload[0]
-            for c in range(ns):
-                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
-                scan_comps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
-            entropy_start = i
-            break
-    if entropy_start is None:
-        raise ValueError("no scan")
-    # entropy data runs to EOI
-    end = buf.rfind(b"\xff\xd9")
-    br = _BitReader(buf[entropy_start:end])
+def _scan_end(buf: bytes, start: int) -> int:
+    """Index of the first marker after `start` that terminates entropy data
+    (not byte-stuffing FF00, not a restart marker)."""
+    j = start
+    n = len(buf)
+    while True:
+        j = buf.find(b"\xff", j)
+        if j < 0 or j + 1 >= n:
+            return n
+        nxt = buf[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            j += 2
+            continue
+        return j
 
+
+def _decode_scan(br, progressive, comps, coeffs, scomps, ss, se, ah, al,
+                 ri, huff, mcx, mcy):
+    """Entropy-decode one scan into the per-component coefficient arrays.
+
+    scomps: list of (ci, dc_tid, ac_tid). Interleaved when len > 1 (restart
+    interval counts MCUs), else non-interleaved raster over the component's
+    own block grid (restart interval counts blocks).
+    """
     def read_symbol(table) -> int:
         code = 0
         for length in range(1, 17):
@@ -406,41 +638,274 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 return table[(length, code)]
         raise ValueError("bad huffman code")
 
-    nc = len(comps)
-    bh, bw_n = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_n * 8)) for _ in range(nc)]
-    prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bw_n):
-            for ci in range(nc):
-                sc = scan_comps[ci]
-                dct = huff[(0, sc["dc"])]
-                act = huff[(1, sc["ac"])]
-                zz = np.zeros(64, dtype=np.float64)
-                s = read_symbol(dct)
-                diff = _extend(br.read_bits(s), s)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(act)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC overflow")
-                    zz[k] = _extend(br.read_bits(s), s)
+    def tab(tc, tid):
+        t = huff.get((tc, tid))
+        if t is None:
+            raise ValueError(f"missing huffman table ({tc},{tid})")
+        return t
+
+    pred = {ci: 0 for ci, _, _ in scomps}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def block_full(zz, dct, act, ci):
+        s = read_symbol(dct)
+        diff = _extend(br.read_bits(s), s)
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = read_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC overflow")
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+
+    def block_dc(zz, dct, ci):
+        if ah == 0:
+            s = read_symbol(dct)
+            diff = _extend(br.read_bits(s), s)
+            pred[ci] += diff
+            zz[0] = pred[ci] << al
+        elif br.read_bit():
+            zz[0] = int(zz[0]) | p1
+
+    def block_ac_first(zz, act):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = read_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # current block included in the run
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(zz, k):
+        # correction bit for an already-nonzero coefficient
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] = int(zz[k]) + (p1 if zz[k] >= 0 else m1)
+
+    def block_ac_refine(zz, act):
+        # T.81 G.2 / jdphuff.c decode_mcu_AC_refine
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = read_symbol(act)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement size")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
                     k += 1
-                blk = np.zeros(64)
-                blk[_ZZ] = zz
-                coef = blk.reshape(8, 8) * qtabs[comps[ci]["tq"]]
-                pix = _DCT.T @ coef @ _DCT + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
-    if nc == 1:
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(ci, dct_id, act_id, by, bx):
+        zz = coeffs[ci][by, bx]
+        if not progressive:
+            block_full(zz, tab(0, dct_id), tab(1, act_id), ci)
+        elif ss == 0:
+            block_dc(zz, tab(0, dct_id) if ah == 0 else None, ci)
+        elif ah == 0:
+            block_ac_first(zz, tab(1, act_id))
+        else:
+            block_ac_refine(zz, tab(1, act_id))
+
+    def do_restart():
+        nonlocal eobrun
+        br.restart()
+        for ci in pred:
+            pred[ci] = 0
+        eobrun = 0
+
+    if len(scomps) > 1:
+        by_ci = {ci: (d, a) for ci, d, a in scomps}
+        last_mcu = -1
+        for idx, ci, by, bx in _mcu_blocks(
+                [ci for ci, _, _ in scomps],
+                {ci: (comps[ci]["h"], comps[ci]["v"]) for ci, _, _ in scomps},
+                mcx, mcy):
+            if idx != last_mcu:
+                if ri and idx and idx % ri == 0:
+                    do_restart()
+                last_mcu = idx
+            d, a = by_ci[ci]
+            decode_block(ci, d, a, by, bx)
+    else:
+        ci, d, a = scomps[0]
+        nbx, nby = comps[ci]["nbx"], comps[ci]["nby"]
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and unit and unit % ri == 0:
+                    do_restart()
+                unit += 1
+                decode_block(ci, d, a, by, bx)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    coeffs: list[np.ndarray] = []
+    h = w = 0
+    hmax = vmax = 1
+    mcx = mcy = 0
+    ri = 0
+    progressive = False
+    saw_frame = saw_scan = False
+    n = len(buf)
+    while i + 1 < n:
+        if buf[i] != 0xFF:
+            raise ValueError("bad marker")
+        marker = buf[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated segment")
+        (ln,) = struct.unpack(">H", buf[i + 2:i + 4])
+        payload = buf[i + 4:i + 2 + ln]
+        i += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq == 0:
+                    tab = np.zeros(64)
+                    tab[_ZZ] = np.frombuffer(payload[p + 1:p + 65], np.uint8)
+                    p += 65
+                else:  # 16-bit precision entries, big-endian
+                    tab = np.zeros(64)
+                    tab[_ZZ] = np.frombuffer(
+                        payload[p + 1:p + 129], ">u2").astype(np.float64)
+                    p += 129
+                qtabs[tq] = tab.reshape(8, 8)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(nc):
+                cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad sampling factor")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcx = -(-w // (8 * hmax))
+            mcy = -(-h // (8 * vmax))
+            for c in comps:
+                c["cw"] = -(-w * c["h"] // hmax)
+                c["ch"] = -(-h * c["v"] // vmax)
+                c["nbx"] = -(-c["cw"] // 8)
+                c["nby"] = -(-c["ch"] // 8)
+                coeffs.append(np.zeros(
+                    (mcy * c["v"], mcx * c["h"], 64), dtype=np.int32))
+            saw_frame = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported SOF (lossless/arithmetic/hierarchical)")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                counts = list(payload[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = list(payload[p + 17:p + 17 + nsym])
+                huff[(tc, th)] = _decode_table(counts, syms)
+                p += 17 + nsym
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            if not saw_frame:
+                raise ValueError("scan before frame header")
+            ns = payload[0]
+            by_id = {c["id"]: k for k, c in enumerate(comps)}
+            scomps = []
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                if cid not in by_id:
+                    raise ValueError("scan references unknown component")
+                scomps.append((by_id[cid], tabs >> 4, tabs & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            end = _scan_end(buf, i)
+            br = _BitReader(buf[i:end])
+            _decode_scan(br, progressive, comps, coeffs, scomps,
+                         ss, se, ah, al, ri, huff, mcx, mcy)
+            saw_scan = True
+            i = end
+        # APPn / COM / others: skipped
+    if not saw_scan:
+        raise ValueError("no scan")
+
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        nby_p, nbx_p = coeffs[ci].shape[:2]
+        nat = np.zeros((nby_p * nbx_p, 64))
+        nat[:, _ZZ] = coeffs[ci].reshape(-1, 64)
+        blocks = nat.reshape(-1, 8, 8) * qtabs[c["tq"]][None, :, :]
+        pix = np.einsum("ji,bjk,kl->bil", _DCT, blocks, _DCT) + 128.0
+        plane = pix.reshape(nby_p, nbx_p, 8, 8).transpose(0, 2, 1, 3).reshape(
+            nby_p * 8, nbx_p * 8)[:c["ch"], :c["cw"]]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:  # sample-replication upsample
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
     return _ycbcr_to_rgb(np.stack(planes, axis=2))

@@ -572,6 +572,50 @@ def translate(images: DataFrame, dst_fmt: str, bands: list[int] | None = None) -
     )
 
 
+def jpeg_variant_matrix(images: DataFrame, quality: int = 90) -> DataFrame:
+    """S3 foreign-stream JPEG robustness surface, per image: roundtrip PSNR
+    for baseline 4:4:4 and chroma-subsampled 4:2:0 streams, plus exactness
+    flags proving progressive (SOF2, successive approximation) and
+    restart-marker (DRI/RSTn) streams decode pixel-identically to baseline
+    (same quantized coefficients; reference frmts/jpeg/jpgdataset.cpp via
+    libjpeg scan scripts)."""
+    from . import codecs_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
+                sq = img[:, :, 0] if img.shape[2] == 1 else img
+                base = codecs_jpeg.decode_jpeg(
+                    codecs_jpeg.encode_jpeg(sq, quality))
+                sub = codecs_jpeg.decode_jpeg(codecs_jpeg.encode_jpeg(
+                    sq, quality, subsampling="4:2:0"))
+                prog = codecs_jpeg.decode_jpeg(codecs_jpeg.encode_jpeg(
+                    sq, quality, progressive=True))
+                rst = codecs_jpeg.decode_jpeg(codecs_jpeg.encode_jpeg(
+                    sq, quality, restart_interval=2))
+                rows.append((
+                    iid,
+                    round(min(codecs.psnr(sq, base), 99.0), 2),
+                    round(min(codecs.psnr(sq, sub), 99.0), 2),
+                    bool(np.array_equal(base, prog)),
+                    bool(np.array_equal(base, rst)),
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "psnr_444", "psnr_420",
+                    "prog_exact", "rst_exact"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, psnr_444 double, psnr_420 double, "
+               "prog_exact boolean, rst_exact boolean",
+    )
+
+
 def _warp_finish(out: np.ndarray, like: np.ndarray) -> np.ndarray:
     """uint8 inputs round+clip back to uint8; float inputs stay float64
     (lets the analytic-ramp exactness tests bypass quantization)."""
