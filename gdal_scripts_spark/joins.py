@@ -188,6 +188,7 @@ def spatial_join_cells(
     n_salts: int = 8,
     hot_cell_threshold: int = 10_000,
     force_shuffle_join: bool = False,
+    refine: str = "arrow",
 ) -> DataFrame:
     """(id_col, poly_id) via cell equi-join + exact refine.
 
@@ -243,7 +244,135 @@ def spatial_join_cells(
     # lists each (poly_id, cell, salt) once, so a (point, poly) pair can
     # only arise from a single join row — the old .distinct() here was a
     # pure 6M-row shuffle tax
+    if refine == "native":
+        return refine_pip_native(
+            cand, pack_edges_df(spark, pack), id_col, lon, lat
+        )
     return _refine_pip(cand, pack, id_col, lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# 3) fully JVM-native PiP join — zero Python workers in the plan
+# ---------------------------------------------------------------------------
+#
+# The Arrow refine (paths 1/2 above) is copy-bandwidth-bound on wide hosts:
+# BENCH/BASELINE.md measured a core-count-invariant serDe floor (a no-op
+# mapInArrow passthrough costs the same wall at local[8] and local[32] —
+# every byte crosses JVM→Arrow→socket→Python→socket→JVM). This path removes
+# Python entirely: polygon edges become a broadcast `array<struct>` column
+# and the even-odd ray cast becomes one `aggregate()` higher-order
+# expression, so the whole join is scan → codegen cell encode → broadcast
+# hash join → codegen bbox filter → JVM parity fold. Identical pair
+# semantics to geom.pip_even_odd_edges (same expression, same IEEE-double
+# evaluation order), verified against the sequential numpy oracle.
+#
+# MEASURED VERDICT (BENCH/pip_native_ab_r3.json): at 8M points × 200
+# polygons the Arrow refine finishes in ~3.9 s where this path takes ~80 s
+# (identical 172,440,241 pairs). Spark evaluates higher-order functions
+# (`aggregate`, lambda over array<struct>) in interpreted mode — per-element
+# virtual dispatch and struct-field boxing — while the Arrow path pays the
+# serDe copy once and then runs the ray cast as vectorized numpy at memory
+# bandwidth. The engine therefore keeps refine="arrow" as the default; this
+# path exists as the measured counterfactual and for deployments where
+# Python workers are unavailable.
+
+def pack_edges_df(spark: SparkSession, pack: geom.PolygonPack) -> DataFrame:
+    """One row per polygon: (poly_id, bbox, edges array<struct x1,y1,x2,y2>).
+
+    All rings' edges are flattened together — even-odd parity over the union
+    of ring edges subtracts holes automatically (same convention as
+    ``geom.polygon_edges``)."""
+    rows = []
+    for p in range(pack.n_polys):
+        x1, y1, x2, y2 = pack.edges_of(p)
+        edges = [
+            (float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(x1, y1, x2, y2)
+        ]
+        bx0, by0, bx1, by1 = (float(v) for v in pack.bbox[p])
+        rows.append((int(pack.poly_ids[p]), bx0, by0, bx1, by1, edges))
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "poly_id long, bxmin double, bymin double, bxmax double, "
+            "bymax double, edges array<struct<x1:double,y1:double,"
+            "x2:double,y2:double>>"
+        ),
+    )
+
+
+def pip_parity_expr(edges_col, lon_col, lat_col):
+    """Even-odd crossing parity as a pure Column expression (JVM-side).
+
+    Exactly the ``geom.pip_even_odd_edges`` predicate: an edge toggles
+    parity iff (y1 > lat) != (y2 > lat) AND lon < (lat-y1)*((x2-x1)/(y2-y1))
+    + x1 — same operand order, so JVM and numpy produce bit-identical
+    doubles. Horizontal edges (y2 == y1) divide by zero into ±inf/NaN but
+    the crossing condition is already false, so the CASE contributes 0."""
+    crossings = F.aggregate(
+        edges_col,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > lat_col) != (e["y2"] > lat_col))
+            & (
+                lon_col
+                < (lat_col - e["y1"]) * ((e["x2"] - e["x1"]) / (e["y2"] - e["y1"]))
+                + e["x1"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.pmod(crossings, F.lit(2)) == F.lit(1)
+
+
+def refine_pip_native(candidates: DataFrame, edges_df: DataFrame,
+                      id_col: str, lon: str, lat: str) -> DataFrame:
+    """Exact refine of (point, poly_id) candidates with no Python stage.
+
+    Broadcast-joins the per-polygon edge arrays onto the candidates, applies
+    the codegen bbox pretest (the reference's FilterGeometry bbox step,
+    ``ogrlayer.cpp ≈L800``) and keeps rows with odd crossing parity."""
+    lon_c, lat_c = F.col(lon), F.col(lat)
+    return (
+        candidates.join(F.broadcast(edges_df), "poly_id")
+        .where(
+            (lon_c >= F.col("bxmin")) & (lon_c <= F.col("bxmax"))
+            & (lat_c >= F.col("bymin")) & (lat_c <= F.col("bymax"))
+        )
+        .where(pip_parity_expr(F.col("edges"), lon_c, lat_c))
+        .select(id_col, "poly_id")
+    )
+
+
+def spatial_join_native(
+    points: DataFrame,
+    pack: geom.PolygonPack,
+    z: int = 8,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """(id_col, poly_id) pairs with an all-JVM plan — no Python workers.
+
+    Plan: codegen cell encode → broadcast hash join vs the polygon cell
+    cover (prunes every point not near any polygon) → codegen bbox filter →
+    higher-order parity fold. Same pairs as ``spatial_join_broadcast`` /
+    ``spatial_join_cells`` (one join row per (point, poly) candidate, so no
+    dedupe needed). The scale ceiling is the broadcast cover + edge tables
+    (fine up to ~10^6 polygons); beyond that use ``spatial_join_cells``
+    whose cover side shuffles.
+
+    NOTE: measured ~20× slower than the Arrow refine on dense candidate
+    sets (interpreted HOF evaluation — see module comment above); prefer
+    ``spatial_join_broadcast`` unless Python workers are unavailable."""
+    spark = points.sparkSession
+    pts = with_cell(points.select(id_col, lon, lat), z)
+    cover = spark.createDataFrame(
+        polygon_cover_cells(pack, z), schema="poly_id long, cell long"
+    )
+    cand = pts.join(F.broadcast(cover), "cell").select(id_col, lon, lat, "poly_id")
+    return refine_pip_native(cand, pack_edges_df(spark, pack), id_col, lon, lat)
 
 
 # ---------------------------------------------------------------------------

@@ -609,6 +609,59 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("flagship_spatial_join", _q_flagship, None)
 
+
+def _pip_native_oracle() -> str:
+    """Independent DuckDB twin of the JVM-native PiP join: the fixture
+    polygons' edges inlined as VALUES (17-sig-digit e-notation => exact
+    DOUBLE round trip) and the even-odd parity written in plain SQL with the
+    same operand order as joins.pip_parity_expr."""
+    pack = fixtures.polygons_pack(p=48)
+    rows = []
+    for p in range(pack.n_polys):
+        x1, y1, x2, y2 = pack.edges_of(p)
+        pid = int(pack.poly_ids[p])
+        for a, b, c, d in zip(x1, y1, x2, y2):
+            rows.append(
+                f"(CAST({pid} AS BIGINT), {a:.17e}, {b:.17e}, {c:.17e}, {d:.17e})"
+            )
+    values = ",\n    ".join(rows)
+    return f"""
+WITH {PTS_CTE},
+edges AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(poly_id, x1, y1, x2, y2)
+),
+par AS (
+  SELECT p.event_id, e.poly_id,
+         SUM(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                   AND p.lon < (p.lat - e.y1) * ((e.x2 - e.x1) / (e.y2 - e.y1)) + e.x1
+              THEN 1 ELSE 0 END) AS k
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT event_id, poly_id FROM par WHERE k % 2 = 1
+"""
+
+
+def _q_pip_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via the all-JVM plan (joins.spatial_join_native): codegen cell
+    encode -> broadcast cover join -> bbox filter -> higher-order parity
+    fold. No Python worker anywhere; same pairs as the Arrow paths."""
+    register_views(spark, sf_dir)
+    pts = spark.table("events").select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 3600).cast("double") / 10.0 - 179.95)
+        .alias("lon"),
+        ((F.col("event_id") * 104729 % 1680).cast("double") / 10.0 - 83.95)
+        .alias("lat"),
+    )
+    pack = fixtures.polygons_pack(p=48)
+    return joins.spatial_join_native(pts, pack, z=8, id_col="event_id")
+
+
+_add("pip_native_hof", _q_pip_native, _pip_native_oracle())
+
 def _q_tile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = fixtures.images_spark(spark, n=60)
     return raster.cut_base_tiles(images, z=10, resampling="nearest").select(
@@ -1912,7 +1965,7 @@ _FRONT_WINDOW = [
     "band_calc_expr", "raster_to_xyz", "retile_grid", "rasterize_burn",
     "jpeg_psnr_gate",
     "warp_lanczos", "warp_reduce_modes", "warp_cutline",
-    "jpeg_codec_matrix",
+    "jpeg_codec_matrix", "pip_native_hof",
 ]
 
 
