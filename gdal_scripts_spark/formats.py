@@ -1,0 +1,601 @@
+"""Vector format interop — WKT / WKB / GeoJSON(Seq) over a canonical
+geometry struct column.
+
+Reference semantics (public GDAL tree; local snapshot empty):
+
+- ``ogr/ogrgeometryfactory.cpp : OGRGeometryFactory::createFromWkt /
+  createFromWkb (≈L80/L380)`` — parse WKT text and ISO WKB byte streams
+  into the OGRPoint/LineString/Polygon/Multi* hierarchy;
+  ``exportToWkt/exportToWkb`` are the inverses.
+- ``ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp`` and the GeoJSONSeq
+  driver (``drv_geojsonseq.html``) — RFC 7946 features; the *Seq* variant
+  is one feature per line, which is the scalable representation (GDAL
+  streams it; Spark's json lines source splits it for free).
+
+Spark-first design
+------------------
+One canonical geometry column type covers every OGR geometry kind::
+
+    GEOM_TYPE = kind string,
+                parts array<array<array<struct<x:double,y:double>>>>
+
+    POINT            parts = [[[p]]]
+    MULTIPOINT       parts = [[[p1]], [[p2]], ...]       (one part per point)
+    LINESTRING       parts = [[path]]
+    MULTILINESTRING  parts = [[path1], [path2], ...]
+    POLYGON          parts = [[ext, hole1, ...]]          (rings, closed)
+    MULTIPOLYGON     parts = [[extA, holeA1], [extB], ...]
+
+The innermost level matches the engine's existing polygon layer schema
+(``fixtures.POLYGONS_SCHEMA : rings array<array<struct<x,y>>>``) so a
+POLYGON's ``parts[0]`` IS a drop-in ``rings`` value.
+
+Hot-path scalars (area, length, bbox, counts) are pure-Column
+higher-order functions — whole-stage-codegen JVM evaluation, no Python
+workers, so filtering/aggregating billions of geometries never leaves the
+JVM. Text/byte (de)serialization is inherently per-value string work and
+runs as Arrow-batched pandas UDFs (the GDAL analog is the per-feature
+createFromWkt loop; here it is vectorized per Arrow batch).
+
+Scale notes (100 TB): parse/format UDFs are map-only (no shuffle, no
+driver state); GeoJSONSeq read is a plain lines-json scan with full
+predicate pushdown on properties; the geometry struct is columnar in
+parquet so ``geom.kind``-only scans never read coordinates.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct as _struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# canonical geometry struct type
+# ---------------------------------------------------------------------------
+
+_POINT_T = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+_PARTS_T = ArrayType(ArrayType(ArrayType(_POINT_T)))
+GEOM_TYPE = StructType(
+    [StructField("kind", StringType()), StructField("parts", _PARTS_T)]
+)
+GEOM_DDL = (
+    "struct<kind:string,parts:array<array<array<struct<x:double,y:double>>>>>"
+)
+
+KINDS = (
+    "POINT",
+    "MULTIPOINT",
+    "LINESTRING",
+    "MULTILINESTRING",
+    "POLYGON",
+    "MULTIPOLYGON",
+)
+
+# ISO WKB geometry type codes (little-endian byte order marker 0x01)
+_WKB_CODE = {
+    "POINT": 1,
+    "LINESTRING": 2,
+    "POLYGON": 3,
+    "MULTIPOINT": 4,
+    "MULTILINESTRING": 5,
+    "MULTIPOLYGON": 6,
+}
+_WKB_KIND = {v: k for k, v in _WKB_CODE.items()}
+
+
+# ---------------------------------------------------------------------------
+# WKT text <-> python nesting (shared by the pandas UDFs and tests)
+# ---------------------------------------------------------------------------
+
+_WKT_HEAD = re.compile(r"^\s*([A-Za-z]+)\s*(.*)$", re.S)
+
+
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at paren depth 0."""
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"expected parenthesized group, got {s[:40]!r}")
+    return s[1:-1]
+
+
+def _coords(s: str) -> list[tuple[float, float]]:
+    pts = []
+    for tok in _split_depth0(s):
+        xy = tok.split()
+        if len(xy) < 2:
+            raise ValueError(f"bad coordinate {tok!r}")
+        pts.append((float(xy[0]), float(xy[1])))
+    return pts
+
+
+def wkt_to_parts(wkt: str) -> tuple[str, list[list[list[tuple[float, float]]]]]:
+    """Parse one WKT string into (kind, parts) python nesting (module
+    docstring layout). Raises ValueError on malformed input."""
+    m = _WKT_HEAD.match(wkt)
+    if not m:
+        raise ValueError(f"not WKT: {wkt[:40]!r}")
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+    if kind not in KINDS:
+        raise ValueError(f"unsupported WKT kind {kind!r}")
+    if body.upper() == "EMPTY":
+        return kind, []
+    body = _strip_parens(body)
+    if kind == "POINT":
+        return kind, [[[_coords(body)[0]]]]
+    if kind == "LINESTRING":
+        return kind, [[_coords(body)]]
+    if kind == "POLYGON":
+        return kind, [[_coords(_strip_parens(r)) for r in _split_depth0(body)]]
+    if kind == "MULTIPOINT":
+        # both spellings: MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
+        parts = []
+        for tok in _split_depth0(body):
+            t = tok.strip()
+            parts.append([[_coords(_strip_parens(t) if t.startswith("(") else t)[0]]])
+        return kind, parts
+    if kind == "MULTILINESTRING":
+        return kind, [[_coords(_strip_parens(t))] for t in _split_depth0(body)]
+    # MULTIPOLYGON
+    parts = []
+    for poly in _split_depth0(body):
+        rings_txt = _strip_parens(poly.strip())
+        parts.append([_coords(_strip_parens(r)) for r in _split_depth0(rings_txt)])
+    return kind, parts
+
+
+def _fmt_pt(p) -> str:
+    return f"{p[0]:.10g} {p[1]:.10g}"
+
+
+def _fmt_seq(pts) -> str:
+    return "(" + ", ".join(_fmt_pt(p) for p in pts) + ")"
+
+
+def parts_to_wkt(kind: str, parts) -> str:
+    """Canonical WKT (same ``%.10g`` float style as ``geom.ring_wkt_coords``;
+    ring closure is preserved as stored, not re-normalized)."""
+    kind = kind.upper()
+    if not parts:
+        return f"{kind} EMPTY"
+    if kind == "POINT":
+        return f"POINT ({_fmt_pt(parts[0][0][0])})"
+    if kind == "LINESTRING":
+        return f"LINESTRING {_fmt_seq(parts[0][0])}"
+    if kind == "POLYGON":
+        return "POLYGON (" + ", ".join(_fmt_seq(r) for r in parts[0]) + ")"
+    if kind == "MULTIPOINT":
+        return "MULTIPOINT (" + ", ".join(f"({_fmt_pt(p[0][0])})" for p in parts) + ")"
+    if kind == "MULTILINESTRING":
+        return "MULTILINESTRING (" + ", ".join(_fmt_seq(p[0]) for p in parts) + ")"
+    if kind == "MULTIPOLYGON":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join("(" + ", ".join(_fmt_seq(r) for r in poly) + ")" for poly in parts)
+            + ")"
+        )
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# WKB bytes <-> python nesting
+# ---------------------------------------------------------------------------
+
+
+def _wkb_coords(pts) -> bytes:
+    arr = np.asarray(pts, dtype="<f8").reshape(-1, 2)
+    return _struct.pack("<I", arr.shape[0]) + arr.tobytes()
+
+
+def parts_to_wkb(kind: str, parts) -> bytes:
+    """ISO WKB, little-endian (``OGRGeometry::exportToWkb`` analog)."""
+    kind = kind.upper()
+    code = _WKB_CODE[kind]
+    head = b"\x01" + _struct.pack("<I", code)
+    if kind == "POINT":
+        p = parts[0][0][0]
+        return head + _struct.pack("<dd", p[0], p[1])
+    if kind == "LINESTRING":
+        return head + _wkb_coords(parts[0][0])
+    if kind == "POLYGON":
+        rings = parts[0]
+        return head + _struct.pack("<I", len(rings)) + b"".join(
+            _wkb_coords(r) for r in rings
+        )
+    # Multi* = count + nested full WKB geometries (ISO layout)
+    inner_kind = kind[5:]
+    return head + _struct.pack("<I", len(parts)) + b"".join(
+        parts_to_wkb(inner_kind, [p]) for p in parts
+    )
+
+
+def wkb_to_parts(buf: bytes) -> tuple[str, list]:
+    kind, parts, off = _wkb_read(memoryview(buf), 0)
+    if off != len(buf):
+        raise ValueError(f"trailing bytes after WKB geometry ({len(buf) - off})")
+    return kind, parts
+
+
+def _wkb_read(mv: memoryview, off: int) -> tuple[str, list, int]:
+    if mv[off] != 1:
+        raise ValueError("only little-endian (NDR) WKB supported")
+    code = _struct.unpack_from("<I", mv, off + 1)[0]
+    kind = _WKB_KIND.get(code & 0xFF)
+    if kind is None:
+        raise ValueError(f"unknown WKB geometry code {code}")
+    off += 5
+
+    def rd_coords(o):
+        n = _struct.unpack_from("<I", mv, o)[0]
+        arr = np.frombuffer(mv, dtype="<f8", count=2 * n, offset=o + 4).reshape(n, 2)
+        return [(float(x), float(y)) for x, y in arr], o + 4 + 16 * n
+
+    if kind == "POINT":
+        x, y = _struct.unpack_from("<dd", mv, off)
+        return kind, [[[(x, y)]]], off + 16
+    if kind == "LINESTRING":
+        pts, off = rd_coords(off)
+        return kind, [[pts]], off
+    if kind == "POLYGON":
+        nr = _struct.unpack_from("<I", mv, off)[0]
+        off += 4
+        rings = []
+        for _ in range(nr):
+            pts, off = rd_coords(off)
+            rings.append(pts)
+        return kind, [rings], off
+    # Multi*
+    n = _struct.unpack_from("<I", mv, off)[0]
+    off += 4
+    parts = []
+    for _ in range(n):
+        _k, sub, off = _wkb_read(mv, off)
+        parts.extend(sub)
+    return kind, parts, off
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched column codecs (pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _geom_records(series: pd.Series, parse):
+    ks, ps = [], []
+    for v in series:
+        if v is None:
+            ks.append(None)
+            ps.append(None)
+            continue
+        k, parts = parse(v)
+        ks.append(k)
+        ps.append(
+            [[[{"x": float(x), "y": float(y)} for x, y in ring] for ring in part]
+             for part in parts]
+        )
+    return pd.DataFrame({"kind": ks, "parts": ps})
+
+
+@F.pandas_udf(GEOM_TYPE)
+def wkt_parse(s: pd.Series) -> pd.DataFrame:
+    """WKT text column -> geometry struct (``createFromWkt`` analog)."""
+    return _geom_records(s, wkt_to_parts)
+
+
+@F.pandas_udf(BinaryType())
+def wkb_from_wkt(s: pd.Series) -> pd.Series:
+    """WKT text -> ISO WKB bytes in one Arrow pass (no intermediate
+    struct materialization — the common ETL direction)."""
+    return s.map(lambda v: None if v is None else parts_to_wkb(*wkt_to_parts(v)))
+
+
+@F.pandas_udf(GEOM_TYPE)
+def wkb_parse(s: pd.Series) -> pd.DataFrame:
+    """ISO WKB binary column -> geometry struct (``createFromWkb`` analog)."""
+    return _geom_records(s, wkb_to_parts)
+
+
+def _parts_tuples(parts):
+    return [
+        [[(p["x"], p["y"]) for p in ring] for ring in part] for part in parts
+    ]
+
+
+# Struct-valued *inputs* to pandas UDFs choke on ragged nested arrays
+# (PySpark's Arrow->pandas converter rebuilds np.array per nesting level and
+# rings of different lengths are inhomogeneous), so the formatters take the
+# geometry serialized to JSON JVM-side (`to_json` — codegen) and parse the
+# line in the worker. Text/byte emission is string-bound anyway; the hot
+# scalar path above never leaves the JVM.
+
+
+def _emit_from_json(s: pd.Series, emit) -> pd.Series:
+    def run(v):
+        if v is None:
+            return None
+        obj = json.loads(v)
+        return emit(obj["kind"], _parts_tuples(obj["parts"]))
+
+    return s.map(run)
+
+
+@F.pandas_udf(StringType())
+def _wkt_format_json(s: pd.Series) -> pd.Series:
+    return _emit_from_json(s, parts_to_wkt)
+
+
+@F.pandas_udf(BinaryType())
+def _wkb_format_json(s: pd.Series) -> pd.Series:
+    return _emit_from_json(s, parts_to_wkb)
+
+
+def wkt_format(g: Column) -> Column:
+    """geometry struct -> canonical WKT (``exportToWkt`` analog)."""
+    return _wkt_format_json(F.to_json(g))
+
+
+def wkb_format(g: Column) -> Column:
+    """geometry struct -> ISO WKB bytes (``exportToWkb`` analog)."""
+    return _wkb_format_json(F.to_json(g))
+
+
+# ---------------------------------------------------------------------------
+# pure-Column geometry scalars (JVM higher-order functions — the hot path)
+# ---------------------------------------------------------------------------
+
+
+def _ring_signed_area2(ring: Column) -> Column:
+    """2x signed shoelace area of one ring (array<struct<x,y>>, closed or
+    open — the wrap term is added explicitly so both work)."""
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    seg = F.aggregate(
+        F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"]),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    first, last = F.element_at(ring, 1), F.element_at(ring, n)
+    wrap = last["x"] * first["y"] - first["x"] * last["y"]
+    return seg + wrap
+
+
+def geom_area(g: Column) -> Column:
+    """OGR ``get_Area`` semantics: per part, |exterior| minus the |hole|s,
+    summed over parts — orientation-independent. All-JVM."""
+    def part_area(part):
+        ext = F.abs(_ring_signed_area2(F.element_at(part, 1))) / F.lit(2.0)
+        holes = F.aggregate(
+            F.slice(part, 2, F.greatest(F.size(part) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.abs(_ring_signed_area2(r)) / F.lit(2.0),
+        )
+        return ext - holes
+
+    return F.aggregate(g["parts"], F.lit(0.0), lambda acc, p: acc + part_area(p))
+
+
+def geom_length(g: Column) -> Column:
+    """Sum of path lengths over all parts' first paths (LineString family);
+    for polygons this is the perimeter of every ring. All-JVM."""
+    def ring_len(ring):
+        n = F.size(ring)
+        a = F.slice(ring, 1, n - 1)
+        b = F.slice(ring, 2, n - 1)
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda p, q: F.sqrt(
+                    (p["x"] - q["x"]) * (p["x"] - q["x"])
+                    + (p["y"] - q["y"]) * (p["y"] - q["y"])
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.aggregate(
+        g["parts"],
+        F.lit(0.0),
+        lambda acc, part: acc
+        + F.aggregate(part, F.lit(0.0), lambda a2, r: a2 + ring_len(r)),
+    )
+
+
+def geom_num_parts(g: Column) -> Column:
+    return F.size(g["parts"])
+
+
+def geom_num_points(g: Column) -> Column:
+    return F.aggregate(
+        g["parts"],
+        F.lit(0),
+        lambda acc, part: acc
+        + F.aggregate(part, F.lit(0), lambda a2, r: a2 + F.size(r)),
+    )
+
+
+def geom_bbox(g: Column) -> Column:
+    """struct<minx,miny,maxx,maxy> over every vertex. All-JVM."""
+    pts = F.flatten(F.flatten(g["parts"]))
+    xs = F.transform(pts, lambda p: p["x"])
+    ys = F.transform(pts, lambda p: p["y"])
+    return F.struct(
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON / GeoJSONSeq
+# ---------------------------------------------------------------------------
+
+_GJ_TYPE = {
+    "POINT": "Point",
+    "MULTIPOINT": "MultiPoint",
+    "LINESTRING": "LineString",
+    "MULTILINESTRING": "MultiLineString",
+    "POLYGON": "Polygon",
+    "MULTIPOLYGON": "MultiPolygon",
+}
+_GJ_KIND = {v: k for k, v in _GJ_TYPE.items()}
+
+
+def geojson_coordinates(g: Column, kind: str) -> Column:
+    """RFC 7946 ``coordinates`` nesting for a uniform-kind geometry column
+    — pure Column, so the whole feature writer stays JVM-side."""
+    kind = kind.upper()
+    xy = lambda p: F.array(p["x"], p["y"])  # noqa: E731
+    parts = g["parts"]
+    if kind == "POINT":
+        p = F.element_at(F.element_at(F.element_at(parts, 1), 1), 1)
+        return xy(p)
+    if kind == "MULTIPOINT":
+        return F.transform(
+            parts, lambda part: xy(F.element_at(F.element_at(part, 1), 1))
+        )
+    if kind == "LINESTRING":
+        return F.transform(F.element_at(F.element_at(parts, 1), 1), xy)
+    if kind == "MULTILINESTRING":
+        return F.transform(
+            parts, lambda part: F.transform(F.element_at(part, 1), xy)
+        )
+    if kind == "POLYGON":
+        return F.transform(
+            F.element_at(parts, 1), lambda ring: F.transform(ring, xy)
+        )
+    if kind == "MULTIPOLYGON":
+        return F.transform(
+            parts,
+            lambda part: F.transform(part, lambda ring: F.transform(ring, xy)),
+        )
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+def to_geojson_features(
+    df: DataFrame, geom_col: str, prop_cols: list[str], kind: str
+) -> DataFrame:
+    """Uniform-kind feature writer: one RFC 7946 Feature JSON string per row
+    (column ``feature``) — the GeoJSONSeq line format. Pure Column end to
+    end (``to_json`` over a struct); write with ``df.write.text(path)``."""
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit(_GJ_TYPE[kind.upper()]).alias("type"),
+            geojson_coordinates(F.col(geom_col), kind).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(*[F.col(c) for c in prop_cols]).alias("properties"),
+    )
+    return df.select(F.to_json(feature).alias("feature"))
+
+
+def write_geojson_seq(
+    df: DataFrame, path: str, geom_col: str, prop_cols: list[str], kind: str,
+    mode: str = "overwrite",
+) -> None:
+    to_geojson_features(df, geom_col, prop_cols, kind).write.mode(mode).text(path)
+
+
+def _coords_ddl(kind: str) -> str:
+    depth = {
+        "POINT": 1, "MULTIPOINT": 2, "LINESTRING": 2,
+        "MULTILINESTRING": 3, "POLYGON": 3, "MULTIPOLYGON": 4,
+    }[kind.upper()]
+    t = "double"
+    for _ in range(depth):
+        t = f"array<{t}>"
+    return t
+
+
+def geom_from_geojson_coordinates(coords: Column, kind: str) -> Column:
+    """Inverse of :func:`geojson_coordinates` — pure Column."""
+    kind = kind.upper()
+    pt = lambda a: F.struct(  # noqa: E731
+        F.element_at(a, 1).alias("x"), F.element_at(a, 2).alias("y")
+    )
+    if kind == "POINT":
+        parts = F.array(F.array(F.array(pt(coords))))
+    elif kind == "MULTIPOINT":
+        parts = F.transform(coords, lambda a: F.array(F.array(pt(a))))
+    elif kind == "LINESTRING":
+        parts = F.array(F.array(F.transform(coords, pt)))
+    elif kind == "MULTILINESTRING":
+        parts = F.transform(coords, lambda path: F.array(F.transform(path, pt)))
+    elif kind == "POLYGON":
+        parts = F.array(F.transform(coords, lambda ring: F.transform(ring, pt)))
+    elif kind == "MULTIPOLYGON":
+        parts = F.transform(
+            coords,
+            lambda poly: F.transform(poly, lambda ring: F.transform(ring, pt)),
+        )
+    else:
+        raise ValueError(f"unsupported kind {kind!r}")
+    return F.struct(F.lit(kind).alias("kind"), parts.alias("parts"))
+
+
+def read_geojson_seq(
+    spark, path: str, kind: str, properties_ddl: str
+) -> DataFrame:
+    """GeoJSONSeq scan: plain lines-json read with an explicit schema (no
+    inference pass — mandatory at 100 TB), then a pure-Column rebuild of
+    the geometry struct. Property predicates push down into the json scan.
+    """
+    schema = (
+        "type string, "
+        f"geometry struct<type:string, coordinates:{_coords_ddl(kind)}>, "
+        f"properties struct<{properties_ddl}>"
+    )
+    raw = spark.read.schema(schema).json(path)
+    return raw.select(
+        geom_from_geojson_coordinates(F.col("geometry.coordinates"), kind).alias("geom"),
+        F.col("properties.*"),
+    )
+
+
+def parse_geojson_feature(line: str) -> tuple[str, list, dict]:
+    """Driver/test helper: one Feature JSON line -> (kind, parts, props)."""
+    obj = json.loads(line)
+    gtype = obj["geometry"]["type"]
+    kind = _GJ_KIND[gtype]
+    c = obj["geometry"]["coordinates"]
+    if kind == "POINT":
+        parts = [[[tuple(c)]]]
+    elif kind == "MULTIPOINT":
+        parts = [[[tuple(p)]] for p in c]
+    elif kind == "LINESTRING":
+        parts = [[[tuple(p) for p in c]]]
+    elif kind == "MULTILINESTRING":
+        parts = [[[tuple(p) for p in path]] for path in c]
+    elif kind == "POLYGON":
+        parts = [[[tuple(p) for p in ring] for ring in c]]
+    else:
+        parts = [[[tuple(p) for p in ring] for ring in poly] for poly in c]
+    return kind, parts, obj.get("properties") or {}
