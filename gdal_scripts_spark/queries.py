@@ -28,7 +28,17 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import fixtures, joins, knn, multimodal, polygonize, raster, textops, vectorops
+from . import (
+    fixtures,
+    formats,
+    joins,
+    knn,
+    multimodal,
+    polygonize,
+    raster,
+    textops,
+    vectorops,
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -1927,6 +1937,203 @@ def _q_jpeg_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.jpeg_variant_matrix(images)
 
 _add("jpeg_codec_matrix", _q_jpeg_codec_matrix, None)
+
+
+# ===========================================================================
+# vector format interop (S5 depth — formats.py): WKT / WKB / GeoJSONSeq.
+# Geometry is synthesized as WKT text from table columns with integer
+# coordinates, so every scalar the engine computes through parse->HOF has an
+# EXACT closed-form SQL twin over the same source columns — fully
+# independent oracles (no goldens): the oracle never touches WKT at all.
+# ===========================================================================
+
+
+def _int_str(c) -> F.Column:
+    return c.cast("long").cast("string")
+
+
+def _rect_ring_str(x0, y0, w, h) -> F.Column:
+    """'(x0 y0, x1 y0, x1 y1, x0 y1, x0 y0)' as a Column (CCW rect ring)."""
+    x1, y1 = x0 + w, y0 + h
+    sp, cm = F.lit(" "), F.lit(", ")
+    return F.concat(
+        F.lit("("),
+        _int_str(x0), sp, _int_str(y0), cm,
+        _int_str(x1), sp, _int_str(y0), cm,
+        _int_str(x1), sp, _int_str(y1), cm,
+        _int_str(x0), sp, _int_str(y1), cm,
+        _int_str(x0), sp, _int_str(y0),
+        F.lit(")"),
+    )
+
+
+def _q_wkt_polygon_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT parse -> pure-Column scalars; rect coords derived from part
+    columns so area/perimeter/centroid have exact closed forms."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = F.col("p_partkey") % 97
+    y0 = (F.col("p_partkey") * 7) % 89
+    w = F.col("p_size") % 9 + 1
+    h = (F.col("p_size") * 3) % 7 + 1
+    wkt = F.concat(F.lit("POLYGON ("), _rect_ring_str(x0, y0, w, h), F.lit(")"))
+    g = part.select("p_partkey", formats.wkt_parse(wkt).alias("geom"))
+    scal = g.select(
+        "p_partkey",
+        formats.geom_area(F.col("geom")).alias("rect_area"),
+        formats.geom_length(F.col("geom")).alias("rect_perim"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("n_vertices"),
+        formats.geom_bbox(F.col("geom")).alias("bb"),
+    )
+    return scal.select(
+        "p_partkey", "rect_area", "rect_perim", "n_vertices",
+        ((F.col("bb.minx") + F.col("bb.maxx")) / 2).alias("cx"),
+        ((F.col("bb.miny") + F.col("bb.maxy")) / 2).alias("cy"),
+    )
+
+
+_add("wkt_polygon_etl", _q_wkt_polygon_etl, """
+SELECT p_partkey,
+       CAST((p_size % 9 + 1) * ((p_size * 3) % 7 + 1) AS DOUBLE) AS rect_area,
+       CAST(2 * ((p_size % 9 + 1) + ((p_size * 3) % 7 + 1)) AS DOUBLE) AS rect_perim,
+       CAST(5 AS BIGINT) AS n_vertices,
+       (p_partkey % 97) + (p_size % 9 + 1) / 2.0e0 AS cx,
+       ((p_partkey * 7) % 89) + ((p_size * 3) % 7 + 1) / 2.0e0 AS cy
+FROM part
+""")
+
+
+def _q_wkb_polygon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT -> ISO WKB bytes -> parse -> scalars; the byte length is a spec
+    pin (1+4 header + 4 ring count + 4 point count + 5*16 coords = 93)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = F.col("p_partkey") % 97
+    y0 = (F.col("p_partkey") * 7) % 89
+    w = F.col("p_size") % 9 + 1
+    h = (F.col("p_size") * 3) % 7 + 1
+    wkt = F.concat(F.lit("POLYGON ("), _rect_ring_str(x0, y0, w, h), F.lit(")"))
+    b = part.select("p_partkey", formats.wkb_from_wkt(wkt).alias("wkb"))
+    g = b.select(
+        "p_partkey",
+        F.length("wkb").cast("long").alias("wkb_nbytes"),
+        formats.wkb_parse(F.col("wkb")).alias("geom"),
+    )
+    return g.select(
+        "p_partkey", "wkb_nbytes",
+        formats.geom_area(F.col("geom")).alias("rect_area_wkb"),
+        F.col("geom")["kind"].alias("kind"),
+    )
+
+
+_add("wkb_polygon_roundtrip", _q_wkb_polygon_roundtrip, """
+SELECT p_partkey,
+       CAST(93 AS BIGINT) AS wkb_nbytes,
+       CAST((p_size % 9 + 1) * ((p_size * 3) % 7 + 1) AS DOUBLE) AS rect_area_wkb,
+       'POLYGON' AS kind
+FROM part
+""")
+
+
+def _q_multipolygon_hole_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-part + holed geometry through the same parse->HOF path: part 1
+    is a rect with a unit-square hole (hole ring deliberately CCW — same
+    orientation as the exterior — proving get_Area orientation
+    independence), part 2 a disjoint rect to its right."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = F.col("p_partkey") % 83
+    y0 = (F.col("p_partkey") * 11) % 79
+    w1 = F.col("p_size") % 7 + 3
+    h1 = (F.col("p_size") * 3) % 5 + 3
+    x0b = x0 + w1 + 1 + F.col("p_partkey") % 5
+    w2 = F.col("p_size") % 5 + 1
+    h2 = F.col("p_size") % 3 + 1
+    wkt = F.concat(
+        F.lit("MULTIPOLYGON (("),
+        _rect_ring_str(x0, y0, w1, h1),
+        F.lit(", "),
+        _rect_ring_str(x0 + 1, y0 + 1, F.lit(1), F.lit(1)),
+        F.lit("), ("),
+        _rect_ring_str(x0b, y0, w2, h2),
+        F.lit("))"),
+    )
+    g = part.select("p_partkey", formats.wkt_parse(wkt).alias("geom"))
+    return g.select(
+        "p_partkey",
+        formats.geom_area(F.col("geom")).alias("net_area"),
+        formats.geom_num_parts(F.col("geom")).cast("long").alias("n_parts"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("n_points"),
+    )
+
+
+_add("multipolygon_hole_scalars", _q_multipolygon_hole_scalars, """
+SELECT p_partkey,
+       CAST((p_size % 7 + 3) * ((p_size * 3) % 5 + 3) - 1
+            + (p_size % 5 + 1) * (p_size % 3 + 1) AS DOUBLE) AS net_area,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST(15 AS BIGINT) AS n_points
+FROM part
+""")
+
+
+def _q_linestring_wkt_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING parse + length: an axis-aligned two-segment path, so the
+    sqrt-based length is exactly a+b."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x0 = F.col("c_custkey") % 101
+    a = F.col("c_custkey") % 13 + 1
+    b = (F.col("c_custkey") * 3) % 11 + 1
+    sp, cm = F.lit(" "), F.lit(", ")
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        _int_str(x0), sp, F.lit("0"), cm,
+        _int_str(x0 + a), sp, F.lit("0"), cm,
+        _int_str(x0 + a), sp, _int_str(b),
+        F.lit(")"),
+    )
+    g = cust.select("c_custkey", formats.wkt_parse(wkt).alias("geom"))
+    return g.select(
+        "c_custkey",
+        formats.geom_length(F.col("geom")).alias("path_len"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("n_pts"),
+        F.col("geom")["kind"].alias("kind"),
+    )
+
+
+_add("linestring_wkt_length", _q_linestring_wkt_length, """
+SELECT c_custkey,
+       CAST((c_custkey % 13 + 1) + ((c_custkey * 3) % 11 + 1) AS DOUBLE) AS path_len,
+       CAST(3 AS BIGINT) AS n_pts,
+       'LINESTRING' AS kind
+FROM customer
+""")
+
+
+def _q_geojson_seq_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GeoJSONSeq sink+source cycle: supplier rects -> RFC 7946
+    feature lines (pure-Column to_json) -> schema'd lines-json scan ->
+    geometry rebuild -> scalars. Oracle is closed-form over supplier."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    x0 = F.col("s_suppkey") % 61
+    y0 = (F.col("s_suppkey") * 13) % 53
+    w = F.col("s_suppkey") % 6 + 1
+    h = F.col("s_suppkey") % 4 + 1
+    wkt = F.concat(F.lit("POLYGON ("), _rect_ring_str(x0, y0, w, h), F.lit(")"))
+    df = sup.select("s_suppkey", formats.wkt_parse(wkt).alias("geom"))
+    tmp = _scratch_dir("geojson_seq_")
+    formats.write_geojson_seq(df, tmp, "geom", ["s_suppkey"], kind="POLYGON")
+    back = formats.read_geojson_seq(spark, tmp, "POLYGON", "s_suppkey bigint")
+    return back.select(
+        "s_suppkey",
+        formats.geom_area(F.col("geom")).alias("gj_area"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("gj_npoints"),
+    )
+
+
+_add("geojson_seq_etl", _q_geojson_seq_etl, """
+SELECT s_suppkey,
+       CAST((s_suppkey % 6 + 1) * (s_suppkey % 4 + 1) AS DOUBLE) AS gj_area,
+       CAST(5 AS BIGINT) AS gj_npoints
+FROM supplier
+""")
 
 
 # ---------------------------------------------------------------------------
