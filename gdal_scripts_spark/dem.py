@@ -106,8 +106,37 @@ def np_roughness(z):
     return arr.max(axis=0) - arr.min(axis=0)
 
 
+# gdaldem color-relief: apps/gdaldem_lib.cpp : GDALColorRelief (≈L2600)
+# reads a color ramp file of "elevation R G B" stops and linearly
+# interpolates between them per pixel; values outside the ramp clamp to the
+# end stops (the default, without -exact_color_entry / -nearest_color_entry).
+# A ramp is [(elev, r, g, b), ...] sorted by elevation.
+DEFAULT_RAMP = [
+    (0, 0, 97, 71),
+    (60, 16, 122, 47),
+    (120, 232, 215, 125),
+    (180, 161, 67, 0),
+    (230, 130, 30, 30),
+    (255, 255, 255, 255),
+]
+
+
+def np_color_relief(z: np.ndarray, ramp=None) -> np.ndarray:
+    """Per-pixel piecewise-linear ramp lookup -> HxWx3 uint8 (point op, no
+    focal window — the one gdaldem mode with no 3x3 stencil)."""
+    stops = ramp if ramp is not None else DEFAULT_RAMP
+    e = np.asarray([s[0] for s in stops], dtype=np.float64)
+    rgb = np.asarray([s[1:] for s in stops], dtype=np.float64)
+    zf = z.astype(np.float64)
+    out = np.empty(z.shape + (3,), dtype=np.uint8)
+    for c in range(3):
+        out[..., c] = np.rint(np.interp(zf, e, rgb[:, c])).astype(np.uint8)
+    return out
+
+
 _MODES = {
     "hillshade": lambda z, kw: np_hillshade(z, **kw),
+    "color-relief": lambda z, kw: np_color_relief(z, kw.get("ramp")),
     "slope": lambda z, kw: np.clip(np.rint(np_slope_deg(z, kw.get("xres", 1.0), kw.get("yres", 1.0))), 0, 255).astype(np.uint8),
     "aspect": lambda z, kw: np.clip(np.rint(np_aspect_deg(z, kw.get("xres", 1.0), kw.get("yres", 1.0)) / 2.0), 0, 255).astype(np.uint8),
     "tri": lambda z, kw: np.clip(np.rint(np_tri(z)), 0, 255).astype(np.uint8),
@@ -123,6 +152,8 @@ def gdaldem(images: DataFrame, mode: str = "hillshade", out_fmt: str = "pgm",
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {sorted(_MODES)}")
     fn = _MODES[mode]
+    if mode == "color-relief" and out_fmt == "pgm":
+        out_fmt = "ppm"  # 3-band output; PGM is single-band
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -165,6 +196,11 @@ def gdaldem_tiled(tiles: DataFrame, mode: str = "hillshade", **kwargs) -> DataFr
     GDAL -compute_edges on the full raster."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {sorted(_MODES)}")
+    if mode == "color-relief":
+        raise ValueError(
+            "color-relief is a point op (no 3x3 window) — run gdaldem() "
+            "directly on the tiles; the halo exchange buys nothing"
+        )
     fn = _MODES[mode]
 
     def strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

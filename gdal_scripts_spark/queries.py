@@ -824,6 +824,16 @@ def _q_gdaldem_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("gdaldem_tiled_halo", _q_gdaldem_tiled, None)
 
+def _q_gdaldem_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dem as _dem
+
+    labels = fixtures.labels_spark(spark, n=8)
+    return _dem.gdaldem(labels, "color-relief").select(
+        "image_id", "fmt", "w", "h", "checksum"
+    )
+
+_add("gdaldem_color_relief", _q_gdaldem_color_relief, None)
+
 def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import palette as _palette
 
@@ -2133,6 +2143,40 @@ SELECT s_suppkey,
        CAST((s_suppkey % 6 + 1) * (s_suppkey % 4 + 1) AS DOUBLE) AS gj_area,
        CAST(5 AS BIGINT) AS gj_npoints
 FROM supplier
+""")
+
+
+def _q_csv_wkt_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr CSV-driver analog (`ogr/ogrsf_frmts/csv`, GEOM_POSSIBLE_NAMES):
+    CSV with a WKT geometry column, written and re-read through Spark's csv
+    source (WKT commas exercise the quoting path), then parse -> scalars."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x0 = F.col("c_custkey") % 59
+    y0 = (F.col("c_custkey") * 5) % 47
+    w = F.col("c_custkey") % 7 + 1
+    h = F.col("c_custkey") % 5 + 1
+    wkt = F.concat(F.lit("POLYGON ("), _rect_ring_str(x0, y0, w, h), F.lit(")"))
+    df = cust.select("c_custkey", wkt.alias("wkt_geom"))
+    tmp = _scratch_dir("csv_wkt_")
+    df.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.option("header", True)
+        .schema("c_custkey long, wkt_geom string")
+        .csv(tmp)
+    )
+    g = back.select("c_custkey", formats.wkt_parse(F.col("wkt_geom")).alias("geom"))
+    return g.select(
+        "c_custkey",
+        formats.geom_area(F.col("geom")).alias("csv_area"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("csv_npoints"),
+    )
+
+
+_add("csv_wkt_etl", _q_csv_wkt_etl, """
+SELECT c_custkey,
+       CAST((c_custkey % 7 + 1) * (c_custkey % 5 + 1) AS DOUBLE) AS csv_area,
+       CAST(5 AS BIGINT) AS csv_npoints
+FROM customer
 """)
 
 

@@ -181,3 +181,65 @@ def test_dither_spark(spark):
     rows = indexed.collect()
     assert len(rows) == 10
     assert len(pal) <= 16
+
+
+# ---------------------------------------------------------------------------
+# gdaldem color-relief (GDALColorRelief analog: piecewise-linear ramp)
+# ---------------------------------------------------------------------------
+
+
+def _ramp_lookup_scalar(v, ramp):
+    """Per-pixel reference: linear interp between stops, clamped outside."""
+    if v <= ramp[0][0]:
+        return ramp[0][1:]
+    if v >= ramp[-1][0]:
+        return ramp[-1][1:]
+    for (e0, *c0), (e1, *c1) in zip(ramp, ramp[1:]):
+        if e0 <= v <= e1:
+            t = (v - e0) / (e1 - e0)
+            return tuple(round(a + t * (b - a)) for a, b in zip(c0, c1))
+    raise AssertionError
+
+
+def test_color_relief_matches_scalar_reference():
+    rng = np.random.default_rng(7)
+    z = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
+    out = dem.np_color_relief(z)
+    assert out.shape == (13, 11, 3) and out.dtype == np.uint8
+    for y in range(z.shape[0]):
+        for x in range(z.shape[1]):
+            assert tuple(out[y, x]) == _ramp_lookup_scalar(int(z[y, x]), dem.DEFAULT_RAMP)
+
+
+def test_color_relief_clamps_outside_ramp():
+    ramp = [(50, 10, 20, 30), (100, 110, 120, 130)]
+    z = np.array([[0, 50, 75, 100, 255]], dtype=np.uint8)
+    out = dem.np_color_relief(z, ramp)
+    assert tuple(out[0, 0]) == (10, 20, 30)        # below -> first stop
+    assert tuple(out[0, 1]) == (10, 20, 30)
+    assert tuple(out[0, 2]) == (60, 70, 80)        # midpoint
+    assert tuple(out[0, 3]) == (110, 120, 130)
+    assert tuple(out[0, 4]) == (110, 120, 130)     # above -> last stop
+
+
+def test_color_relief_spark_end_to_end(spark):
+    labels = fixtures.labels_spark(spark, n=3)
+    rows = dem.gdaldem(labels, "color-relief").collect()
+    assert len(rows) == 3
+    src = {r.image_id: r for r in labels.select("image_id", "bytes", "fmt").collect()}
+    for r in rows:
+        assert r.fmt == "ppm"
+        img = codecs.decode(bytes(r.bytes), "ppm")
+        assert img.shape == (r.h, r.w, 3)
+        zin = codecs.decode(bytes(src[r.image_id].bytes), src[r.image_id].fmt)
+        z = zin[:, :, 0] if zin.ndim == 3 else zin
+        np.testing.assert_array_equal(img, dem.np_color_relief(z))
+
+
+def test_color_relief_rejected_on_tiled_path(spark):
+    from gdal_scripts_spark import raster
+
+    labels = fixtures.labels_spark(spark, n=1)
+    tiles = raster.retile(labels, tile_w=8, tile_h=8, pad=False)
+    with pytest.raises(ValueError, match="point op"):
+        dem.gdaldem_tiled(tiles, "color-relief")

@@ -233,3 +233,70 @@ def test_geojson_writer_is_pure_column(spark):  # noqa: F811
         .toString()
     )
     assert "EvalPython" not in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# WKB is byte-exact for any finite float64; WKT goes through %.10g text so
+# coordinates are normalized to 10 significant digits first.
+_finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15
+)
+_pt = st.tuples(_finite, _finite)
+_ring = st.lists(_pt, min_size=3, max_size=8).map(lambda r: r + [r[0]])
+_poly_parts = st.lists(st.lists(_ring, min_size=1, max_size=3), min_size=1, max_size=3)
+_line_parts = st.lists(
+    st.lists(_pt, min_size=2, max_size=8).map(lambda p: [p]), min_size=1, max_size=3
+)
+
+
+def _g10(v: float) -> float:
+    return float(f"{v:.10g}")
+
+
+def _norm10(parts):
+    return [
+        [[(_g10(x), _g10(y)) for x, y in ring] for ring in part] for part in parts
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_poly_parts)
+def test_hyp_wkb_polygon_roundtrip(parts):
+    kind = "MULTIPOLYGON" if len(parts) > 1 else "POLYGON"
+    buf = formats.parts_to_wkb(kind, parts)
+    assert formats.wkb_to_parts(buf) == (kind, parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_line_parts)
+def test_hyp_wkb_line_roundtrip(parts):
+    kind = "MULTILINESTRING" if len(parts) > 1 else "LINESTRING"
+    buf = formats.parts_to_wkb(kind, parts)
+    assert formats.wkb_to_parts(buf) == (kind, parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_poly_parts)
+def test_hyp_wkt_polygon_roundtrip(parts):
+    parts = _norm10(parts)
+    kind = "MULTIPOLYGON" if len(parts) > 1 else "POLYGON"
+    wkt = formats.parts_to_wkt(kind, parts)
+    k2, p2 = formats.wkt_to_parts(wkt)
+    assert (k2, p2) == (kind, parts)
+    # formatting is a fixpoint after one normalization pass
+    assert formats.parts_to_wkt(k2, p2) == wkt
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_pt, min_size=1, max_size=6))
+def test_hyp_wkt_multipoint_roundtrip(pts):
+    parts = [[[(_g10(x), _g10(y))]] for x, y in pts]
+    kind = "MULTIPOINT" if len(parts) > 1 else "POINT"
+    wkt = formats.parts_to_wkt(kind, parts)
+    assert formats.wkt_to_parts(wkt) == (kind, parts)
