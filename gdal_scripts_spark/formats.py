@@ -455,6 +455,112 @@ def geom_bbox(g: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Simplify (Douglas-Peucker) and point buffer
+# ---------------------------------------------------------------------------
+
+
+def dp_simplify(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas–Peucker with both endpoints anchored (``OGRGeometry::
+    Simplify`` semantics for a single path; GEOS DouglasPeuckerSimplifier).
+    ``pts`` is (n, 2); returns the kept subsequence including endpoints.
+    Iterative stack, numpy distance kernels — O(n log n) typical."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        mid = pts[i + 1 : j]
+        seg = pts[j] - pts[i]
+        seg_len = float(np.hypot(seg[0], seg[1]))
+        if seg_len == 0.0:
+            d = np.hypot(*(mid - pts[i]).T)
+        else:
+            d = np.abs(np.cross(seg, mid - pts[i])) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            k += i + 1
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
+
+
+def _simplify_parts(kind: str, parts, eps: float):
+    out_parts = []
+    for part in parts:
+        out_rings = []
+        for ring in part:
+            arr = np.asarray(ring, dtype=np.float64)
+            simp = dp_simplify(arr, eps)
+            # topology guard (SimplifyPreserveTopology spirit): a closed
+            # ring collapsing below 4 points keeps its original shape
+            closed = len(arr) > 1 and (arr[0] == arr[-1]).all()
+            if closed and len(simp) < 4:
+                simp = arr
+            out_rings.append([(float(x), float(y)) for x, y in simp])
+        out_parts.append(out_rings)
+    return kind, out_parts
+
+
+@F.pandas_udf(GEOM_TYPE)
+def _simplify_json(s: pd.Series, eps: pd.Series) -> pd.DataFrame:
+    ks, ps = [], []
+    for v, e in zip(s, eps):
+        if v is None:
+            ks.append(None)
+            ps.append(None)
+            continue
+        obj = json.loads(v)
+        k, parts = _simplify_parts(obj["kind"], _parts_tuples(obj["parts"]), float(e))
+        ks.append(k)
+        ps.append(
+            [[[{"x": x, "y": y} for x, y in ring] for ring in part] for part in parts]
+        )
+    return pd.DataFrame({"kind": ks, "parts": ps})
+
+
+def simplify_dp(g: Column, eps) -> Column:
+    """geometry struct -> simplified geometry struct (map-only; same
+    to_json input route as the formatters)."""
+    return _simplify_json(F.to_json(g), F.lit(float(eps)))
+
+
+def buffer_point(x: Column, y: Column, r, segments: int = 8) -> Column:
+    """Positive point buffer as a regular ``segments``-gon polygon —
+    PURE Column (sequence + transform + cos/sin evaluate JVM-side, so
+    buffering a billion points is codegen, not Python).
+
+    OGR analog: ``OGRGeometry::Buffer`` (GEOS OffsetCurve) with
+    quadrant-segment control; exact circle area converges as segments grow
+    (n-gon area = 0.5*n*r^2*sin(2*pi/n))."""
+    import math as _math
+
+    if segments < 3:
+        raise ValueError("segments must be >= 3")
+    step = 2.0 * _math.pi / segments
+    idx = F.sequence(F.lit(0), F.lit(segments - 1))
+    rr = r if isinstance(r, Column) else F.lit(float(r))
+    ring = F.transform(
+        idx,
+        lambda i: F.struct(
+            (x + rr * F.cos(i.cast("double") * F.lit(step))).alias("x"),
+            (y + rr * F.sin(i.cast("double") * F.lit(step))).alias("y"),
+        ),
+    )
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    return F.struct(
+        F.lit("POLYGON").alias("kind"),
+        F.array(F.array(closed)).alias("parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GeoJSON / GeoJSONSeq
 # ---------------------------------------------------------------------------
 

@@ -2180,6 +2180,92 @@ FROM customer
 """)
 
 
+def _q_simplify_dp_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR Simplify (-simplify N, Douglas-Peucker): input rects carry a
+    collinear midpoint on every edge (9 pts + closure); DP at eps=0.5 must
+    remove exactly the midpoints, so the simplified WKT equals the plain
+    4-corner rect STRING the oracle builds in SQL — an exact text-level
+    independent oracle for the whole parse->simplify->format pipeline."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = F.col("p_partkey") % 97
+    y0 = (F.col("p_partkey") * 7) % 89
+    w = (F.col("p_size") % 5 + 1) * 2      # even dims -> integer midpoints
+    h = ((F.col("p_size") * 3) % 4 + 1) * 2
+    x1, y1 = x0 + w, y0 + h
+    xm, ym = x0 + w / 2, y0 + h / 2
+    sp, cm = F.lit(" "), F.lit(", ")
+    pts = [
+        (x0, y0), (xm, y0), (x1, y0), (x1, ym), (x1, y1),
+        (xm, y1), (x0, y1), (x0, ym), (x0, y0),
+    ]
+    body = []
+    for i, (px, py) in enumerate(pts):
+        if i:
+            body.append(cm)
+        body.extend([_int_str(px), sp, _int_str(py)])
+    wkt = F.concat(F.lit("POLYGON (("), *body, F.lit("))"))
+    g = part.select("p_partkey", formats.wkt_parse(wkt).alias("geom"))
+    simp = g.select(
+        "p_partkey", formats.simplify_dp(F.col("geom"), 0.5).alias("sg")
+    )
+    return simp.select(
+        "p_partkey",
+        formats.geom_num_points(F.col("sg")).cast("long").alias("simp_npoints"),
+        formats.geom_area(F.col("sg")).alias("simp_area"),
+        formats.wkt_format(F.col("sg")).alias("simp_wkt"),
+    )
+
+
+_add("simplify_dp_rect", _q_simplify_dp_rect, """
+WITH r AS (
+  SELECT p_partkey,
+         p_partkey % 97 AS x0, (p_partkey * 7) % 89 AS y0,
+         (p_size % 5 + 1) * 2 AS w, ((p_size * 3) % 4 + 1) * 2 AS h
+  FROM part
+)
+SELECT p_partkey,
+       CAST(5 AS BIGINT) AS simp_npoints,
+       CAST(w * h AS DOUBLE) AS simp_area,
+       'POLYGON ((' || x0 || ' ' || y0 || ', ' || (x0 + w) || ' ' || y0 || ', '
+                    || (x0 + w) || ' ' || (y0 + h) || ', ' || x0 || ' ' || (y0 + h)
+                    || ', ' || x0 || ' ' || y0 || '))' AS simp_wkt
+FROM r
+""")
+
+
+def _q_buffer_points_octagon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR Buffer analog on points: pure-Column regular-octagon buffer
+    (sequence+transform+cos/sin — zero Python workers); n-gon area
+    0.5*n*r^2*sin(2pi/n) = 2*sqrt(2)*r^2 at n=8 is the closed-form oracle,
+    and cos(0)/cos(pi) are IEEE-exact so the bbox width is exactly 2r."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    x = (F.col("c_custkey") % 50).cast("double")
+    y = ((F.col("c_custkey") * 3) % 40).cast("double")
+    r = (F.col("c_custkey") % 4 + 1).cast("double")
+    g = formats.buffer_point(x, y, r, segments=8)
+    sel = cust.select(
+        "c_custkey",
+        formats.geom_area(g).alias("raw_area"),
+        formats.geom_num_points(g).cast("long").alias("buf_npoints"),
+        formats.geom_bbox(g).alias("bb"),
+    )
+    return sel.select(
+        "c_custkey",
+        F.round(F.col("raw_area"), 6).alias("buf_area"),
+        "buf_npoints",
+        (F.col("bb.maxx") - F.col("bb.minx")).alias("buf_width"),
+    )
+
+
+_add("buffer_points_octagon", _q_buffer_points_octagon, """
+SELECT c_custkey,
+       round(2 * sqrt(2.0) * (c_custkey % 4 + 1) * (c_custkey % 4 + 1), 6) AS buf_area,
+       CAST(9 AS BIGINT) AS buf_npoints,
+       CAST(2 * (c_custkey % 4 + 1) AS DOUBLE) AS buf_width
+FROM customer
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -300,3 +302,105 @@ def test_hyp_wkt_multipoint_roundtrip(pts):
     kind = "MULTIPOINT" if len(parts) > 1 else "POINT"
     wkt = formats.parts_to_wkt(kind, parts)
     assert formats.wkt_to_parts(wkt) == (kind, parts)
+
+
+# ---------------------------------------------------------------------------
+# simplify (Douglas-Peucker) + point buffer
+# ---------------------------------------------------------------------------
+
+
+def _dp_reference(pts, eps):
+    """Textbook recursive DP — independent of the iterative implementation."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) <= 2:
+        return pts
+    seg = pts[-1] - pts[0]
+    L = np.hypot(*seg)
+    mid = pts[1:-1]
+    d = (
+        np.hypot(*(mid - pts[0]).T)
+        if L == 0
+        else np.abs(np.cross(seg, mid - pts[0])) / L
+    )
+    k = int(np.argmax(d))
+    if d[k] <= eps:
+        return np.vstack([pts[0], pts[-1]])
+    left = _dp_reference(pts[: k + 2], eps)
+    right = _dp_reference(pts[k + 1 :], eps)
+    return np.vstack([left[:-1], right])
+
+
+def test_dp_matches_recursive_reference():
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        n = int(rng.integers(3, 40))
+        pts = rng.random((n, 2)) * 100
+        eps = float(rng.random() * 10)
+        got = formats.dp_simplify(pts, eps)
+        want = _dp_reference(pts, eps)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_dp_removes_collinear_midpoints_exactly():
+    ring = np.array(
+        [[0, 0], [2, 0], [4, 0], [4, 1.5], [4, 3], [2, 3], [0, 3], [0, 1.5], [0, 0]],
+        dtype=np.float64,
+    )
+    out = formats.dp_simplify(ring, 0.5)
+    np.testing.assert_array_equal(
+        out, np.array([[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]], dtype=np.float64)
+    )
+
+
+def test_simplify_topology_guard_keeps_tiny_rings():
+    # a closed ring entirely within eps would collapse to < 4 points:
+    # the guard returns it unchanged
+    kind, parts = formats.wkt_to_parts("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    _, simp = formats._simplify_parts(kind, parts, eps=10.0)
+    assert simp == parts
+
+
+def test_simplify_spark_column(spark):  # noqa: F811
+    wkts = [
+        "POLYGON ((0 0, 2 0, 4 0, 4 2, 4 4, 2 4, 0 4, 0 2, 0 0))",
+        "LINESTRING (0 0, 1 0.001, 2 0, 3 0.001, 4 0)",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"wkt": wkts}), schema="wkt string")
+    out = (
+        df.select(
+            formats.wkt_format(
+                formats.simplify_dp(formats.wkt_parse(F.col("wkt")), 0.5)
+            ).alias("simp")
+        )
+        .collect()
+    )
+    assert out[0].simp == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert out[1].simp == "LINESTRING (0 0, 4 0)"
+
+
+def test_buffer_point_area_and_plan(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [10.0, -3.0], "y": [5.0, 7.0], "r": [1.0, 2.5]}),
+        schema="x double, y double, r double",
+    )
+    g = formats.buffer_point(F.col("x"), F.col("y"), F.col("r"), segments=64)
+    sel = df.select(
+        "r",
+        formats.geom_area(g).alias("area"),
+        formats.geom_num_points(g).alias("npts"),
+        formats.geom_bbox(g).alias("bb"),
+    )
+    rows = sel.collect()
+    for row in rows:
+        ngon = 0.5 * 64 * row.r**2 * math.sin(2 * math.pi / 64)
+        assert row.area == pytest.approx(ngon, rel=1e-12)
+        assert row.npts == 65
+        assert row.bb.maxx - row.bb.minx == pytest.approx(2 * row.r, rel=1e-9)
+    # entire buffer+scalars pipeline is JVM-only
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan[:1500]
+
+
+def test_buffer_rejects_degenerate_segments():
+    with pytest.raises(ValueError, match="segments"):
+        formats.buffer_point(F.lit(0.0), F.lit(0.0), 1.0, segments=2)
