@@ -843,6 +843,35 @@ def _q_rgb2pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("rgb2pct_quantize", _q_rgb2pct, None)
 
+def _q_pct2rgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osgeo_utils/pct2rgb.py analog: quantize -> palette-expand back to RGB
+    and diff against the originals with the gdalcompare op (checksums, MSE,
+    PSNR per image — deterministic, so the full diff table is pinnable)."""
+    from . import compare as _compare
+    from . import palette as _palette
+
+    images = fixtures.images_spark(spark, n=16).filter("fmt = 'ppm'")
+    indexed, pal = _palette.rgb2pct(images, n_colors=64)
+    rgb = _palette.pct2rgb(indexed, pal)
+    return _compare.compare_images(images, rgb).select(
+        "image_id", "same_dims", "checksum_r",
+        F.round("mse", 4).alias("mse"), F.round("psnr_db", 2).alias("psnr_db"),
+    )
+
+_add("pct2rgb_roundtrip", _q_pct2rgb_roundtrip, None)
+
+def _q_nearblack_collar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apps/nearblack_lib.cpp analog: flatten the near-black collar on the
+    label rasters (their zero-valued background reaches the borders, so the
+    collar is non-trivial); near=2 also catches value-1 blobs touching the
+    frame."""
+    labels = fixtures.labels_spark(spark, n=10)
+    return raster.nearblack(labels, near=2).select(
+        "image_id", "w", "h", "n_collar_px", "checksum"
+    )
+
+_add("nearblack_collar", _q_nearblack_collar, None)
+
 def _q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = fixtures.images_spark(spark, n=16).filter("fmt = 'ppm'")
     pan = raster.translate(images, "pgm", bands=[0])

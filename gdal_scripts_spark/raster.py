@@ -1136,6 +1136,75 @@ def fillnodata(images: DataFrame, nodata: int = 0, max_search: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# nearblack (apps/nearblack_lib.cpp): flatten the near-black (or near-white)
+# collar that lossy compression / warping leaves around imagery edges.
+# GDAL scans each row from both horizontal edges (and propagates a vertical
+# line mask); here the collar is the union of the 4 directional prefix
+# masks — a pixel is collar iff every pixel between it and some image edge
+# (straight-line) is within `near` of the target on ALL bands. Pure numpy
+# cumulative-AND per direction, one Arrow pass per batch.
+# ---------------------------------------------------------------------------
+
+def np_nearblack_mask(img: np.ndarray, near: int = 15,
+                      white: bool = False) -> np.ndarray:
+    """(h, w) bool collar mask — True where the pixel is edge-connected to
+    an image border through straight-line near-target pixels."""
+    a = img if img.ndim == 3 else img[:, :, None]
+    target = 255 if white else 0
+    nearmask = (np.abs(a.astype(np.int16) - target) <= near).all(axis=2)
+    left = np.logical_and.accumulate(nearmask, axis=1)
+    right = np.logical_and.accumulate(nearmask[:, ::-1], axis=1)[:, ::-1]
+    top = np.logical_and.accumulate(nearmask, axis=0)
+    bot = np.logical_and.accumulate(nearmask[::-1], axis=0)[::-1]
+    return left | right | top | bot
+
+
+def np_nearblack(img: np.ndarray, near: int = 15, white: bool = False) -> np.ndarray:
+    collar = np_nearblack_mask(img, near=near, white=white)
+    a = img if img.ndim == 3 else img[:, :, None]
+    out = a.copy()
+    out[collar] = 255 if white else 0
+    return out.reshape(img.shape)
+
+
+def nearblack(images: DataFrame, near: int = 15, white: bool = False,
+              out_fmt: str = "pgm") -> DataFrame:
+    """Distributed nearblack: collar-flattened raster + collared-pixel count
+    + checksum per image (map-only; each row is its own raster)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
+                collar = np_nearblack_mask(img, near=near, white=white)
+                a = img if img.ndim == 3 else img[:, :, None]
+                out = a.copy()
+                out[collar] = 255 if white else 0
+                out = out.reshape(img.shape)
+                if out.ndim == 3 and out.shape[2] == 1:
+                    out = out[:, :, 0]
+                fmt_out = "ppm" if out.ndim == 3 else out_fmt
+                band0 = out[:, :, 0] if out.ndim == 3 else out
+                rows.append((iid, codecs.encode(out, fmt_out), fmt_out,
+                             band0.shape[1], band0.shape[0],
+                             int(collar.sum()),
+                             codecs.gdal_style_checksum(band0)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "bytes", "fmt", "w", "h",
+                             "n_collar_px", "checksum"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, "
+               "n_collar_px long, checksum int",
+    )
+
+
+# ---------------------------------------------------------------------------
 # R10 — pansharpen (osgeo_utils/gdal_pansharpen.py : weighted Brovey,
 #       backed by alg/gdalpansharpen.cpp : GDALPansharpenOperation)
 # ---------------------------------------------------------------------------

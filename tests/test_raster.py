@@ -366,3 +366,73 @@ def test_overview_modes_spark_roundtrip(spark):
     for m in ("gauss", "mode", "rms"):
         rows = raster.overview_tiles(base, 10, resampling=m).collect()
         assert rows and all(0 <= r.checksum < 65536 for r in rows), m
+
+
+# ---------------------------------------------------------------------------
+# nearblack (apps/nearblack_lib.cpp analog)
+# ---------------------------------------------------------------------------
+
+
+def test_nearblack_mask_hand_oracle():
+    from gdal_scripts_spark import raster
+
+    img = np.array(
+        [
+            [0, 0, 9, 9, 9],
+            [0, 9, 9, 0, 9],   # the 0 at (1,3) is interior on its row/col
+            [9, 9, 0, 9, 0],   # (2,4) touches the right edge
+            [0, 0, 0, 0, 0],   # full bottom collar row
+        ],
+        dtype=np.uint8,
+    )
+    mask = raster.np_nearblack_mask(img, near=2)
+    want = np.array(
+        [
+            [1, 1, 0, 0, 0],
+            [1, 0, 0, 0, 0],
+            [0, 0, 1, 0, 1],
+            [1, 1, 1, 1, 1],
+        ],
+        dtype=bool,
+    )
+    # (1,3): not a straight-line run to any edge -> NOT collar; (2,2) IS
+    # collar (vertical run from the bottom edge through (3,2)); col 3's
+    # bottom run stops at row 2 (value 9) so (1,3) stays interior
+    np.testing.assert_array_equal(mask, want)
+    out = raster.np_nearblack(img, near=2)
+    assert out[1, 3] == 0 and (out[3] == 0).all()
+
+
+def test_nearblack_white_mode_and_rgb():
+    from gdal_scripts_spark import raster
+
+    img = np.full((3, 4, 3), 100, dtype=np.uint8)
+    img[:, 0] = 250      # near-white left column
+    img[1, 1] = 254      # second column only on row 1 -> extends the run
+    out = raster.np_nearblack(img, near=10, white=True)
+    assert (out[:, 0] == 255).all()
+    assert (out[1, 1] == 255).all()
+    assert (out[0, 1] == 100).all()          # not collar
+    # interior near-white pixel surrounded by non-near is untouched
+    img2 = np.full((3, 3), 50, dtype=np.uint8)
+    img2[1, 1] = 255
+    assert raster.np_nearblack(img2, near=5, white=True)[1, 1] == 255  # unchanged value
+    assert raster.np_nearblack_mask(img2, near=5, white=True)[1, 1] == False  # noqa: E712
+
+
+def test_nearblack_spark_matches_numpy(spark):
+    from gdal_scripts_spark import codecs, fixtures, raster
+
+    labels = fixtures.labels_spark(spark, n=4)
+    rows = {r.image_id: r for r in raster.nearblack(labels, near=2).collect()}
+    src = labels.select("image_id", "bytes", "fmt").collect()
+    assert len(rows) == 4
+    for s in src:
+        img = codecs.decode(bytes(s.bytes), s.fmt)
+        z = img if img.ndim == 2 else img
+        mask = raster.np_nearblack_mask(z, near=2)
+        out = raster.np_nearblack(z, near=2)
+        r = rows[s.image_id]
+        assert r.n_collar_px == int(mask.sum())
+        band0 = out[:, :, 0] if out.ndim == 3 else out
+        assert r.checksum == codecs.gdal_style_checksum(band0)
