@@ -388,7 +388,8 @@ def _ring_signed_area2(ring: Column) -> Column:
 
 def geom_area(g: Column) -> Column:
     """OGR ``get_Area`` semantics: per part, |exterior| minus the |hole|s,
-    summed over parts — orientation-independent. All-JVM."""
+    summed over parts — orientation-independent; 0 for non-surface kinds
+    (OGRCurve/OGRPoint report 0 area like OGR's ``get_Area``). All-JVM."""
     def part_area(part):
         ext = F.abs(_ring_signed_area2(F.element_at(part, 1))) / F.lit(2.0)
         holes = F.aggregate(
@@ -398,7 +399,10 @@ def geom_area(g: Column) -> Column:
         )
         return ext - holes
 
-    return F.aggregate(g["parts"], F.lit(0.0), lambda acc, p: acc + part_area(p))
+    return F.when(
+        g["kind"].endswith("POLYGON"),
+        F.aggregate(g["parts"], F.lit(0.0), lambda acc, p: acc + part_area(p)),
+    ).otherwise(F.lit(0.0))
 
 
 def geom_length(g: Column) -> Column:
@@ -557,6 +561,111 @@ def buffer_point(x: Column, y: Column, r, segments: int = 8) -> Column:
     return F.struct(
         F.lit("POLYGON").alias("kind"),
         F.array(F.array(closed)).alias("parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRYCOLLECTION: parse to an ARRAY of members, explode to rows.
+# OGR represents a collection as a container (OGRGeometryCollection);
+# the Spark-idiomatic shape is one member per row — exactly what
+# ogr2ogr-style flattening does before writing simple-feature sinks.
+# Nested collections flatten recursively (createFromWkt accepts them).
+# ---------------------------------------------------------------------------
+
+
+def wkt_to_members(wkt: str) -> list[tuple[str, list]]:
+    """One WKT string -> list of (kind, parts) members. Non-collection
+    input yields a single member; nested collections flatten."""
+    m = _WKT_HEAD.match(wkt)
+    if not m:
+        raise ValueError(f"not WKT: {wkt[:40]!r}")
+    kind = m.group(1).upper()
+    if kind != "GEOMETRYCOLLECTION":
+        return [wkt_to_parts(wkt)]
+    body = m.group(2).strip()
+    if body.upper() == "EMPTY":
+        return []
+    out = []
+    for tok in _split_depth0(_strip_parens(body)):
+        out.extend(wkt_to_members(tok.strip()))
+    return out
+
+
+def members_to_wkt(members) -> str:
+    if not members:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return (
+        "GEOMETRYCOLLECTION ("
+        + ", ".join(parts_to_wkt(k, p) for k, p in members)
+        + ")"
+    )
+
+
+@F.pandas_udf(ArrayType(GEOM_TYPE))
+def wkt_parse_collection(s: pd.Series) -> pd.Series:
+    """WKT (any kind, incl. GEOMETRYCOLLECTION) -> array of geometry
+    structs; pair with ``posexplode`` for one member per row."""
+    def run(v):
+        if v is None:
+            return None
+        return [
+            {
+                "kind": k,
+                "parts": [
+                    [[{"x": float(x), "y": float(y)} for x, y in ring]
+                     for ring in part]
+                    for part in parts
+                ],
+            }
+            for k, parts in wkt_to_members(v)
+        ]
+
+    return s.map(run)
+
+
+# ---------------------------------------------------------------------------
+# coordinate transform over geometry structs (ogr2ogr -t_srs analog)
+# ---------------------------------------------------------------------------
+
+
+def geom_transform(g: Column, fx, fy) -> Column:
+    """Apply a per-vertex coordinate mapping to every vertex of a geometry
+    struct — PURE Column (three nested ``transform``s), so reprojecting a
+    billion vector features is whole-stage codegen, no Python workers.
+
+    ``fx``/``fy`` take (x_col, y_col) and return the new coordinate Column.
+    OGR analog: ``OGRGeometry::transform(OGRCoordinateTransformation*)``
+    (``ogr/ogrct.cpp``), which walks every vertex the same way."""
+    parts = F.transform(
+        g["parts"],
+        lambda part: F.transform(
+            part,
+            lambda ring: F.transform(
+                ring,
+                lambda p: F.struct(
+                    fx(p["x"], p["y"]).alias("x"), fy(p["x"], p["y"]).alias("y")
+                ),
+            ),
+        ),
+    )
+    return F.struct(g["kind"].alias("kind"), parts.alias("parts"))
+
+
+def geom_to_3857(g: Column) -> Column:
+    """EPSG:4326 -> 3857 on every vertex (x=lon, y=lat in; meters out)."""
+    from . import cells
+
+    return geom_transform(
+        g, lambda x, y: cells.lon_to_mx(x), lambda x, y: cells.lat_to_my(y)
+    )
+
+
+def geom_to_4326(g: Column) -> Column:
+    """EPSG:3857 -> 4326 on every vertex (meters in; lon/lat out)."""
+    from . import cells
+
+    return geom_transform(
+        g, lambda x, y: cells.mx_to_lon(x), lambda x, y: cells.my_to_lat(y)
     )
 
 

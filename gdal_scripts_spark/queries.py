@@ -2295,6 +2295,113 @@ FROM customer
 """)
 
 
+def _q_gc_explode_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRYCOLLECTION -> one member per row (posexplode): the
+    ogr2ogr-flattening pattern. Each part row carries a 3-member collection
+    (point, rect polygon, axis-aligned 2-segment line) whose scalars all
+    have closed forms, so the oracle is a part x VALUES cross join."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = F.col("p_partkey") % 97
+    y0 = (F.col("p_partkey") * 7) % 89
+    w = F.col("p_size") % 9 + 1
+    h = (F.col("p_size") * 3) % 7 + 1
+    sp, cm = F.lit(" "), F.lit(", ")
+    wkt = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT ("),
+        _int_str(x0), sp, _int_str(y0),
+        F.lit("), POLYGON ("),
+        _rect_ring_str(x0, y0, w, h),
+        F.lit("), LINESTRING ("),
+        _int_str(x0), sp, _int_str(y0), cm,
+        _int_str(x0 + w), sp, _int_str(y0), cm,
+        _int_str(x0 + w), sp, _int_str(y0 + h),
+        F.lit("))"),
+    )
+    g = part.select(
+        "p_partkey",
+        F.posexplode(formats.wkt_parse_collection(wkt)).alias("member_idx", "geom"),
+    )
+    return g.select(
+        "p_partkey",
+        F.col("member_idx").cast("int").alias("member_idx"),
+        F.col("geom")["kind"].alias("kind"),
+        formats.geom_num_points(F.col("geom")).cast("long").alias("m_npoints"),
+        formats.geom_area(F.col("geom")).alias("m_area"),
+        formats.geom_length(F.col("geom")).alias("m_length"),
+    )
+
+
+_add("gc_explode_members", _q_gc_explode_members, """
+SELECT p.p_partkey, m.member_idx, m.kind,
+       CASE m.member_idx WHEN 0 THEN CAST(1 AS BIGINT)
+                         WHEN 1 THEN CAST(5 AS BIGINT)
+                         ELSE CAST(3 AS BIGINT) END AS m_npoints,
+       CASE m.member_idx
+         WHEN 1 THEN CAST((p.p_size % 9 + 1) * ((p.p_size * 3) % 7 + 1) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS m_area,
+       CASE m.member_idx
+         WHEN 1 THEN CAST(2 * ((p.p_size % 9 + 1) + ((p.p_size * 3) % 7 + 1)) AS DOUBLE)
+         WHEN 2 THEN CAST((p.p_size % 9 + 1) + ((p.p_size * 3) % 7 + 1) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS m_length
+FROM part p
+CROSS JOIN (VALUES (0, 'POINT'), (1, 'POLYGON'), (2, 'LINESTRING'))
+  AS m(member_idx, kind)
+""")
+
+
+def _q_geom_reproject_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs on geometry structs: rects in integer degrees ->
+    EPSG:3857 (pure-Column nested transform) -> back to 4326. The x
+    projection is linear (lon * ORIGIN_SHIFT/180 — bit-exact in any IEEE
+    engine, oracled directly); the nonlinear y leg is verified through the
+    4326 roundtrip, which returns the integer inputs to < 1e-12 deg."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lon0 = (F.col("p_partkey") % 60 - 30).cast("double")
+    lat0 = ((F.col("p_partkey") * 7) % 50 - 25).cast("double")
+    w = (F.col("p_size") % 5 + 1).cast("double")
+    h = ((F.col("p_size") * 3) % 4 + 1).cast("double")
+    sp, cm = F.lit(" "), F.lit(", ")
+
+    def _n(c):
+        return c.cast("long").cast("string")
+
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        _n(lon0), sp, _n(lat0), cm,
+        _n(lon0 + w), sp, _n(lat0), cm,
+        _n(lon0 + w), sp, _n(lat0 + h), cm,
+        _n(lon0), sp, _n(lat0 + h), cm,
+        _n(lon0), sp, _n(lat0),
+        F.lit("))"),
+    )
+    g = part.select("p_partkey", formats.wkt_parse(wkt).alias("geom"))
+    proj = g.select(
+        "p_partkey",
+        formats.geom_bbox(formats.geom_to_3857(F.col("geom"))).alias("bb_m"),
+        formats.geom_bbox(
+            formats.geom_to_4326(formats.geom_to_3857(F.col("geom")))
+        ).alias("bb_rt"),
+    )
+    return proj.select(
+        "p_partkey",
+        F.col("bb_m.minx").alias("mx_min"),
+        F.col("bb_m.maxx").alias("mx_max"),
+        F.round(F.col("bb_rt.miny"), 9).alias("lat_rt_min"),
+        F.round(F.col("bb_rt.maxy"), 9).alias("lat_rt_max"),
+    )
+
+
+_add("geom_reproject_3857", _q_geom_reproject_3857, """
+SELECT p_partkey,
+       CAST(p_partkey % 60 - 30 AS DOUBLE) * (20037508.342789244 / 180) AS mx_min,
+       CAST(p_partkey % 60 - 30 + p_size % 5 + 1 AS DOUBLE)
+         * (20037508.342789244 / 180) AS mx_max,
+       CAST((p_partkey * 7) % 50 - 25 AS DOUBLE) AS lat_rt_min,
+       CAST((p_partkey * 7) % 50 - 25 + (p_size * 3) % 4 + 1 AS DOUBLE) AS lat_rt_max
+FROM part
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

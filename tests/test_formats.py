@@ -404,3 +404,104 @@ def test_buffer_point_area_and_plan(spark):  # noqa: F811
 def test_buffer_rejects_degenerate_segments():
     with pytest.raises(ValueError, match="segments"):
         formats.buffer_point(F.lit(0.0), F.lit(0.0), 1.0, segments=2)
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRYCOLLECTION + coordinate transform
+# ---------------------------------------------------------------------------
+
+
+def test_gc_parse_flatten_roundtrip():
+    gc = (
+        "GEOMETRYCOLLECTION (POINT (4 6), "
+        "LINESTRING (4 6, 7 10), "
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+    )
+    members = formats.wkt_to_members(gc)
+    assert [k for k, _ in members] == ["POINT", "LINESTRING", "POLYGON"]
+    assert formats.members_to_wkt(members) == gc
+    # nested collections flatten
+    nested = f"GEOMETRYCOLLECTION (POINT (1 2), {gc})"
+    kinds = [k for k, _ in formats.wkt_to_members(nested)]
+    assert kinds == ["POINT", "POINT", "LINESTRING", "POLYGON"]
+    # non-collection input is a singleton member
+    assert formats.wkt_to_members("POINT (1 2)") == [("POINT", [[[(1.0, 2.0)]]])]
+    assert formats.wkt_to_members("GEOMETRYCOLLECTION EMPTY") == []
+    assert formats.members_to_wkt([]) == "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_gc_spark_explode_scalars(spark):  # noqa: F811
+    gc = (
+        "GEOMETRYCOLLECTION (POINT (4 6), "
+        "LINESTRING (0 0, 3 0), "
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"wkt": [gc]}), schema="wkt string")
+    out = (
+        df.select(
+            F.posexplode(formats.wkt_parse_collection(F.col("wkt"))).alias(
+                "idx", "geom"
+            )
+        )
+        .select(
+            "idx",
+            F.col("geom")["kind"].alias("kind"),
+            formats.geom_area(F.col("geom")).alias("area"),
+            formats.geom_length(F.col("geom")).alias("length"),
+        )
+        .orderBy("idx")
+        .collect()
+    )
+    assert [(r.kind, r.area, r.length) for r in out] == [
+        ("POINT", 0.0, 0.0),
+        ("LINESTRING", 0.0, 3.0),
+        ("POLYGON", 4.0, 8.0),
+    ]
+
+
+def test_geom_transform_3857_pins_and_roundtrip(spark):  # noqa: F811
+    wkts = [
+        "POLYGON ((-10 -20, 10 -20, 10 20, -10 20, -10 -20))",
+        "LINESTRING (180 0, 0 0)",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"wkt": wkts}), schema="wkt string")
+    g = formats.wkt_parse(F.col("wkt"))
+    proj = formats.geom_to_3857(g)
+    back = formats.geom_to_4326(proj)
+    rows = (
+        df.select(
+            formats.geom_bbox(proj).alias("bb"),
+            formats.geom_bbox(back).alias("bb4326"),
+            formats.geom_bbox(g).alias("bb_src"),
+        )
+        .collect()
+    )
+    ORIGIN_SHIFT = 20037508.342789244
+    # GlobalMercator pins: lon 180 -> ORIGIN_SHIFT meters, lat/lon 0 -> 0
+    assert rows[1].bb.maxx == pytest.approx(ORIGIN_SHIFT, abs=1e-6)
+    # lat 0 -> ~0 m (tan(pi/4) is one ulp under 1.0 in doubles; the same
+    # formula-faithful wobble GlobalMercator itself produces)
+    assert rows[1].bb.minx == 0.0
+    assert rows[1].bb.miny == pytest.approx(0.0, abs=1e-6)
+    assert rows[0].bb.maxx == pytest.approx(ORIGIN_SHIFT / 18, rel=1e-12)
+    # roundtrip returns the source coordinates
+    for r in rows:
+        for f in ("minx", "miny", "maxx", "maxy"):
+            assert getattr(r.bb4326, f) == pytest.approx(getattr(r.bb_src, f), abs=1e-9)
+
+
+def test_geom_transform_is_pure_column(spark):  # noqa: F811
+    df = spark.createDataFrame(
+        pd.DataFrame({"wkt": ["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"]}),
+        schema="wkt string",
+    ).select(formats.wkt_parse(F.col("wkt")).alias("geom"))
+    df_cached = spark.createDataFrame(df.collect(), schema=df.schema)
+    plan = (
+        df_cached.select(
+            formats.geom_bbox(formats.geom_to_3857(F.col("geom"))).alias("bb")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan[:1500]
