@@ -2402,6 +2402,68 @@ FROM part
 """)
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster x vector): 60 deterministic 16x12 PGM
+    rasters placed on a world grid by part key, 3 overlapping rect zones.
+    Engine path: broadcast PolygonPack -> mapInPandas per-image partial
+    moments -> groupBy(zone) exact combine (zonal.py). The oracle is a
+    FULLY INDEPENDENT pixel enumeration: DuckDB cross-joins range(h) x
+    range(w), recomputes the closed-form pixel value and the center-in-rect
+    test in SQL, and aggregates."""
+    from . import codecs as _codecs, geom as _geom, zonal as _zonal
+
+    recs = []
+    for k in range(1, 61):
+        r = np.arange(12)[:, None]
+        c = np.arange(16)[None, :]
+        img = ((k + 7 * r + 13 * c) % 256).astype(np.uint8)
+        recs.append(
+            (f"img{k}", _codecs.encode(img, "pgm"), "pgm",
+             float(k % 5), float((k * 3) % 5 + 12))
+        )
+    images = spark.createDataFrame(
+        recs, schema="image_id string, bytes binary, fmt string, x0 double, y1 double"
+    ).repartition(8)
+    zones = [
+        (1, [np.array([[2.0, 3.0], [10.0, 3.0], [10.0, 9.0], [2.0, 9.0]])]),
+        (2, [np.array([[8.0, 1.0], [14.0, 1.0], [14.0, 13.0], [8.0, 13.0]])]),
+        (3, [np.array([[0.0, 10.0], [20.0, 10.0], [20.0, 15.0], [0.0, 15.0]])]),
+    ]
+    pack = _geom.PolygonPack.from_rings(zones)
+    out = _zonal.zonal_stats(images, pack)
+    return out.select(
+        "zone_id", "n_images", "n_pixels", "v_sum", "v_min", "v_max",
+        F.round("v_mean", 6).alias("v_mean"),
+    )
+
+
+_add("zonal_stats_rects", _q_zonal_stats, """
+WITH imgs AS (
+  SELECT p_partkey AS k, CAST(p_partkey % 5 AS DOUBLE) AS x0,
+         CAST((p_partkey * 3) % 5 + 12 AS DOUBLE) AS y1
+  FROM part WHERE p_partkey BETWEEN 1 AND 60
+), px AS (
+  SELECT i.k, CAST((i.k + 7 * r.r + 13 * c.c) % 256 AS DOUBLE) AS v,
+         i.x0 + c.c + 0.5 AS wx, i.y1 - r.r - 0.5 AS wy
+  FROM imgs i, range(12) r(r), range(16) c(c)
+), hits AS (
+  SELECT z.zone_id, px.k, px.v
+  FROM px
+  JOIN (VALUES (1, 2.0, 3.0, 10.0, 9.0),
+               (2, 8.0, 1.0, 14.0, 13.0),
+               (3, 0.0, 10.0, 20.0, 15.0))
+       AS z(zone_id, zx0, zy0, zx1, zy1)
+    ON px.wx > z.zx0 AND px.wx < z.zx1 AND px.wy > z.zy0 AND px.wy < z.zy1
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       COUNT(DISTINCT k) AS n_images,
+       COUNT(*) AS n_pixels,
+       SUM(v) AS v_sum, MIN(v) AS v_min, MAX(v) AS v_max,
+       ROUND(SUM(v) / COUNT(*), 6) AS v_mean
+FROM hits GROUP BY zone_id
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is
