@@ -536,6 +536,56 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("simhash_pairs", _q_simhash, None)  # hash-seeded; rows-only check
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: n-gram Jaccard pairs (the same
+    SQL-oracled edge set as `ngram_jaccard_pairs`) -> distributed connected
+    components (pointer-jumping label propagation, graph.py) -> one keeper
+    per cluster. Oracle recomputes the pairs in SQL and resolves components
+    with a recursive CTE — fully independent of the Spark fixpoint."""
+    from . import graph as _graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 400")
+    pairs = textops.ngram_jaccard_pairs(docs, threshold=0.5, n=8)
+    return _graph.dedup_clusters(pairs)
+
+_add("dedup_clusters", _q_dedup_clusters, """
+WITH RECURSIVE
+docs AS (SELECT * FROM documents WHERE doc_id < 400),
+sh AS (
+  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 8) AS gram
+  FROM docs, range(1, 4096) t(i)
+  WHERE i <= greatest(length(text) - 7, 1)
+    AND length(substr(text, CAST(i AS INT), 8)) = 8
+),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON sa.id = inter.id_a
+  JOIN sz sb ON sb.id = inter.id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 5.0e-1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(min(r) AS BIGINT) AS cluster_id,
+       (id = min(r)) AS is_keeper
+FROM reach GROUP BY id
+""")
+
 
 # ===========================================================================
 # embeddings: similarity search + dedup

@@ -1,0 +1,85 @@
+"""connected_components vs a sequential union-find oracle."""
+
+import random
+
+import pytest
+
+from gdal_scripts_spark import graph
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical: min node id per component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    got = {
+        r["id"]: r["comp"]
+        for r in graph.connected_components(df).collect()
+    }
+    assert got == _uf_oracle(edges)
+
+
+def test_chain_log_rounds(spark):
+    # a 200-node chain has diameter 199: plain neighbor propagation needs
+    # ~200 rounds; pointer jumping must finish well inside max_rounds=50
+    edges = [(i, i + 1) for i in range(200)]
+    _run(spark, edges)
+
+
+def test_random_components(spark):
+    rng = random.Random(7)
+    edges = []
+    # 20 disjoint blobs of 1..30 nodes with random internal edges
+    base = 0
+    for _ in range(20):
+        n = rng.randint(1, 30)
+        ids = list(range(base, base + n))
+        base += n + 3  # gap so blobs stay disjoint
+        for _ in range(max(n - 1, 1)):
+            edges.append((rng.choice(ids), rng.choice(ids)))
+        # guarantee connectivity inside the blob
+        for a, b in zip(ids, ids[1:]):
+            edges.append((a, b))
+    _run(spark, edges)
+
+
+def test_self_loops_and_dupes(spark):
+    edges = [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5)]
+    _run(spark, edges)
+
+
+def test_dedup_keeper_flags(spark):
+    df = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], schema="id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in graph.dedup_clusters(df).collect()
+    }
+    assert rows == {
+        10: (10, True), 20: (10, False), 30: (10, False),
+        40: (40, True), 50: (40, False),
+    }
