@@ -2514,6 +2514,71 @@ FROM hits GROUP BY zone_id
 """)
 
 
+def _q_gdalinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo analog (apps/gdalinfo_lib.cpp : GDALInfo): size, band count,
+    dtype, band stats and the EXACT GDALChecksumImage value per image.
+    Oracle: fully independent DuckDB pixel enumeration, including the
+    11-prime truncated-remainder checksum recomputed in SQL."""
+    from . import codecs as _codecs, info as _info
+
+    recs = []
+    for k in range(1, 41):
+        r = np.arange(12)[:, None]
+        c = np.arange(16)[None, :]
+        img = ((k + 7 * r + 13 * c) % 256).astype(np.uint8)
+        recs.append((f"img{k}", _codecs.encode(img, "pgm"), "pgm"))
+    images = spark.createDataFrame(
+        recs, schema="image_id string, bytes binary, fmt string"
+    ).repartition(8)
+    return _info.raster_info(images)
+
+
+_add("gdalinfo_report", _q_gdalinfo, """
+WITH px AS (
+  SELECT k.k AS k, r.r * 16 + c.c AS i,
+         CAST((k.k + 7 * r.r + 13 * c.c) % 256 AS BIGINT) AS v
+  FROM range(1, 41) k(k), range(12) r(r), range(16) c(c)
+)
+SELECT 'img' || CAST(k AS VARCHAR) AS image_id,
+       CAST(16 AS INT) AS w, CAST(12 AS INT) AS h, CAST(1 AS INT) AS bands,
+       'uint8' AS dtype,
+       CAST(MIN(v) AS DOUBLE) AS v_min,
+       CAST(MAX(v) AS DOUBLE) AS v_max,
+       SUM(CAST(v AS DOUBLE)) / COUNT(*) AS v_mean,
+       CAST(SUM(v % ([7,11,13,17,19,23,29,31,37,41,43])[CAST(i % 11 AS INT) + 1])
+            % 65536 AS BIGINT) AS checksum
+FROM px GROUP BY k
+""")
+
+
+def _q_ogrinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo -so analog (apps/ogrinfo_lib.cpp : ReportOnLayer): feature
+    count + extent per layer, treating event_type as the layer name over
+    the deterministic pts point layer. Pure groupBy aggregate — no Python."""
+    from . import info as _info
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        ((F.col("event_id") * 7919 % 3600).cast("double") / 10.0 - 179.95)
+        .alias("lon"),
+        ((F.col("event_id") * 104729 % 1680).cast("double") / 10.0 - 83.95)
+        .alias("lat"),
+    )
+    return _info.layer_info(pts, layer_col="event_type")
+
+
+_add("ogrinfo_layers", _q_ogrinfo, f"""
+WITH {PTS_CTE.replace("FROM events", ", event_type FROM events")}
+SELECT event_type AS layer,
+       COUNT(*) AS n_features,
+       MIN(lon) AS xmin, MIN(lat) AS ymin,
+       MAX(lon) AS xmax, MAX(lat) AS ymax
+FROM pts GROUP BY event_type
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is
