@@ -2579,6 +2579,59 @@ FROM pts GROUP BY event_type
 """)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic sampling: per-language rebalancing of
+    the documents table decided only by an md5 bucket of the doc id — the
+    same rows survive on every run, cluster size, and engine (the
+    reproducible-subsample property a training pipeline needs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.stratified_sample(
+        docs, "doc_id", "lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.05},
+    )
+    return out.select("doc_id", "lang")
+
+_add("stratified_sample", _q_stratified_sample, """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                WHEN 'fr' THEN '199a' WHEN 'es' THEN '0ccd'
+                ELSE '0000' END
+""")
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textops.normalize_text("text").alias("norm_text")
+    )
+
+_add("text_normalize", _q_text_normalize, r"""
+SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm_text
+FROM documents
+""")
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (Catalyst `percentile`, not approx) —
+    the distribution-audit query a data pipeline runs before training."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+_add("percentiles_exact", _q_percentiles, """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

@@ -292,3 +292,67 @@ def token_count_bpe_ish(text_col: str = "text") -> Column:
 
 def fingerprint_md5(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + normalization (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text normalization for dedup/fingerprinting: lowercase,
+    collapse runs of whitespace to one space, trim. Pure Column exprs —
+    whole-stage codegen. The whitespace class is spelled out explicitly
+    ([ \\t\\n\\r\\f]) so Java-regex and RE2/POSIX engines agree exactly."""
+    return F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), "[ \t\n\r\f]+", " "))
+    )
+
+
+def _sample_bucket(key: Column, salt: str) -> Column:
+    """First 4 hex chars of md5(salt || key) — a uniform 16-bit bucket as a
+    fixed-width lowercase hex STRING, so `< threshold` is portable across
+    engines (Spark, DuckDB, Trino all emit lowercase md5 hex): no engine-
+    specific hash function anywhere, reproducible forever."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 4
+    )
+
+
+def _rate_hex(rate: float) -> str:
+    return format(min(max(int(round(rate * 65536)), 0), 65536), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic, engine-portable ~``rate`` fraction of rows,
+    decided only by md5(salt || key): the SAME rows are kept on every run,
+    cluster size, and engine — the property training-data pipelines need
+    for reproducible subsampling (a re-run or a backfill must not re-roll
+    the dice). Raising the rate strictly grows the kept set (nested
+    samples); ``salt`` gives independent draws."""
+    if rate >= 1.0:
+        return df
+    return df.filter(
+        _sample_bucket(F.col(key_col), salt) < F.lit(_rate_hex(rate))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing: keep
+    50% of en, 10% of fr). Same md5-bucket rule as
+    :func:`deterministic_sample`, threshold chosen per stratum with a
+    CASE chain — one codegen'd filter, no shuffle, no Python."""
+    thresh: Column = F.lit(_rate_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(_rate_hex(rate))
+        ).otherwise(thresh)
+    return df.filter(_sample_bucket(F.col(key_col), salt) < thresh)

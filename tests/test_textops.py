@@ -257,3 +257,47 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         _nearest_centroids_col(F.col("embedding"), cent, 1)[0].alias("b")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deterministic_sample_properties(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s20 = set(r["doc_id"] for r in textops.deterministic_sample(docs, "doc_id", 0.2).collect())
+    s50 = set(r["doc_id"] for r in textops.deterministic_sample(docs, "doc_id", 0.5).collect())
+    # deterministic: same result twice
+    s20b = set(r["doc_id"] for r in textops.deterministic_sample(docs, "doc_id", 0.2).collect())
+    assert s20 == s20b
+    # nested: raising the rate only grows the kept set
+    assert s20 <= s50
+    # roughly the right fraction (md5 is uniform; 2000 draws)
+    assert 0.15 < len(s20) / 2000 < 0.25
+    assert 0.45 < len(s50) / 2000 < 0.55
+    # salt gives an independent draw
+    salted = set(r["doc_id"] for r in textops.deterministic_sample(docs, "doc_id", 0.2, salt="v2").collect())
+    assert salted != s20
+    # rate >= 1 keeps everything
+    assert textops.deterministic_sample(docs, "doc_id", 1.0).count() == 2000
+
+
+def test_stratified_sample_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    out = textops.stratified_sample(df, "doc_id", "lang", rates={"en": 0.5, "fr": 0.1})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert 0.05 < counts["fr"] / 1000 < 0.16
+    # stratum not in rates + default_rate=0 -> dropped entirely
+    df2 = df.withColumn("lang", F.lit("zz"))
+    assert textops.stratified_sample(df2, "doc_id", "lang", rates={"en": 0.5}).count() == 0
+
+
+def test_normalize_text_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\t\tWORLD \n foo\r\nbar  "), (2, "already clean")],
+        schema="doc_id long, text string",
+    )
+    one = df.select(textops.normalize_text("text").alias("t"))
+    vals = [r["t"] for r in one.collect()]
+    assert vals == ["hello world foo bar", "already clean"]
+    # idempotence: normalizing a normalized column is a no-op
+    two = one.select(textops.normalize_text("t").alias("t"))
+    assert [r["t"] for r in two.collect()] == vals
