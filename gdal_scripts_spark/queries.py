@@ -2632,6 +2632,78 @@ FROM events GROUP BY event_type
 """)
 
 
+def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_viewshed analog (alg/viewshed.cpp), exact R3 line-of-sight:
+    25 flat DEMs with one wall column at c=20 of per-image height, observer
+    at (4, 2) with per-image eye height. For this family the R3 result has
+    a CLOSED FORM (a cell behind the wall is visible iff the sight line
+    clears the wall top), which the oracle recomputes in pure SQL."""
+    from . import codecs as _codecs, viewshed as _vs
+
+    recs = []
+    for k in range(1, 26):
+        dem = np.zeros((9, 40), dtype=np.uint8)
+        dem[:, 20] = 2 + k % 7
+        recs.append(
+            (f"dem{k}", _codecs.encode(dem, "pgm"), "pgm", 4, 2,
+             float(1 + k % 5))
+        )
+    dems = spark.createDataFrame(
+        recs,
+        schema="image_id string, bytes binary, fmt string, orow int, ocol int, obs_h double",
+    ).repartition(8)
+    return _vs.viewshed_cells(dems)
+
+
+_add("viewshed_wall", _q_viewshed, """
+SELECT 'dem' || CAST(k.k AS VARCHAR) AS image_id,
+       CAST(r.r AS INT) AS r, CAST(c.c AS INT) AS c,
+       (c.c <= 20 OR
+        CAST(2 + k.k % 7 AS DOUBLE) <=
+        CAST(1 + k.k % 5 AS DOUBLE) * (c.c - 20) / (c.c - 2)) AS visible
+FROM range(1, 26) k(k), range(9) r(r), range(40) c(c)
+""")
+
+
+def _q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint analog (GDAL 3.8 apps/gdal_footprint_lib.cpp): valid-
+    data outline per raster. 30 images whose valid region is a per-image
+    rect inside a nodata collar; the oracle rebuilds the expected part row
+    INCLUDING the exact WKT ring text by string concat in SQL."""
+    from . import codecs as _codecs, raster as _raster
+
+    recs = []
+    for k in range(1, 31):
+        img = np.zeros((18, 24), dtype=np.uint8)
+        r0, r1 = k % 4, 17 - (k % 3)
+        c0, c1 = (2 * k) % 5, 23 - (k % 4)
+        img[r0 : r1 + 1, c0 : c1 + 1] = 7
+        recs.append((f"img{k}", _codecs.encode(img, "pgm"), "pgm"))
+    images = spark.createDataFrame(
+        recs, schema="image_id string, bytes binary, fmt string"
+    ).repartition(8)
+    return _raster.footprint(images, nodata=0.0)
+
+
+_add("footprint_rects", _q_footprint, """
+WITH imgs AS (
+  SELECT t.k AS k, t.k % 4 AS r0, 17 - (t.k % 3) AS r1,
+         (2 * t.k) % 5 AS c0, 23 - (t.k % 4) AS c1
+  FROM range(1, 31) t(k)
+)
+SELECT 'img' || CAST(k AS VARCHAR) AS image_id,
+       CAST(r0 * 24 + c0 AS BIGINT) AS part_id,
+       CAST((r1 - r0 + 1) * (c1 - c0 + 1) AS BIGINT) AS n_px,
+       CAST(c0 AS INT) AS xmin, CAST(r0 AS INT) AS ymin,
+       CAST(c1 + 1 AS INT) AS xmax, CAST(r1 + 1 AS INT) AS ymax,
+       CAST(4 AS INT) AS n_vertices,
+       'POLYGON ((' || c0 || ' ' || r0 || ', ' || c0 || ' ' || (r1 + 1)
+        || ', ' || (c1 + 1) || ' ' || (r1 + 1) || ', ' || (c1 + 1) || ' '
+        || r0 || ', ' || c0 || ' ' || r0 || '))' AS wkt
+FROM imgs
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

@@ -1263,3 +1263,63 @@ def pansharpen(ms_images: DataFrame, pan_images: DataFrame,
         run,
         schema="image_id string, bytes binary, fmt string, w int, h int, checksum int",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_footprint (GDAL 3.8 `apps/gdal_footprint_lib.cpp`): valid-data
+# footprint polygon(s) per raster
+# ---------------------------------------------------------------------------
+
+def footprint(images: DataFrame, nodata: float = 0.0,
+              connectivity: int = 4) -> DataFrame:
+    """gdal_footprint analog: polygonal outline of the valid-data mask
+    (band 0 != nodata), one row per connected part.
+
+    Returns (image_id, part_id, n_px, xmin, ymin, xmax, ymax, n_vertices,
+    wkt): part_id = min pixel index of the part (canonical, scan-order
+    stable); bbox and WKT use pixel-CORNER coordinates (a part covering
+    cols c0..c1 spans x in [c0, c1+1]); n_vertices counts the distinct
+    exterior-ring vertices (WKT closes the ring with one repeat).
+
+    One mapInPandas pass: run-vectorized CCL (polygonize._label_all) +
+    Moore boundary tracing per part — pixels never shuffle; the output is
+    the skinny vector layer gdal_footprint writes."""
+    from . import polygonize as _poly
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, buf, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = codecs.decode(bytes(buf), str(fmt))
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                mask = (img.astype(np.float64) != float(nodata)).astype(np.uint8)
+                lab, sizes, vals = _poly._label_all(mask, connectivity)
+                for comp in range(len(sizes)):
+                    if vals[comp] == 0:
+                        continue  # nodata background is not a footprint
+                    cm = lab == comp
+                    ys, xs = np.nonzero(cm)
+                    part_id = int((ys * w + xs).min())
+                    ext, holes = _poly.boundary_rings(cm)
+                    rows.append(
+                        (str(iid), part_id, int(cm.sum()),
+                         int(xs.min()), int(ys.min()),
+                         int(xs.max()) + 1, int(ys.max()) + 1,
+                         len(ext), _poly.polygon_wkt(ext, holes))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "part_id", "n_px", "xmin", "ymin",
+                             "xmax", "ymax", "n_vertices", "wkt"],
+                )
+
+    return images.mapInPandas(
+        run,
+        schema=("image_id string, part_id long, n_px long, xmin int, "
+                "ymin int, xmax int, ymax int, n_vertices int, wkt string"),
+    )
