@@ -2704,6 +2704,77 @@ FROM imgs
 """)
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: top-5 tokens per language by document
+    frequency — normalize -> explode -> groupBy -> window top-k, the
+    vocabulary-audit query of a text pipeline. Ties break by token asc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(textops.normalize_text("text"), " ")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    from pyspark.sql import Window
+
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+_add("top_terms_per_lang", _q_top_terms, r"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(
+           lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks
+  WHERE length(token) >= 3 GROUP BY lang, token
+)
+SELECT lang, token, n, rk FROM (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+  FROM counts
+) WHERE rk <= 5
+""")
+
+
+def _q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the IVF-training / class-prototype
+    aggregate. Elements are quantized to 1e-6 fixed point BEFORE summing so
+    the aggregation is exact integer arithmetic: order-independent and
+    bit-identical on every engine, partitioning, and core count (float
+    summation order would differ between Spark and the oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).filter(F.col("dim") < 8)
+    q = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    return (
+        el.withColumn("q", q)
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            ((F.sum("q") / F.count("*")) / 1e6).alias("centroid"),
+        )
+    )
+
+_add("embedding_centroids", _q_embed_centroids, """
+WITH el AS (
+  SELECT label, i.i AS dim,
+         CAST(round(CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, range(8) i(i)
+  WHERE i.i < len(embedding)
+)
+SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+       (SUM(q) / COUNT(*)) / 1000000.0 AS centroid
+FROM el GROUP BY label, dim
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is
