@@ -530,6 +530,21 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("minhash_lsh_pairs", _q_minhash, None)  # hash-seeded; rows-only check
 
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs < 300 are the EXISTING corpus (persisted band
+    index), docs 300-399 the new batch; only the increment is signed, the
+    corpus is probed through one equi-join. Identity vs the full run is
+    pinned in tests/test_textops.py; this entry pins the result set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    new = docs.filter("doc_id >= 300 AND doc_id < 400")
+    bands_tbl = textops.minhash_band_table(corpus, num_hashes=32, bands=8, n=8)
+    return textops.minhash_lsh_pairs_incremental(
+        new, bands_tbl, num_hashes=32, bands=8, n=8
+    )
+
+_add("minhash_incremental", _q_minhash_incremental, None)  # hash-seeded; golden
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 200")
     return textops.simhash_pairs(docs, max_hamming=8)

@@ -108,19 +108,19 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
     return sig.select("id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
-                      n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs by banded minhash (id_a < id_b, distinct).
+def minhash_band_table(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
+                       n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bh) — the persistable LSH band index of a corpus.
 
-    bands of r = num_hashes/bands rows: pair is a candidate iff some band's
-    sub-signature matches exactly — the classic LSH S-curve. The band join is
-    an equi-join on (band, hash-of-band), shuffle-friendly and skew-safe
-    (band buckets are uniformly hashed)."""
+    bands of r = num_hashes/bands rows, bh = hash of the band's
+    sub-signature. This table IS the deployment artifact for incremental
+    dedup at scale: write it bucketed by (band, bh) once, and every new
+    batch probes it with an equi-join instead of re-signing the corpus."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(*[
@@ -132,12 +132,64 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs by banded minhash (id_a < id_b, distinct).
+
+    pair is a candidate iff some band's sub-signature matches exactly — the
+    classic LSH S-curve. The band join is an equi-join on (band, bh),
+    shuffle-friendly and skew-safe (band buckets are uniformly hashed)."""
+    banded = minhash_band_table(docs, num_hashes, bands, n, text_col, id_col)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup candidates for a NEW batch against an EXISTING
+    corpus band index (:func:`minhash_band_table` output) — the production
+    shape of streaming dedup: only the increment is shingled and signed
+    (O(|new|) work), the corpus is touched through one equi-join probe of
+    its persisted index, never recomputed.
+
+    Returns all candidate pairs TOUCHING the increment — new-vs-corpus and
+    new-vs-new — as (id_a, id_b), id_a < id_b, distinct. Identity pinned by
+    test: equal to ``minhash_lsh_pairs(corpus ∪ new)`` filtered to pairs
+    with at least one new id (same hashes, same bands)."""
+    nb = minhash_band_table(new_docs, num_hashes, bands, n, text_col, id_col)
+    probe = nb.select(F.col("id").alias("id_new"), "band", "bh")
+    vs_corpus = probe.join(
+        corpus_bands.select(F.col("id").alias("id_old"), "band", "bh"),
+        ["band", "bh"],
+    ).select(
+        F.least("id_new", "id_old").alias("id_a"),
+        F.greatest("id_new", "id_old").alias("id_b"),
+    )
+    b2 = nb.select(F.col("id").alias("id_b2"), "band", "bh")
+    vs_new = (
+        probe.join(b2, ["band", "bh"])
+        .filter(F.col("id_new") < F.col("id_b2"))
+        .select(F.col("id_new").alias("id_a"), F.col("id_b2").alias("id_b"))
+    )
+    return (
+        vs_corpus.filter(F.col("id_a") != F.col("id_b"))
+        .union(vs_new)
         .distinct()
     )
 

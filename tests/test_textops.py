@@ -301,3 +301,27 @@ def test_normalize_text_idempotent(spark):
     # idempotence: normalizing a normalized column is a no-op
     two = one.select(textops.normalize_text("t").alias("t"))
     assert [r["t"] for r in two.collect()] == vals
+
+
+def test_minhash_incremental_identity(near_dup_docs):
+    # incremental(new vs corpus-index) == full-run pairs touching a new id
+    corpus = near_dup_docs.filter("doc_id < 1000")
+    new = near_dup_docs.filter("doc_id >= 1000")
+    assert corpus.count() > 0 and new.count() > 0
+    bands_tbl = textops.minhash_band_table(corpus, num_hashes=32, bands=8, n=3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_lsh_pairs_incremental(
+            new, bands_tbl, num_hashes=32, bands=8, n=3
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_lsh_pairs(
+            near_dup_docs, num_hashes=32, bands=8, n=3
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == expected
+    assert len(got) > 0  # the fixture plants near-dup pairs across the split
