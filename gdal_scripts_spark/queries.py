@@ -2790,6 +2790,60 @@ FROM el GROUP BY label, dim
 """)
 
 
+def _q_rasterize_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -at (ALL_TOUCHED=TRUE): 30 generic lon/lat rects
+    burned at z=4; output (poly_id, n_tiles, burned_total). For axis-
+    aligned rects the touched-cell set is exactly the global pixel-index
+    ranges of the mercator corners, so the oracle recomputes the counts in
+    closed form (same mercator text as every other SQL twin)."""
+    from . import geom as _geom, rasterize as _rasterize
+
+    rects = []
+    for k in range(1, 31):
+        lon0 = -170.0 + (k * 11) % 300 + 0.23
+        lat0 = -75.0 + (k * 13) % 130 + 0.19
+        lon1 = lon0 + 2 + (k * 7) % 17 + 0.37
+        lat1 = lat0 + 2 + (k * 5) % 11 + 0.41
+        rects.append(
+            (k, [np.array([[lon0, lat0], [lon1, lat0],
+                           [lon1, lat1], [lon0, lat1]])])
+        )
+    pack = _geom.PolygonPack.from_rings(rects)
+    return _rasterize.rasterize_touched(pack, spark, z=4)
+
+
+_add("rasterize_all_touched", _q_rasterize_at, f"""
+WITH r AS (
+  SELECT t.k AS k,
+         -1.7e2 + (t.k * 11) % 300 + 2.3e-1 AS lon0,
+         -7.5e1 + (t.k * 13) % 130 + 1.9e-1 AS lat0
+  FROM range(1, 31) t(k)
+), rr AS (
+  SELECT k, lon0, lat0,
+         lon0 + 2 + (k * 7) % 17 + 3.7e-1 AS lon1,
+         lat0 + 2 + (k * 5) % 11 + 4.1e-1 AS lat1
+  FROM r
+), m AS (
+  SELECT k,
+         lon0 * ({_OS} / 1.8e2) AS mxa, lon1 * ({_OS} / 1.8e2) AS mxb,
+         ln(tan((9.0e1 + lat0) * pi() / 3.6e2)) / (pi() / 1.8e2) * ({_OS} / 1.8e2) AS mya,
+         ln(tan((9.0e1 + lat1) * pi() / 3.6e2)) / (pi() / 1.8e2) * ({_OS} / 1.8e2) AS myb
+  FROM rr
+), g AS (
+  SELECT k,
+         CAST(floor((mxa + {_OS}) / ({_IRES} / 16)) AS BIGINT) AS gua,
+         CAST(floor((mxb + {_OS}) / ({_IRES} / 16)) AS BIGINT) AS gub,
+         CAST(floor(({_OS} - myb) / ({_IRES} / 16)) AS BIGINT) AS gva,
+         CAST(floor(({_OS} - mya) / ({_IRES} / 16)) AS BIGINT) AS gvb
+  FROM m
+)
+SELECT CAST(k AS BIGINT) AS poly_id,
+       (gub // 256 - gua // 256 + 1) * (gvb // 256 - gva // 256 + 1) AS n_tiles,
+       (gub - gua + 1) * (gvb - gva + 1) AS burned_total
+FROM g
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

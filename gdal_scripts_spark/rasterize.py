@@ -190,3 +190,93 @@ def np_rasterize_counts(pack: geom.PolygonPack, z: int) -> list[tuple[int, int, 
                 if burned:
                     out.append((int(pack.poly_ids[p]), tx, ty, burned))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ALL_TOUCHED=TRUE (`gdal_rasterize -at`; alg/llrasterize.cpp :
+# GDALdllImageLineAllTouched ≈L300): burn every cell the geometry touches,
+# not just cells whose center is inside.
+# ---------------------------------------------------------------------------
+
+def _mark_edge_cells(mask: np.ndarray, u0: float, v0: float,
+                     u1: float, v1: float) -> None:
+    """Mark every grid cell the segment (u0,v0)->(u1,v1) passes through
+    (fractional pixel coordinates; cell (i,j) = [i,i+1)x[j,j+1)), clipped to
+    the mask. Exact: split the segment at every integer u- and v-crossing
+    and classify each piece by its midpoint — no sampling step to miss a
+    corner-clipped cell."""
+    h, w = mask.shape
+    du, dv = u1 - u0, v1 - v0
+    ts = [0.0, 1.0]
+    if du != 0.0:
+        lo, hi = sorted((u0, u1))
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        ts.extend(((ks - u0) / du).tolist())
+    if dv != 0.0:
+        lo, hi = sorted((v0, v1))
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+        ts.extend(((ks - v0) / dv).tolist())
+    t = np.unique(np.clip(np.asarray(ts, dtype=np.float64), 0.0, 1.0))
+    tm = (t[:-1] + t[1:]) / 2.0
+    iu = np.floor(u0 + tm * du).astype(np.int64)
+    iv = np.floor(v0 + tm * dv).astype(np.int64)
+    ok = (iu >= 0) & (iu < w) & (iv >= 0) & (iv < h)
+    mask[iv[ok], iu[ok]] = True
+
+
+def np_touched_mask(rings_uv: list, h: int = TILE, w: int = TILE) -> np.ndarray:
+    """ALL_TOUCHED burn mask of one polygon over an h x w cell grid given
+    rings in fractional pixel coordinates: interior cells (center even-odd
+    in the SAME uv space — edges straight in the raster CRS, i.e. mercator,
+    exactly how GDAL burns a layer reprojected to the raster SRS) UNION
+    every cell the boundary passes through."""
+    ii = np.tile(np.arange(w, dtype=np.float64) + 0.5, h)
+    jj = np.repeat(np.arange(h, dtype=np.float64) + 0.5, w)
+    mask = geom.pip_even_odd(ii, jj, rings_uv).reshape(h, w).copy()
+    for ring in rings_uv:
+        pts = np.asarray(ring, dtype=np.float64)
+        for a, b in zip(pts, np.roll(pts, -1, axis=0)):
+            _mark_edge_cells(mask, a[0], a[1], b[0], b[1])
+    return mask
+
+
+def rasterize_touched(
+    polygons_pack: geom.PolygonPack, spark, z: int = 8
+) -> DataFrame:
+    """gdal_rasterize -at analog: (poly_id, n_tiles, burned_total) — count
+    of cells the polygon TOUCHES, totalled over its covering tiles. Same
+    cover + Arrow-fragment plan as rasterize_counts; only the per-fragment
+    kernel differs."""
+    cover = spark.createDataFrame(
+        joins.polygon_cover_cells(polygons_pack, z), schema="poly_id long, cell long"
+    )
+    bc = spark.sparkContext.broadcast(polygons_pack)
+
+    def burn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pk = bc.value
+        pos = {int(p): i for i, p in enumerate(pk.poly_ids)}
+        n = 1 << z
+        res = cells.resolution(z)
+        for b in batches:
+            rows = []
+            for cell_v, poly_v in zip(b["cell"].values, b["poly_id"].values):
+                _, tx, ty_xyz = (int(v) for v in cells.np_cell_to_tile(int(cell_v)))
+                ty = n - 1 - ty_xyz
+                txmin = tx * TILE * res - cells.ORIGIN_SHIFT
+                tymax = (ty + 1) * TILE * res - cells.ORIGIN_SHIFT
+                rings_uv = []
+                for ring in pk.rings_of(pos[int(poly_v)]):
+                    mx, my = cells.np_lonlat_to_meters(ring[:, 0], ring[:, 1])
+                    rings_uv.append(
+                        np.column_stack(((mx - txmin) / res, (tymax - my) / res))
+                    )
+                burned = int(np_touched_mask(rings_uv).sum())
+                if burned:
+                    rows.append((int(poly_v), burned))
+            if rows:
+                yield pd.DataFrame(rows, columns=["poly_id", "burned"])
+
+    frags = cover.mapInPandas(burn, schema="poly_id long, burned long")
+    return frags.groupBy("poly_id").agg(
+        F.count("*").alias("n_tiles"), F.sum("burned").alias("burned_total")
+    )

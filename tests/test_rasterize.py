@@ -57,3 +57,41 @@ def test_rasterize_tiles_merge_algs(spark):
     total_rep = sum((m == 2).sum() for m in rep_m.values())
     total_add3 = sum((m == 3).sum() for m in add_m.values())
     assert total_rep >= total_add3 > 0
+
+
+# ---------------------------------------------------------------------------
+# ALL_TOUCHED
+# ---------------------------------------------------------------------------
+
+def test_touched_mask_rect_closed_form():
+    from gdal_scripts_spark.rasterize import np_touched_mask
+    uv = np.array([[3.3, 2.7], [17.8, 2.7], [17.8, 9.2], [3.3, 9.2]])
+    m = np_touched_mask([uv], h=32, w=32)
+    # touched cells of an axis-aligned rect = full floor-index ranges
+    assert m.sum() == (17 - 3 + 1) * (9 - 2 + 1)
+    assert m[2:10, 3:18].all() and m.sum() == m[2:10, 3:18].sum()
+
+
+def test_touched_mask_superset_of_center_fill():
+    from gdal_scripts_spark import geom
+    from gdal_scripts_spark.rasterize import np_touched_mask
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        # random convex polygon (hull of random points) inside a 24x24 grid
+        pts = rng.uniform(2, 22, size=(8, 2))
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        hull = pts[np.argsort(ang)]
+        touched = np_touched_mask([hull], h=24, w=24)
+        ii = np.tile(np.arange(24, dtype=float) + 0.5, 24)
+        jj = np.repeat(np.arange(24, dtype=float) + 0.5, 24)
+        center = geom.pip_even_odd(ii, jj, [hull]).reshape(24, 24)
+        assert (touched | center == touched).all()  # superset
+        # dense boundary supersampling never finds a cell the kernel missed
+        for a, b in zip(hull, np.roll(hull, -1, axis=0)):
+            t = np.linspace(0.0, 1.0, 4001)
+            xs = a[0] + t * (b[0] - a[0])
+            ys = a[1] + t * (b[1] - a[1])
+            iu = np.clip(np.floor(xs).astype(int), 0, 23)
+            iv = np.clip(np.floor(ys).astype(int), 0, 23)
+            assert touched[iv, iu].all()
