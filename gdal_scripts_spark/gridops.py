@@ -27,6 +27,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -174,3 +175,151 @@ def nearest_value(
     nn = knn.knn_join(queries, points, k=1, z=z, qid=qid, pid=pid)
     vals = points.select(F.col(pid), F.col(value_col).alias("nearest_value"))
     return nn.join(vals, pid).select(qid, pid, "dist_m", "nearest_value")
+
+
+# ---------------------------------------------------------------------------
+# gdal_grid -a linear (alg/gdalgrid.cpp : GDALGridLinear ≈L600, which rides
+# a global Delaunay of the point cloud): TIN barycentric interpolation.
+# ---------------------------------------------------------------------------
+
+def np_delaunay(pts: "np.ndarray") -> "np.ndarray":
+    """Bowyer-Watson Delaunay triangulation: (n,2) points -> (m,3) vertex
+    index triangles. O(n^2) — meant for the per-tile neighborhoods the
+    engine hands it (hundreds of points), not global clouds."""
+    import numpy as np
+
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int64)
+    cx, cy = pts.mean(axis=0)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 64.0
+    sup = np.array(
+        [[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]]
+    )
+    P = np.vstack([pts, sup])
+
+    def circum_ok(tri, pi):
+        a, b, c = P[tri[0]], P[tri[1]], P[tri[2]]
+        d = P[pi]
+        # orient CCW, then in-circumcircle = positive lifted determinant
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0:
+            b, c = c, b
+        m = np.array([
+            [a[0] - d[0], a[1] - d[1], (a[0] - d[0]) ** 2 + (a[1] - d[1]) ** 2],
+            [b[0] - d[0], b[1] - d[1], (b[0] - d[0]) ** 2 + (b[1] - d[1]) ** 2],
+            [c[0] - d[0], c[1] - d[1], (c[0] - d[0]) ** 2 + (c[1] - d[1]) ** 2],
+        ])
+        return np.linalg.det(m) > 0.0
+
+    tris = [(n, n + 1, n + 2)]
+    for i in range(n):
+        bad = [t for t in tris if circum_ok(t, i)]
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        bad_set = set(bad)
+        tris = [t for t in tris if t not in bad_set]
+        tris.extend((a, b, i) for a, b in boundary)
+    out = [t for t in tris if max(t) < n]
+    return np.asarray(out, dtype=np.int64) if out else np.empty((0, 3), dtype=np.int64)
+
+
+def np_tin_interpolate(pts, vals, qx, qy):
+    """Piecewise-linear TIN interpolation: NaN outside the convex hull.
+    For each Delaunay triangle, barycentric-interpolate the queries it
+    contains (vectorized over queries)."""
+    import numpy as np
+
+    pts = np.asarray(pts, dtype=np.float64)
+    vals = np.asarray(vals, dtype=np.float64)
+    qx = np.asarray(qx, dtype=np.float64)
+    qy = np.asarray(qy, dtype=np.float64)
+    out = np.full(len(qx), np.nan)
+    eps = 1e-12
+    for a, b, c in np_delaunay(pts):
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        cx, cy = pts[c]
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if abs(den) < eps:
+            continue
+        w1 = ((by - cy) * (qx - cx) + (cx - bx) * (qy - cy)) / den
+        w2 = ((cy - ay) * (qx - cx) + (ax - cx) * (qy - cy)) / den
+        w3 = 1.0 - w1 - w2
+        inside = (w1 >= -eps) & (w2 >= -eps) & (w3 >= -eps) & np.isnan(out)
+        out[inside] = (
+            w1[inside] * vals[a] + w2[inside] * vals[b] + w3[inside] * vals[c]
+        )
+    return out
+
+
+def linear_interpolate(
+    queries: DataFrame,
+    points: DataFrame,
+    z: int = 3,
+    value_col: str = "value",
+    qid: str = "qid",
+) -> DataFrame:
+    """gdal_grid -a linear over grid nodes: per-tile TIN with a 1-ring halo.
+
+    Spark shape: nodes group by their (tx, ty); points are replicated to
+    their own tile AND its 8 neighbors (one native explode — the halo), and
+    the two sides meet in a ``cogroup().applyInPandas`` that triangulates
+    each tile's halo'd point set once and interpolates all of the tile's
+    nodes. Scale contract (documented divergence from gdal_grid's GLOBAL
+    Delaunay): triangles are local to the 3x3-tile neighborhood — exact
+    for fields that are planar at tile scale and for any point set whose
+    hull edges don't span more than a tile; pick z so neighborhoods hold
+    O(10^2-10^3) points. Nodes outside the local hull are dropped
+    (gdal_grid nodata)."""
+    qtx, qty = cells.lonlat_to_tile_tms(F.col("lon"), F.col("lat"), z)
+    q2 = queries.select(
+        F.col(qid), F.col("lon"), F.col("lat"),
+        qtx.alias("tx"), qty.alias("ty"),
+    )
+    ptx, pty = cells.lonlat_to_tile_tms(F.col("lon"), F.col("lat"), z)
+    n = 1 << z
+    p2 = (
+        points.select(
+            F.col("lon").alias("plon"), F.col("lat").alias("plat"),
+            F.col(value_col).alias("pval"),
+            ptx.alias("ptx"), pty.alias("pty"),
+        )
+        .select(
+            "plon", "plat", "pval",
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+            "ptx", "pty",
+        )
+        .select(
+            "plon", "plat", "pval", "ptx", "pty", "dx",
+            F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        )
+        .select(
+            "plon", "plat", "pval",
+            F.pmod(F.col("ptx") + F.col("dx"), F.lit(n)).alias("tx"),
+            (F.col("pty") + F.col("dy")).alias("ty"),
+        )
+        .filter((F.col("ty") >= 0) & (F.col("ty") < n))
+    )
+
+    def interp(key, qpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(qpdf) == 0 or len(ppdf) < 3:
+            return pd.DataFrame(columns=[qid, "lin_value"])
+        vals = np_tin_interpolate(
+            ppdf[["plon", "plat"]].values, ppdf["pval"].values,
+            qpdf["lon"].values, qpdf["lat"].values,
+        )
+        ok = ~pd.isna(vals)
+        return pd.DataFrame({qid: qpdf[qid].values[ok], "lin_value": vals[ok]})
+
+    return (
+        q2.groupBy("tx", "ty")
+        .cogroup(p2.groupBy("tx", "ty"))
+        .applyInPandas(interp, schema=f"{qid} long, lin_value double")
+    )

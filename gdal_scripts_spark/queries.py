@@ -2844,6 +2844,52 @@ FROM g
 """)
 
 
+def _q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid -a linear (TIN barycentric over Delaunay): 404 scattered
+    points carrying a PLANAR field, 150 grid nodes strictly inside the
+    hull. Piecewise-linear interpolation reproduces a plane EXACTLY for
+    ANY triangulation, so the oracle is the plane formula itself —
+    independent of the TIN, the tiling, and the halo."""
+    from . import gridops as _gridops
+
+    pts = []
+    for k in range(1, 401):
+        lon = 10.0 + ((k * 37) % 193) / 9.7 + k * 7e-4
+        lat = 10.0 + ((k * 53) % 139) / 9.3 + k * 3e-4
+        pts.append((k, lon, lat))
+    for i, (lon, lat) in enumerate(
+        [(9.5, 9.5), (30.9, 9.5), (30.9, 25.8), (9.5, 25.8)]
+    ):
+        pts.append((1000 + i, lon, lat))  # hull anchors
+    points = spark.createDataFrame(
+        pts, schema="pid long, lon double, lat double"
+    ).withColumn(
+        "value", 3.25 + 0.6123 * F.col("lon") - 0.4571 * F.col("lat")
+    )
+    nodes = spark.createDataFrame(
+        [
+            (j, 12.0 + ((j * 29) % 160) / 10.1, 12.0 + ((j * 41) % 110) / 10.3)
+            for j in range(1, 151)
+        ],
+        schema="qid long, lon double, lat double",
+    )
+    out = _gridops.linear_interpolate(nodes, points, z=3)
+    return out.select("qid", F.round("lin_value", 6).alias("lin_value"))
+
+
+_add("linear_interp_tin", _q_linear_interp, """
+WITH q AS (
+  SELECT t.j AS qid,
+         1.2e1 + ((t.j * 29) % 160) / 1.01e1 AS lon,
+         1.2e1 + ((t.j * 41) % 110) / 1.03e1 AS lat
+  FROM range(1, 151) t(j)
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(round(3.25e0 + 6.123e-1 * lon - 4.571e-1 * lat, 6) AS DOUBLE) AS lin_value
+FROM q
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

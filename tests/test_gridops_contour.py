@@ -186,3 +186,68 @@ def test_contour_polylines_spark(spark):
         assert r["wkt"].startswith("LINESTRING (")
         assert r["n_pts"] >= 2
         assert r["length_px"] > 0
+
+
+# ---------------------------------------------------------------------------
+# gdal_grid -a linear (TIN)
+# ---------------------------------------------------------------------------
+
+def test_delaunay_empty_circumcircle():
+    from gdal_scripts_spark.gridops import np_delaunay
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(0, 10, size=(50, 2))
+    tris = np_delaunay(pts)
+    assert len(tris) >= 50  # ~2n triangles for a generic cloud
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        r = np.hypot(a[0] - ux, a[1] - uy)
+        dist = np.hypot(pts[:, 0] - ux, pts[:, 1] - uy)
+        inside = dist < r - 1e-9
+        inside[list(t)] = False
+        assert not inside.any(), "non-Delaunay triangle (non-empty circumcircle)"
+
+
+def test_tin_interpolation_properties():
+    from gdal_scripts_spark.gridops import np_tin_interpolate
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 10, size=(40, 2))
+    # exact plane reproduction for any triangulation
+    plane = 1.7 + 0.31 * pts[:, 0] - 0.89 * pts[:, 1]
+    qx, qy = rng.uniform(3, 7, 30), rng.uniform(3, 7, 30)
+    got = np_tin_interpolate(pts, plane, qx, qy)
+    assert np.allclose(got, 1.7 + 0.31 * qx - 0.89 * qy, atol=1e-9)
+    # outside the hull -> NaN (gdal_grid nodata)
+    out = np_tin_interpolate(pts, plane, np.array([50.0]), np.array([50.0]))
+    assert np.isnan(out).all()
+    # range property: linear interp never overshoots the data
+    vals = rng.uniform(-5, 5, 40)
+    got = np_tin_interpolate(pts, vals, qx, qy)
+    ok = ~np.isnan(got)
+    assert got[ok].min() >= vals.min() - 1e-9
+    assert got[ok].max() <= vals.max() + 1e-9
+
+
+def test_linear_interpolate_halo_across_tiles(spark):
+    # points on BOTH sides of the z=3 tile boundary at lon=45: a node just
+    # left of the boundary is only inside the hull thanks to halo points
+    # replicated from the right-hand tile
+    from gdal_scripts_spark import gridops
+    pts = [
+        (1, 40.0, 10.0), (2, 40.0, 20.0),          # left tile
+        (3, 49.0, 10.0), (4, 49.0, 20.0),          # right tile
+        (5, 44.0, 15.0), (6, 46.0, 15.0),
+    ]
+    points = spark.createDataFrame(
+        pts, schema="pid long, lon double, lat double"
+    ).withColumn("value", 2.0 + 1.0 * F.col("lon"))
+    nodes = spark.createDataFrame(
+        [(1, 44.9, 15.0), (2, 45.1, 15.0)], schema="qid long, lon double, lat double"
+    )
+    got = {
+        r["qid"]: r["lin_value"]
+        for r in gridops.linear_interpolate(nodes, points, z=3).collect()
+    }
+    assert got and abs(got[1] - 46.9) < 1e-6 and abs(got[2] - 47.1) < 1e-6
