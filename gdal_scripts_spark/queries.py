@@ -545,6 +545,24 @@ def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("minhash_incremental", _q_minhash_incremental, None)  # hash-seeded; golden
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.repetition_signals(docs)
+
+_add("doc_repetition_signals", _q_repetition, """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       1.0e0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dup_token_ratio,
+       MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_token_frac,
+       SUM(c) AS n_tokens
+FROM freq GROUP BY doc_id
+""")
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 200")
     return textops.simhash_pairs(docs, max_hamming=8)

@@ -408,3 +408,24 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(_rate_hex(rate))
         ).otherwise(thresh)
     return df.filter(_sample_bucket(F.col(key_col), salt) < thresh)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    ``dup_token_ratio`` = 1 - distinct/total tokens, ``top_token_frac`` =
+    share of the most frequent token, ``n_tokens``. The canonical repeated-
+    boilerplate filter of web-scale training pipelines (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A). explode -> two hash
+    aggregates, all JVM-side; documents with zero tokens drop out."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return freq.groupBy(id_col).agg(
+        (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_token_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_token_frac"),
+        F.sum("c").alias("n_tokens"),
+    )
