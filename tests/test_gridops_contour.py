@@ -251,3 +251,19 @@ def test_linear_interpolate_halo_across_tiles(spark):
         for r in gridops.linear_interpolate(nodes, points, z=3).collect()
     }
     assert got and abs(got[1] - 46.9) < 1e-6 and abs(got[2] - 47.1) < 1e-6
+
+
+def test_delaunay_cocircular_grid_no_gaps():
+    # a regular grid is the fully-degenerate case (every 2x2 quad
+    # cocircular) AND the shape raster-derived point clouds take: the
+    # triangulation must still tile the hull with no interpolation gaps
+    from gdal_scripts_spark.gridops import np_delaunay, np_tin_interpolate
+    gx, gy = np.meshgrid(np.arange(8, dtype=float), np.arange(8, dtype=float))
+    pts = np.column_stack([gx.ravel(), gy.ravel()])
+    vals = 2.0 + 0.3 * pts[:, 0] + 0.7 * pts[:, 1]
+    assert len(np_delaunay(pts)) == 2 * 49  # exact tiling of 7x7 cells
+    rng = np.random.default_rng(0)
+    qx, qy = rng.uniform(0.5, 6.5, 300), rng.uniform(0.5, 6.5, 300)
+    got = np_tin_interpolate(pts, vals, qx, qy)
+    assert not np.isnan(got).any()
+    assert np.allclose(got, 2.0 + 0.3 * qx + 0.7 * qy, atol=1e-9)
