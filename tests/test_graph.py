@@ -33,20 +33,39 @@ def _uf_oracle(edges):
     return out
 
 
-def _run(spark, edges):
+def _run(spark, edges, **kw):
     df = spark.createDataFrame(edges, schema="src long, dst long")
     got = {
         r["id"]: r["comp"]
-        for r in graph.connected_components(df).collect()
+        for r in graph.connected_components(df, **kw).collect()
     }
     assert got == _uf_oracle(edges)
 
 
-def test_chain_log_rounds(spark):
-    # a 200-node chain has diameter 199: plain neighbor propagation needs
-    # ~200 rounds; pointer jumping must finish well inside max_rounds=50
+def test_chain_log_rounds_distributed(spark):
+    # force the DISTRIBUTED fixpoint (threshold=0): a 200-node chain has
+    # diameter 199, so plain neighbor propagation needs ~200 rounds;
+    # pointer jumping must finish well inside max_rounds=50
     edges = [(i, i + 1) for i in range(200)]
-    _run(spark, edges)
+    _run(spark, edges, local_edges_threshold=0)
+
+
+def test_local_and_distributed_paths_agree(spark):
+    # same canonical labels from the single-task union-find and the
+    # distributed pointer-jumping fixpoint
+    rng = random.Random(3)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, schema="src long, dst long")
+    local = {
+        r["id"]: r["comp"] for r in graph.connected_components(df).collect()
+    }
+    dist = {
+        r["id"]: r["comp"]
+        for r in graph.connected_components(
+            df, local_edges_threshold=0
+        ).collect()
+    }
+    assert local == dist == _uf_oracle(edges)
 
 
 def test_random_components(spark):
