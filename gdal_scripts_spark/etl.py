@@ -66,3 +66,60 @@ def copy_layer(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(dst_path)
+
+
+# ---------------------------------------------------------------------------
+# Pluggable table IO — the Iceberg deployment switch (SURVEY.md §1.2)
+# ---------------------------------------------------------------------------
+
+TABLE_FORMAT_CONF = "spark.gdal_scripts.table_format"
+
+
+def table_format(spark) -> str:
+    """Session table format: ``spark.gdal_scripts.table_format`` conf,
+    default ``parquet``. Set it to ``iceberg`` on a cluster with the
+    iceberg-spark-runtime jar + catalog configured and every write_table/
+    read_table call switches, no code changes (this sandbox has no jar, so
+    tests run the parquet path and the iceberg branch is arg-checked
+    only)."""
+    return spark.conf.get(TABLE_FORMAT_CONF, "parquet")
+
+
+def write_table(
+    df: DataFrame,
+    dst: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    fmt: str | None = None,
+) -> None:
+    """Write a table through the pluggable format switch.
+
+    parquet: ``dst`` is a path, plain ``save``. iceberg: ``dst`` is a
+    catalog table name, written with the DataFrameWriterV2 API
+    (``createOrReplace`` for overwrite, ``append`` otherwise) — partition
+    columns become the table's partition spec; for bucket co-location use
+    ``PARTITIONED BY (bucket(N, col))`` at table creation (bucketing.py)."""
+    fmt = fmt or table_format(df.sparkSession)
+    if fmt == "iceberg":
+        w = df.writeTo(dst).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(dst)
+
+
+def read_table(spark, src: str, fmt: str | None = None) -> DataFrame:
+    """Read back through the same switch (path for parquet, catalog table
+    name for iceberg)."""
+    fmt = fmt or table_format(spark)
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(src)
+    return spark.read.format(fmt).load(src)

@@ -2908,6 +2908,38 @@ FROM q
 """)
 
 
+def _q_table_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable table IO cycle (etl.write_table/read_table, the Iceberg
+    deployment switch run on its parquet path here): schema-mapped nation
+    rows written partitioned and read back. Oracle recomputes the mapping
+    from the source table directly — independent of the sink."""
+    from . import etl as _etl
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    mapped = _etl.translate_layer(
+        nat,
+        [
+            ("nation_key", "n_nationkey", "bigint"),
+            ("name_lc", "lower(n_name)", None),
+            ("region_key", "n_regionkey", "int"),
+        ],
+        where="n_nationkey % 2 = 0",
+    )
+    dst = _scratch_dir("tableio_")
+    _etl.write_table(mapped, dst, partition_by=["region_key"])
+    return _etl.read_table(spark, dst).select(
+        "nation_key", "name_lc", "region_key"
+    )
+
+
+_add("table_io_roundtrip", _q_table_io, """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+       lower(n_name) AS name_lc,
+       CAST(n_regionkey AS INT) AS region_key
+FROM nation WHERE n_nationkey % 2 = 0
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

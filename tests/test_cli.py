@@ -51,3 +51,29 @@ def test_cli_requires_args():
         cli.main(["query"])         # missing --query
     with pytest.raises(SystemExit):
         cli.main(["tile-sink"])     # missing paths
+
+
+def test_table_format_switch(spark):
+    from gdal_scripts_spark import etl
+    assert etl.table_format(spark) == "parquet"  # default
+    spark.conf.set(etl.TABLE_FORMAT_CONF, "iceberg")
+    try:
+        assert etl.table_format(spark) == "iceberg"
+    finally:
+        spark.conf.set(etl.TABLE_FORMAT_CONF, "parquet")
+
+
+def test_write_read_table_partitioned(spark, tmp_path):
+    from gdal_scripts_spark import etl
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)], schema="k long, s string, p int"
+    )
+    dst = str(tmp_path / "t")
+    etl.write_table(df, dst, partition_by=["p"])
+    back = etl.read_table(spark, dst)
+    assert {tuple(r) for r in back.select("k", "s", "p").collect()} == {
+        (1, "a", 10), (2, "b", 10), (3, "c", 20)
+    }
+    # partition pruning reaches the scan: filtering p=10 reads 1 partition
+    plan = back.filter("p = 10")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "p#" in plan
