@@ -2940,6 +2940,91 @@ FROM nation WHERE n_nationkey % 2 = 0
 """)
 
 
+def _q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest composite (pipeline.ingest_documents): normalize ->
+    quality gate -> exact dedup vs batch+corpus -> transitive near-dup
+    components (keep min-id of corpus-free clusters). Batch = docs 300-399,
+    corpus = docs < 300. The oracle independently replays EVERY stage in
+    SQL, including the connected-component resolution (recursive CTE)."""
+    from . import pipeline as _pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id < 300")
+    batch = docs.filter("doc_id >= 300 AND doc_id < 400")
+    return _pipeline.ingest_documents(
+        batch, corpus, jaccard_threshold=0.5, ngram=8,
+        min_chars=40, max_digit_ratio=0.3,
+    )
+
+
+_add("ingest_pipeline", _q_ingest_pipeline, r"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id AS id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS nt
+  FROM documents WHERE doc_id < 300
+),
+bq AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS nt
+  FROM documents
+  WHERE doc_id >= 300 AND doc_id < 400
+    AND length(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) >= 40
+    AND CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         / greatest(CAST(length(text) AS DOUBLE), 1.0e0), 6) AS DOUBLE) <= 3.0e-1
+),
+keepx AS (SELECT min(doc_id) AS doc_id, nt FROM bq GROUP BY nt),
+b2 AS (
+  SELECT k.doc_id, q.lang, k.nt FROM keepx k
+  JOIN bq q ON q.doc_id = k.doc_id AND q.nt = k.nt
+  WHERE k.nt NOT IN (SELECT nt FROM corpus)
+),
+uni AS (
+  SELECT doc_id AS id, nt AS t FROM b2
+  UNION ALL SELECT id, nt FROM corpus
+),
+sh AS (
+  SELECT DISTINCT id, substr(t, CAST(i AS INT), 8) AS gram
+  FROM uni, range(1, 4096) r(i)
+  WHERE i <= greatest(length(t) - 7, 1)
+    AND length(substr(t, CAST(i AS INT), 8)) = 8
+),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.id = inter.id_a
+  JOIN sz sb ON sb.id = inter.id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 5.0e-1
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.v AS r FROM reach JOIN edges e ON e.u = reach.r
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+badcomp AS (
+  SELECT DISTINCT comp FROM comp WHERE id IN (SELECT id FROM corpus)
+),
+keepers AS (
+  SELECT min(id) AS id FROM comp
+  WHERE comp NOT IN (SELECT comp FROM badcomp) GROUP BY comp
+)
+SELECT doc_id, lang, nt AS norm_text FROM b2
+WHERE doc_id NOT IN (SELECT id FROM comp)
+   OR doc_id IN (SELECT id FROM keepers)
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

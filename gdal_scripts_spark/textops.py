@@ -371,7 +371,12 @@ def _sample_bucket(key: Column, salt: str) -> Column:
 
 
 def _rate_hex(rate: float) -> str:
-    return format(min(max(int(round(rate * 65536)), 0), 65536), "04x")
+    if rate >= 1.0:
+        # 'g' sorts above every 4-char hex bucket ('ffff' < 'g'); the naive
+        # format(65536) = '10000' would sort BELOW most buckets and drop
+        # nearly everything
+        return "g"
+    return format(min(max(int(round(rate * 65536)), 0), 65535), "04x")
 
 
 def deterministic_sample(

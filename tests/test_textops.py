@@ -325,3 +325,14 @@ def test_minhash_incremental_identity(near_dup_docs):
     expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
     assert got == expected
     assert len(got) > 0  # the fixture plants near-dup pairs across the split
+
+
+def test_stratified_sample_rate_one_keeps_all(spark):
+    # regression: rate >= 1.0 must keep the whole stratum ('10000' would
+    # sort below most 4-hex buckets and drop nearly everything)
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, schema="doc_id long, lang string")
+    out = textops.stratified_sample(df, "doc_id", "lang", rates={"en": 1.0, "fr": 0.25})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 200
+    assert 25 <= counts.get("fr", 0) <= 80
