@@ -247,8 +247,18 @@ def _wkb_read(mv: memoryview, off: int) -> tuple[str, list, int]:
     if mv[off] != 1:
         raise ValueError("only little-endian (NDR) WKB supported")
     code = _struct.unpack_from("<I", mv, off + 1)[0]
-    kind = _WKB_KIND.get(code & 0xFF)
+    # validate the FULL 32-bit code: EWKB flag bits (SRID 0x20000000,
+    # Z 0x80000000, M 0x40000000) and ISO Z/M families (1000/2000/3000
+    # offsets) are explicitly rejected rather than masked to 2D — masking
+    # would silently misparse the coordinate stream of nested Multi*
+    # members (each extra dimension shifts every subsequent offset)
+    kind = _WKB_KIND.get(code)
     if kind is None:
+        if code & 0xE0000000 or (code & 0xFF) in _WKB_KIND:
+            raise ValueError(
+                f"unsupported WKB variant code 0x{code:08x} (EWKB flag bits "
+                "or ISO Z/M dimensioned geometry) — only 2D XY is supported"
+            )
         raise ValueError(f"unknown WKB geometry code {code}")
     off += 5
 
@@ -547,6 +557,11 @@ def buffer_point(x: Column, y: Column, r, segments: int = 8) -> Column:
 
     if segments < 3:
         raise ValueError("segments must be >= 3")
+    # scalar radii are validated here; Column radii must be positive per
+    # row by the caller's contract (a non-positive radius would yield a
+    # degenerate/inverted ring whose |shoelace| area still looks positive)
+    if not isinstance(r, Column) and not float(r) > 0.0:
+        raise ValueError("buffer radius must be > 0")
     step = 2.0 * _math.pi / segments
     idx = F.sequence(F.lit(0), F.lit(segments - 1))
     rr = r if isinstance(r, Column) else F.lit(float(r))

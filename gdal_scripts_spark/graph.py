@@ -65,25 +65,27 @@ def _cc_local(e: DataFrame) -> DataFrame:
         )
         m = len(edges)
         uu, vv = inv[:m], inv[m:]
-        parent = np.arange(len(ids), dtype=np.int64)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]  # path halving
-                x = parent[x]
-            return x
-
-        for a, b in zip(uu, vv):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                # union by smaller ORIGINAL id so comp = min id, same
-                # canonical labels as the distributed path
-                if ids[ra] < ids[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = np.array([find(int(x)) for x in range(len(ids))])
-        yield pd.DataFrame({"id": ids, "comp": ids[roots]})
+        # vectorized min-label propagation with pointer jumping — no
+        # per-edge Python loop. Invariants: labels are node INDICES within
+        # the same component, labels[x] <= x, and np.unique sorts ids so
+        # index order == id order; at the fixpoint every edge has equal
+        # endpoint labels, hence comp == min id of the component — the
+        # identical canonical labels the distributed path produces.
+        labels = np.arange(len(ids), dtype=np.int64)
+        while True:
+            emin = np.minimum(labels[uu], labels[vv])
+            new = labels.copy()
+            np.minimum.at(new, uu, emin)
+            np.minimum.at(new, vv, emin)
+            while True:  # pointer jumping: comp <- comp[comp]
+                hop = new[new]
+                if np.array_equal(hop, new):
+                    break
+                new = hop
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        yield pd.DataFrame({"id": ids, "comp": ids[labels]})
 
     return e.coalesce(1).mapInPandas(kernel, schema="id long, comp long")
 
@@ -156,6 +158,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # the contract is "comp is the component's minimum node id"; with
+        # pointer jumping convergence takes O(log d) rounds so this is
+        # practically unreachable — but it must not degrade silently
+        raise RuntimeError(
+            f"connected_components: label fixpoint not reached after "
+            f"{max_rounds} rounds (graph diameter too large?)"
+        )
     e.unpersist()
     return lab
 

@@ -842,8 +842,11 @@ def _q_pixel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cells.mx_to_lon(mx).alias("lon"),
         _cells.my_to_lat(my).alias("lat"),
     )
+    # the driver canonicalizer sorts result columns with pandas and cannot
+    # hash nested types, so flatten the per-band array into a csv string
     return _probe.probe_pixels(probes, images).select(
-        "image_id", "px", "py", "value"
+        "image_id", "px", "py",
+        F.array_join(F.col("value").cast("array<string>"), ",").alias("value_csv"),
     )
 
 _add("pixel_probe", _q_pixel_probe, None)

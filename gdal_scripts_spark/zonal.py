@@ -123,7 +123,7 @@ def zonal_stats(
     return (
         p.groupBy("zone_id")
         .agg(
-            F.count("*").alias("n_images"),
+            F.countDistinct("image_id").alias("n_images"),
             F.sum("n").alias("n_pixels"),
             F.sum("s").alias("v_sum"),
             F.min("vmin").alias("v_min"),

@@ -35,3 +35,14 @@ def test_no_scale_killers_in_plan(spark, name):
         assert set(hits) <= {"BroadcastNestedLoopJoin"}, hits
     else:
         assert not hits, f"{name}: scale-killer operators in plan: {hits}"
+    # driver-canon contract: the correctness harness sorts result columns
+    # with pandas before hashing and cannot factorize nested values, so no
+    # registry entry may expose Array/Map/Struct columns (flatten to
+    # csv/json strings instead — see pixel_probe)
+    from pyspark.sql import types as T
+
+    nested = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"{name}: nested (non-canonicalizable) columns: {nested}"
