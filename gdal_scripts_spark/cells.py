@@ -404,3 +404,188 @@ def np_hilbert_cell_id(lon, lat, z: int):
     tx = np.clip(tx, 0, (1 << z) - 1)
     ty_xyz = np.clip(ty_xyz, 0, (1 << z) - 1)
     return (np.int64(z) << np.int64(58)) | np_hilbert_d(tx, ty_xyz, z)
+
+
+# ---------------------------------------------------------------------------
+# UTM (transverse Mercator, WGS84) — the `ogr2ogr -t_srs EPSG:326xx/327xx`
+# analog (public GDAL route: ogr/ogrct.cpp : OGRProjCT::Transform ≈L2000,
+# which delegates to PROJ's tmerc). Closed-form Snyder series ("Map
+# Projections — A Working Manual", USGS PP 1395, eqs. 8-9..8-25): 4th-order
+# in eccentricity, mm-accurate inside a 6-degree zone, round-trip consistent
+# to ~1e-8 deg (pinned in tests against an independent numeric meridian-arc
+# integral and the published WGS84 quarter meridian).
+#
+# Pure Column expressions — a billion-point reprojection is a zero-UDF,
+# zero-shuffle map stage inside whole-stage codegen, same contract as the
+# 4326<->3857 pair above.
+# ---------------------------------------------------------------------------
+
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+UTM_FN_SOUTH = 10000000.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+_EP2 = WGS84_E2 / (1.0 - WGS84_E2)
+# meridian-arc series coefficients (Snyder 3-21) and footpoint series (3-26)
+_M0 = 1.0 - WGS84_E2 / 4.0 - 3.0 * WGS84_E2**2 / 64.0 - 5.0 * WGS84_E2**3 / 256.0
+_M2 = 3.0 * WGS84_E2 / 8.0 + 3.0 * WGS84_E2**2 / 32.0 + 45.0 * WGS84_E2**3 / 1024.0
+_M4 = 15.0 * WGS84_E2**2 / 256.0 + 45.0 * WGS84_E2**3 / 1024.0
+_M6 = 35.0 * WGS84_E2**3 / 3072.0
+_E1 = (1.0 - math.sqrt(1.0 - WGS84_E2)) / (1.0 + math.sqrt(1.0 - WGS84_E2))
+
+
+def utm_central_meridian_deg(zone) -> Column:
+    """Zone 1 spans [-180, -174) with central meridian -177; zone 60 ends
+    at +180 (public convention, e.g. osgeo_utils/gdal_utils docs)."""
+    return _c(zone).cast("double") * 6.0 - 183.0
+
+
+def utm_zone_of_lon(lon) -> Column:
+    return F.floor((_c(lon) + 180.0) / 6.0).cast("int") % 60 + 1
+
+
+def _meridian_arc(phi: Column) -> Column:
+    return EARTH_RADIUS * (
+        _M0 * phi
+        - _M2 * F.sin(2.0 * phi)
+        + _M4 * F.sin(4.0 * phi)
+        - _M6 * F.sin(6.0 * phi)
+    )
+
+
+def lonlat_to_utm(lon, lat, zone, south=None) -> Column:
+    """(lon, lat) degrees -> struct(easting, northing) meters in the given
+    UTM ``zone``. ``south`` selects the 10,000,000 m false northing
+    (EPSG:327xx); default = ``lat < 0`` per row."""
+    lon, lat = _c(lon), _c(lat)
+    phi = F.radians(lat)
+    dlam = F.radians(lon - utm_central_meridian_deg(zone))
+    sp, cp, tp = F.sin(phi), F.cos(phi), F.tan(phi)
+    n_ = EARTH_RADIUS / F.sqrt(1.0 - WGS84_E2 * sp * sp)
+    t = tp * tp
+    c = _EP2 * cp * cp
+    a_ = dlam * cp
+    m = _meridian_arc(phi)
+    easting = UTM_FE + UTM_K0 * n_ * (
+        a_
+        + (1.0 - t + c) * F.pow(a_, 3) / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * _EP2)
+        * F.pow(a_, 5) / 120.0
+    )
+    northing = UTM_K0 * (
+        m
+        + n_ * tp * (
+            a_ * a_ / 2.0
+            + (5.0 - t + 9.0 * c + 4.0 * c * c) * F.pow(a_, 4) / 24.0
+            + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * _EP2)
+            * F.pow(a_, 6) / 720.0
+        )
+    )
+    is_south = lat < 0 if south is None else _c(south)
+    northing = northing + F.when(is_south, F.lit(UTM_FN_SOUTH)).otherwise(0.0)
+    return F.struct(easting.alias("easting"), northing.alias("northing"))
+
+
+def utm_to_lonlat(easting, northing, zone, south) -> Column:
+    """struct(lon, lat) degrees from UTM meters (inverse Snyder series;
+    ``south`` is a bool or BooleanType Column selecting EPSG:327xx)."""
+    x = _c(easting) - UTM_FE
+    y = _c(northing) - F.when(_c(south), F.lit(UTM_FN_SOUTH)).otherwise(0.0)
+    mu = y / UTM_K0 / (EARTH_RADIUS * _M0)
+    phi1 = (
+        mu
+        + (3.0 * _E1 / 2.0 - 27.0 * _E1**3 / 32.0) * F.sin(2.0 * mu)
+        + (21.0 * _E1**2 / 16.0 - 55.0 * _E1**4 / 32.0) * F.sin(4.0 * mu)
+        + (151.0 * _E1**3 / 96.0) * F.sin(6.0 * mu)
+        + (1097.0 * _E1**4 / 512.0) * F.sin(8.0 * mu)
+    )
+    sp1, cp1, tp1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = _EP2 * cp1 * cp1
+    t1 = tp1 * tp1
+    n1 = EARTH_RADIUS / F.sqrt(1.0 - WGS84_E2 * sp1 * sp1)
+    r1 = (
+        EARTH_RADIUS * (1.0 - WGS84_E2)
+        / F.pow(1.0 - WGS84_E2 * sp1 * sp1, 1.5)
+    )
+    d = x / (n1 * UTM_K0)
+    phi = phi1 - (n1 * tp1 / r1) * (
+        d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * _EP2)
+        * F.pow(d, 4) / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1
+           - 252.0 * _EP2 - 3.0 * c1 * c1)
+        * F.pow(d, 6) / 720.0
+    )
+    lam = F.radians(utm_central_meridian_deg(zone)) + (
+        d
+        - (1.0 + 2.0 * t1 + c1) * F.pow(d, 3) / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1
+           + 8.0 * _EP2 + 24.0 * t1 * t1)
+        * F.pow(d, 5) / 120.0
+    ) / cp1
+    return F.struct(
+        F.degrees(lam).alias("lon"), F.degrees(phi).alias("lat")
+    )
+
+
+def np_lonlat_to_utm(lon, lat, zone: int, south=None):
+    """Sequential numpy twin of :func:`lonlat_to_utm` (test oracle)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    dlam = np.radians(lon - (zone * 6.0 - 183.0))
+    sp, cp, tp = np.sin(phi), np.cos(phi), np.tan(phi)
+    n_ = EARTH_RADIUS / np.sqrt(1.0 - WGS84_E2 * sp**2)
+    t = tp**2
+    c = _EP2 * cp**2
+    a_ = dlam * cp
+    m = EARTH_RADIUS * (
+        _M0 * phi - _M2 * np.sin(2 * phi)
+        + _M4 * np.sin(4 * phi) - _M6 * np.sin(6 * phi)
+    )
+    x = UTM_FE + UTM_K0 * n_ * (
+        a_ + (1 - t + c) * a_**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * _EP2) * a_**5 / 120
+    )
+    y = UTM_K0 * (
+        m + n_ * tp * (
+            a_**2 / 2 + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * _EP2) * a_**6 / 720
+        )
+    )
+    is_south = (lat < 0) if south is None else np.asarray(south, dtype=bool)
+    return x, y + np.where(is_south, UTM_FN_SOUTH, 0.0)
+
+
+def np_utm_to_lonlat(easting, northing, zone: int, south):
+    """Sequential numpy twin of :func:`utm_to_lonlat` (test oracle)."""
+    x = np.asarray(easting, dtype=np.float64) - UTM_FE
+    y = np.asarray(northing, dtype=np.float64) - np.where(
+        np.asarray(south, dtype=bool), UTM_FN_SOUTH, 0.0
+    )
+    mu = y / UTM_K0 / (EARTH_RADIUS * _M0)
+    phi1 = (
+        mu
+        + (3 * _E1 / 2 - 27 * _E1**3 / 32) * np.sin(2 * mu)
+        + (21 * _E1**2 / 16 - 55 * _E1**4 / 32) * np.sin(4 * mu)
+        + (151 * _E1**3 / 96) * np.sin(6 * mu)
+        + (1097 * _E1**4 / 512) * np.sin(8 * mu)
+    )
+    sp1, cp1, tp1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = _EP2 * cp1**2
+    t1 = tp1**2
+    n1 = EARTH_RADIUS / np.sqrt(1 - WGS84_E2 * sp1**2)
+    r1 = EARTH_RADIUS * (1 - WGS84_E2) / (1 - WGS84_E2 * sp1**2) ** 1.5
+    d = x / (n1 * UTM_K0)
+    phi = phi1 - (n1 * tp1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * _EP2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * _EP2 - 3 * c1**2)
+        * d**6 / 720
+    )
+    lam = np.radians(zone * 6.0 - 183.0) + (
+        d - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * _EP2 + 24 * t1**2)
+        * d**5 / 120
+    ) / cp1
+    return np.degrees(lam), np.degrees(phi)

@@ -18,23 +18,21 @@ HYBRID execution, sized by the (already-materialized) edge count:
    solved by a path-halving union-find inside ``mapInPandas`` — no driver
    collect, no rounds. This is the common case for dedup: LSH candidate
    pairs are orders of magnitude fewer than corpus rows.
-2. **Big graphs run the distributed fixpoint** — labels and edges are
-   plain DataFrames; every round is two shuffles (neighbor-min groupBy +
-   path-compression self-join) with **pointer jumping**
-   (``comp = comp[comp]``), so convergence is O(log diameter) rounds even
-   on chains. Each round ends in ``localCheckpoint`` + ONE cheap
-   aggregate for convergence: labels are monotonically non-increasing
-   (min-fold keeps ``comp[x] <= x``; pointer jumping maps to
-   ``comp[comp] <= comp``), so the fixpoint is reached exactly when
-   ``sum(comp)`` stops changing — no per-round compare-join (measured:
-   the join-count was the second shuffle of every round). The sum is a
-   ``decimal(38,0)`` so it cannot overflow at any node-id scale.
+2. **Big graphs run alternating large-star / small-star** (Kiveris et
+   al., "Connected Components in MapReduce and Beyond", SoCC'14). A
+   label-propagation fixpoint re-shuffles the FULL edge table against a
+   label table every round (measured: 9 rounds x 20-65 s at 40M
+   symmetrized edges on this box); the star algorithm instead rewrites
+   the edge set itself toward a star forest, so after the first pass the
+   giant components have collapsed and later rounds touch a shrinking
+   fraction of the data. Both steps are groupBy + equi-join (map-side
+   partial aggregation absorbs the giant-star hot key; AQE splits the
+   skewed join side), and convergence is detected exactly: the state is
+   final iff it is a star forest (one parent per child, no node both
+   child and parent), checked with one aggregate + one join over the
+   already-small final edge set.
 
 Edge payloads are two longs — document text never enters either path.
-At 100 TB the distributed loop runs unchanged; the alternating large-star /
-small-star variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) is a drop-in if single-round skew on a giant component
-ever dominates — noted, not needed at the cluster sizes LSH emits.
 """
 
 from __future__ import annotations
@@ -90,6 +88,85 @@ def _cc_local(e: DataFrame) -> DataFrame:
     return e.coalesce(1).mapInPandas(kernel, schema="id long, comp long")
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star step (Kiveris et al., SoCC'14 "Connected Components
+    in MapReduce and Beyond", Alg. 2): every node connects its
+    strictly-LARGER neighbors to the minimum of its closed neighborhood.
+
+    Input/output edges are (a, b) pairs; output rows are always oriented
+    child > parent (``m <= a < b``). Implemented as groupBy + equi-join
+    rather than a window so the giant component's star center — the one
+    pathologically hot key — is absorbed by map-side partial aggregation
+    and AQE skew-join, never a single sorted window partition."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mn = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.col("a")).alias("m")
+    )
+    return (
+        sym.join(mn, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star step: every node links its smaller-or-equal
+    neighborhood (and itself) to the neighborhood minimum. Input edges
+    must be oriented child > parent (large-star output); so is the
+    output."""
+    mn = e.groupBy("a").agg(F.min("b").alias("m"))
+    linked = (
+        e.join(mn, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return linked.union(
+        mn.select(F.col("a"), F.col("m").alias("b"))
+    ).distinct()
+
+
+def _cc_distributed(e: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternating large-star / small-star over a monotonically shrinking
+    edge set -> (id, comp) star edges for every NON-isolated node.
+
+    Unlike a label-propagation fixpoint (whose every round re-shuffles the
+    FULL edge table against a label table), each iteration here rewrites
+    the edge set itself toward a star forest: after the first pass the
+    giant components collapse and subsequent rounds touch a fraction of
+    the data. Convergence is exact, not probabilistic: a state is final
+    iff it is a star forest — every child has exactly one parent and no
+    node is both child and parent (such a state is invariant under both
+    steps, and since both steps preserve connectivity its stars are the
+    input's components, centered on each component's minimum id because
+    children always exceed parents). O(log^2 n) iterations worst case;
+    2-4 in practice."""
+    cur = e.localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+        n, n_children = cur.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("a").alias("d"),
+        ).collect()[0]
+        if n == n_children:
+            both = (
+                cur.select("a")
+                .join(cur.select(F.col("b").alias("a")), "a")
+                .limit(1)
+                .count()
+            )
+            if both == 0:
+                return cur.select(
+                    F.col("a").alias("id"), F.col("b").alias("comp")
+                )
+    raise RuntimeError(
+        f"connected_components: star-forest fixpoint not reached after "
+        f"{max_rounds} alternating rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -103,71 +180,48 @@ def connected_components(
     ``comp`` is the minimum node id of the node's connected component —
     deterministic, independent of partitioning, round order, and of which
     of the two execution paths (single-task union-find vs distributed
-    pointer-jumping fixpoint) the edge count selects.
+    alternating-star) the edge count selects.
     """
-    e = edges.select(
+    raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.distinct().persist()
-    n_edges = e.count()  # materialize once; reused every round
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    # canonical undirected edge set, self-loops dropped (isolated nodes
+    # re-enter through the final left join against ``nodes``)
+    und = (
+        raw.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    # routing metric: symmetrized row count, same scale the threshold was
+    # calibrated against (each undirected edge = 2 directed rows)
+    n_edges = 2 * und.count()
 
     if n_edges <= local_edges_threshold:
-        out = _cc_local(e).localCheckpoint()
-        e.unpersist()
-        return out
+        part = _cc_local(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+    else:
+        part = _cc_distributed(und, max_rounds)
 
-    lab = (
-        e.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+    out = (
+        nodes.join(part, nodes["id"] == part["id"], "left")
+        .select(
+            nodes["id"], F.coalesce(part["comp"], nodes["id"]).alias("comp")
+        )
         .localCheckpoint()
     )
-
-    def _label_sum(df: DataFrame) -> object:
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = _label_sum(lab)
-    for _ in range(max_rounds):
-        # neighbor-min: comp <- min(comp, min over neighbors' comp)
-        nbr = e.join(lab, e["v"] == lab["id"]).select(
-            e["u"].alias("id"), lab["comp"].alias("comp")
-        )
-        new = (
-            lab.select("id", "comp")
-            .union(nbr)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping: comp <- comp[comp]  (halves tree height)
-        hop = new.select(
-            F.col("id").alias("cid"), F.col("comp").alias("ccomp")
-        )
-        new = (
-            new.join(hop, new["comp"] == hop["cid"], "left")
-            .select(
-                new["id"],
-                F.coalesce(hop["ccomp"], new["comp"]).alias("comp"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = _label_sum(new)
-        lab = new
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        # the contract is "comp is the component's minimum node id"; with
-        # pointer jumping convergence takes O(log d) rounds so this is
-        # practically unreachable — but it must not degrade silently
-        raise RuntimeError(
-            f"connected_components: label fixpoint not reached after "
-            f"{max_rounds} rounds (graph diameter too large?)"
-        )
-    e.unpersist()
-    return lab
+    und.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def dedup_clusters(

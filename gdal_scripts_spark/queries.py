@@ -688,6 +688,18 @@ def _q_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("cosine_topk_ivf", _q_cosine_ivf, None)  # approximate; rows-only
 
 
+def _q_cosine_ivf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at a REAL coarse-quantizer width (n_centroids > 64 dispatches to
+    the Arrow matmul kernel instead of the unrolled Column expression —
+    the path a 10^9-vector deployment runs). Recall vs brute force pinned
+    in tests/test_knn.py; registry pin is the deterministic result set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.cosine_topk_ivf(emb.filter("vec_id < 10"), emb, k=5,
+                                     n_centroids=128, n_probe=32)
+
+_add("cosine_topk_ivf_wide", _q_cosine_ivf_wide, None)  # approximate; rows-only
+
+
 # ===========================================================================
 # image-fixture pipelines (no DuckDB-side table -> rows-only checks)
 # ===========================================================================
@@ -1997,6 +2009,23 @@ def _q_warp_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("warp_reproject_geodetic", _q_warp_reproject, None)
 
 
+def _q_warp_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 inverse-map reprojection 3857->UTM (gdalwarp -t_srs EPSG:326xx):
+    NON-separable — every output pixel carries its own 2-D source
+    coordinate; the grid-convergence tilt it must produce is pinned in
+    tests/test_compare_warp.py. Forward/inverse UTM series independently
+    oracled by geom_reproject_utm's cross-engine SQL twin."""
+    images = fixtures.images_spark(spark, n=40)
+    return raster.warp_reproject_utm(images).select(
+        "image_id", "w", "h", "zone",
+        F.round("e_min", 3).alias("e_min"), F.round("n_min", 3).alias("n_min"),
+        F.round("e_max", 3).alias("e_max"), F.round("n_max", 3).alias("n_max"),
+        "checksum",
+    )
+
+_add("warp_reproject_utm", _q_warp_reproject_utm, None)
+
+
 def _q_warp_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 lanczos (GWKLanczosSinc radius 3); identity-at-scale-1 and
     constant-preservation pinned in tests, registry pin is the checksum."""
@@ -2486,6 +2515,81 @@ SELECT p_partkey,
        CAST((p_partkey * 7) % 50 - 25 + (p_size * 3) % 4 + 1 AS DOUBLE) AS lat_rt_max
 FROM part
 """)
+
+
+def _q_geom_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs EPSG:326xx/327xx (UTM zone 32): deterministic points
+    across the full zone width and both hemispheres -> closed-form Snyder
+    transverse-Mercator forward (cells.lonlat_to_utm, pure Column) ->
+    inverse round-trip. The oracle re-derives the FORWARD series
+    independently in DuckDB SQL (same published formulas, different
+    engine); the inverse leg is verified by the round-trip returning the
+    inputs to ~1e-8 deg, rounded at 1e-5. Ref (public GDAL tree):
+    ogr/ogrct.cpp : OGRProjCT::Transform (≈L2000) -> PROJ tmerc."""
+    from . import cells as _cells
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lon = F.lit(9.0) + (F.col("p_partkey") % 50) / 10.0 - 2.5
+    lat = ((F.col("p_partkey") * 7) % 120).cast("double") - 59.5
+    src = part.select("p_partkey", lon.alias("lon"), lat.alias("lat"))
+    fwd = _cells.lonlat_to_utm(F.col("lon"), F.col("lat"), 32)
+    utm = src.select(
+        "p_partkey", "lon", "lat",
+        fwd["easting"].alias("e"), fwd["northing"].alias("n"),
+    )
+    inv = _cells.utm_to_lonlat(F.col("e"), F.col("n"), 32, F.col("lat") < 0)
+    return utm.select(
+        "p_partkey",
+        F.round("e", 3).alias("easting_mm"),
+        F.round("n", 3).alias("northing_mm"),
+        F.round(inv["lon"], 5).alias("lon_rt"),
+        F.round(inv["lat"], 5).alias("lat_rt"),
+    )
+
+
+def _utm_oracle_sql() -> str:
+    from . import cells as _cells
+
+    a = repr(_cells.EARTH_RADIUS)
+    e2 = repr(_cells.WGS84_E2)
+    ep2 = repr(_cells._EP2)
+    m0, m2 = repr(_cells._M0), repr(_cells._M2)
+    m4, m6 = repr(_cells._M4), repr(_cells._M6)
+    return f"""
+WITH src AS (
+  SELECT p_partkey,
+         9.0 + (p_partkey % 50) / 10.0 - 2.5 AS lon,
+         CAST((p_partkey * 7) % 120 AS DOUBLE) - 59.5 AS lat
+  FROM part
+), k AS (
+  SELECT p_partkey, lon, lat,
+         radians(lat) AS phi, radians(lon - 9.0) AS dlam
+  FROM src
+), f AS (
+  SELECT p_partkey, lon, lat, phi,
+         {a} / sqrt(1 - {e2} * sin(phi) * sin(phi)) AS n_,
+         tan(phi) * tan(phi) AS t,
+         {ep2} * cos(phi) * cos(phi) AS c,
+         dlam * cos(phi) AS a_,
+         {a} * ({m0} * phi - {m2} * sin(2 * phi)
+                + {m4} * sin(4 * phi) - {m6} * sin(6 * phi)) AS m
+  FROM k
+)
+SELECT p_partkey,
+  round(500000.0 + 0.9996 * n_ * (a_ + (1 - t + c) * pow(a_, 3) / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * {ep2}) * pow(a_, 5) / 120),
+        3) AS easting_mm,
+  round(0.9996 * (m + n_ * tan(phi) * (a_ * a_ / 2
+        + (5 - t + 9 * c + 4 * c * c) * pow(a_, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * {ep2}) * pow(a_, 6) / 720))
+        + CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END, 3) AS northing_mm,
+  round(lon, 5) AS lon_rt,
+  round(lat, 5) AS lat_rt
+FROM f
+"""
+
+
+_add("geom_reproject_utm", _q_geom_reproject_utm, _utm_oracle_sql())
 
 
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -898,6 +898,118 @@ def warp_reproject(images: DataFrame, method: str = "bilinear",
     )
 
 
+def np_sample_2d(img: np.ndarray, uf: np.ndarray, vf: np.ndarray,
+                 method: str) -> np.ndarray:
+    """Non-separable inverse-map sampler: ``uf``/``vf`` are FULL 2-D grids
+    of fractional source pixel-center coordinates (one pair per output
+    pixel). Needed when the coordinate transform does not factor into
+    independent row/column maps — e.g. 3857 -> UTM, where easting depends
+    on both lon and lat (``alg/gdalwarpkernel.cpp`` general path vs the
+    separable fast path in :func:`np_sample_sep`)."""
+    h, w, c = img.shape
+    uf = np.asarray(uf, dtype=np.float64)
+    vf = np.asarray(vf, dtype=np.float64)
+    if method == "nearest":
+        ui = np.clip(np.floor(uf + 0.5).astype(np.int64), 0, w - 1)
+        vi = np.clip(np.floor(vf + 0.5).astype(np.int64), 0, h - 1)
+        return img[vi, ui]
+    if method == "bilinear":
+        ufc = np.clip(uf, 0.0, w - 1.0)
+        vfc = np.clip(vf, 0.0, h - 1.0)
+        u0 = np.clip(np.floor(ufc).astype(np.int64), 0, max(w - 2, 0))
+        v0 = np.clip(np.floor(vfc).astype(np.int64), 0, max(h - 2, 0))
+        du = (ufc - u0)[:, :, None]
+        dv = (vfc - v0)[:, :, None]
+        u1 = np.minimum(u0 + 1, w - 1)
+        v1 = np.minimum(v0 + 1, h - 1)
+        a = img[v0, u0].astype(np.float64)
+        b = img[v0, u1].astype(np.float64)
+        cq = img[v1, u0].astype(np.float64)
+        d = img[v1, u1].astype(np.float64)
+        out = (a * (1 - du) * (1 - dv) + b * du * (1 - dv)
+               + cq * (1 - du) * dv + d * du * dv)
+        return _warp_finish(out, img)
+    raise ValueError(f"np_sample_2d supports nearest/bilinear, got {method!r}")
+
+
+def np_warp_reproject_utm(
+    img: np.ndarray, lon0: float, lat0: float, pix_m: float,
+    zone: int | None = None, method: str = "bilinear",
+) -> tuple[np.ndarray, tuple[float, float, float, float], int]:
+    """``gdalwarp -t_srs EPSG:326xx/327xx`` analog for one north-up
+    EPSG:3857 image anchored top-left at (lon0, lat0): inverse-mapped
+    resample onto a regular UTM grid covering the same footprint. Unlike
+    the geodetic case the transform is NOT separable (grid convergence
+    rotates the graticule), so every output pixel carries its own 2-D
+    source coordinate (:func:`np_sample_2d`). Returns
+    (out_img, (e_min, n_min, e_max, n_max), zone)."""
+    h, w, _c = img.shape
+    os_m = cells.ORIGIN_SHIFT
+    mx0 = lon0 * os_m / 180.0
+    my0 = math.log(math.tan((90.0 + lat0) * math.pi / 360.0)) / (
+        math.pi / 180.0) * os_m / 180.0
+    # footprint corners in lon/lat
+    cx = np.array([mx0, mx0 + w * pix_m, mx0, mx0 + w * pix_m])
+    cy = np.array([my0, my0, my0 - h * pix_m, my0 - h * pix_m])
+    clon, clat = cells.np_meters_to_lonlat(cx, cy)
+    cen_lat = float(clat.mean())
+    if zone is None:
+        zone = int(np.floor((float(clon.mean()) + 180.0) / 6.0)) % 60 + 1
+    south = cen_lat < 0
+    ce, cn = cells.np_lonlat_to_utm(clon, clat, zone, south=np.full(4, south))
+    e0, e1 = float(ce.min()), float(ce.max())
+    n0, n1 = float(cn.min()), float(cn.max())
+    ow, oh = w, h
+    es = e0 + (np.arange(ow) + 0.5) * (e1 - e0) / ow
+    ns = n1 - (np.arange(oh) + 0.5) * (n1 - n0) / oh  # row 0 = north edge
+    eg = np.repeat(es[None, :], oh, axis=0)
+    ng = np.repeat(ns[:, None], ow, axis=1)
+    glon, glat = cells.np_utm_to_lonlat(eg, ng, zone,
+                                        np.full(eg.shape, south))
+    uf = (glon * os_m / 180.0 - mx0) / pix_m - 0.5
+    gmy = np.log(np.tan((90.0 + glat) * np.pi / 360.0)) / (
+        np.pi / 180.0) * os_m / 180.0
+    vf = (my0 - gmy) / pix_m - 0.5
+    return np_sample_2d(img, uf, vf, method), (e0, n0, e1, n1), zone
+
+
+def warp_reproject_utm(images: DataFrame, method: str = "bilinear",
+                       pix_m: float = DEFAULT_PIX_M,
+                       out_fmt: str = "png") -> DataFrame:
+    """gdalwarp -t_srs EPSG:326xx/327xx over the images table: per-image
+    inverse-mapped reprojection onto the image's own UTM zone — one Arrow
+    pass, zero shuffle, the same map-only plan shape as the geodetic warp.
+    Returns (image_id, bytes, fmt, w, h, zone, e_min, n_min, e_max, n_max,
+    checksum)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt, lon, lat in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["lon"].values, b["lat"].values,
+            ):
+                img = _decode_row(byts, fmt)
+                out, bbox, zone = np_warp_reproject_utm(
+                    img, float(lon), float(lat), pix_m, method=method
+                )
+                sq = out[:, :, 0] if out.shape[2] == 1 else out
+                rows.append((iid, codecs.encode(sq, out_fmt), out_fmt,
+                             out.shape[1], out.shape[0], zone,
+                             bbox[0], bbox[1], bbox[2], bbox[3],
+                             codecs.gdal_style_checksum(out)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "image_id", "bytes", "fmt", "w", "h", "zone",
+                    "e_min", "n_min", "e_max", "n_max", "checksum"])
+
+    return images.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
+        run,
+        schema="image_id string, bytes binary, fmt string, w int, h int, "
+               "zone int, e_min double, n_min double, e_max double, "
+               "n_max double, checksum int",
+    )
+
+
 def np_cutline_apply(
     img: np.ndarray, lon0: float, lat0: float, pix_m: float,
     rings: list[np.ndarray], nodata: int = 0,

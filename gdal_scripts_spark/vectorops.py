@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,6 +181,37 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10,
     return cent
 
 
+def _nearest_centroids_arrow(vec: Column, cent: np.ndarray, n: int) -> Column:
+    """Arrow-batched twin of :func:`_nearest_centroids_col` for REAL
+    centroid counts (IVF at 10^9 vectors wants thousands): one BLAS matmul
+    per Arrow batch against the closure-captured centroid matrix instead
+    of an unrolled per-centroid Column expression (whose codegen blows up
+    past ~64 centroids). Ties broken by ascending centroid id (stable
+    argsort), same rule as the Column path's struct sort."""
+    c = np.ascontiguousarray(cent, dtype=np.float64)
+    c2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def kern(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype=object)
+        m = np.array(s.tolist(), dtype=np.float64)
+        # |v-c|^2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per row, skip it
+        d2 = c2[None, :] - 2.0 * (m @ c.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series([row.tolist() for row in idx])
+
+    return kern(vec.cast("array<double>"))
+
+
+def nearest_centroids(vec: Column, cent: np.ndarray, n: int) -> Column:
+    """Dispatch: codegen Column expression for small coarse quantizers,
+    Arrow matmul kernel beyond 64 centroids."""
+    if len(cent) > 64:
+        return _nearest_centroids_arrow(vec, cent, n)
+    return _nearest_centroids_col(vec, cent, n)
+
+
 def _nearest_centroids_col(vec: Column, cent: np.ndarray, n: int) -> Column:
     """Array of the ``n`` nearest centroid ids — native Column expressions
     (per-centroid squared distance via aggregate/zip_with, then argsort by
@@ -222,12 +254,12 @@ def cosine_topk_ivf(
     cent = _kmeans_lite(sample, n_centroids, seed=seed)
     cb = corpus.select(
         F.col(cid).alias("neighbor_id"), F.col(vec).alias("cv"),
-        _nearest_centroids_col(F.col(vec), cent, 1)[0].alias("bucket"),
+        nearest_centroids(F.col(vec), cent, 1)[0].alias("bucket"),
     )
     qb = queries.select(
         F.col(qid).alias("qid"), F.col(vec).alias("qv"),
         F.explode(
-            _nearest_centroids_col(F.col(vec), cent, n_probe)
+            nearest_centroids(F.col(vec), cent, n_probe)
         ).alias("bucket"),
     )
     wnd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -164,3 +164,89 @@ def test_ring_offsets():
     assert len(cells.ring_offsets(3)) == 24
     assert len(set(cells.ring_offsets(3))) == 24
     assert all(max(abs(a), abs(b)) == 3 for a, b in cells.ring_offsets(3))
+
+
+# ---------------------------------------------------------------------------
+# UTM (transverse Mercator) — Snyder series kernel
+# ---------------------------------------------------------------------------
+
+def test_np_utm_meridian_arc_vs_numeric_integral():
+    # independent oracle: the meridian arc M(phi) = a*(1-e^2) *
+    # integral of (1 - e^2 sin^2 t)^{-3/2} dt, evaluated numerically —
+    # shares NO series coefficients with the implementation
+    phi = np.pi / 2
+    t = np.linspace(0.0, phi, 2_000_001)
+    integ = np.trapz(
+        cells.EARTH_RADIUS * (1 - cells.WGS84_E2)
+        / (1 - cells.WGS84_E2 * np.sin(t) ** 2) ** 1.5, t)
+    series = cells.EARTH_RADIUS * cells._M0 * phi  # sin terms vanish at 90
+    assert abs(series - integ) < 1e-3
+    # published WGS84 quarter meridian, mm precision
+    assert abs(series - 10001965.7293) < 1e-3
+
+
+def test_np_utm_anchors_and_symmetry():
+    # central meridian of zone 32 at the equator -> exactly (FE, 0)
+    x, y = cells.np_lonlat_to_utm([9.0], [0.0], 32)
+    assert x[0] == 500000.0 and y[0] == 0.0
+    # easting antisymmetric / northing symmetric about the central meridian
+    xw, yw = cells.np_lonlat_to_utm([9.0 - 1.7], [41.3], 32)
+    xe, ye = cells.np_lonlat_to_utm([9.0 + 1.7], [41.3], 32)
+    assert abs((xe[0] - 500000.0) + (xw[0] - 500000.0)) < 1e-6
+    assert abs(ye[0] - yw[0]) < 1e-9
+    # scale at the central meridian is k0: numeric dE/d(lon) at the equator
+    eps = 1e-7
+    xp, _ = cells.np_lonlat_to_utm([9.0 + eps], [0.0], 32)
+    dmeter_per_deg = (xp[0] - 500000.0) / eps
+    expect = 0.9996 * np.radians(1.0) * cells.EARTH_RADIUS
+    assert abs(dmeter_per_deg - expect) / expect < 1e-6
+    # southern hemisphere false northing
+    _, ys = cells.np_lonlat_to_utm([9.0], [-0.001], 32)
+    _, yn = cells.np_lonlat_to_utm([9.0], [0.001], 32)
+    assert abs((ys[0] - 10_000_000.0) + yn[0]) < 1e-6
+
+
+def test_np_utm_roundtrip_whole_zone():
+    rng = np.random.default_rng(11)
+    lon = 9.0 + rng.uniform(-3, 3, 5000)
+    lat = rng.uniform(-80, 84, 5000)
+    x, y = cells.np_lonlat_to_utm(lon, lat, 32)
+    lon2, lat2 = cells.np_utm_to_lonlat(x, y, 32, lat < 0)
+    assert np.abs(lon2 - lon).max() < 5e-8
+    assert np.abs(lat2 - lat).max() < 5e-8
+
+
+def test_spark_utm_matches_numpy_twin(spark):
+    rng = np.random.default_rng(13)
+    lon = 9.0 + rng.uniform(-3, 3, 300)
+    lat = rng.uniform(-79, 79, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    fwd = cells.lonlat_to_utm(F.col("lon"), F.col("lat"), 32)
+    out = df.select(
+        "lon", "lat",
+        fwd["easting"].alias("e"), fwd["northing"].alias("n"),
+    )
+    inv = cells.utm_to_lonlat(F.col("e"), F.col("n"), 32, F.col("lat") < 0)
+    rows = out.select(
+        "lon", "lat", "e", "n",
+        inv["lon"].alias("lon_rt"), inv["lat"].alias("lat_rt"),
+    ).collect()
+    ex, ny = cells.np_lonlat_to_utm(lon, lat, 32)
+    by_lon = {r["lon"]: r for r in rows}
+    for i in range(len(lon)):
+        r = by_lon[lon[i]]
+        assert abs(r["e"] - ex[i]) < 1e-6
+        assert abs(r["n"] - ny[i]) < 1e-6
+        assert abs(r["lon_rt"] - lon[i]) < 5e-8
+        assert abs(r["lat_rt"] - lat[i]) < 5e-8
+
+
+def test_utm_zone_of_lon(spark):
+    r = spark.range(1).select(
+        cells.utm_zone_of_lon(F.lit(-180.0)).alias("a"),
+        cells.utm_zone_of_lon(F.lit(9.0)).alias("b"),
+        cells.utm_zone_of_lon(F.lit(179.9)).alias("c"),
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (1, 32, 60)

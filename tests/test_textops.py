@@ -259,6 +259,41 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ann_ivf_wide_arrow_kernel(spark):
+    # n_centroids > 64 dispatches to the Arrow matmul kernel; at high
+    # n_probe the candidate set covers most of the corpus, so recall vs
+    # brute force must be near-perfect — the "real centroid count" path
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((400, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 20")
+    exact = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_bruteforce(q, df, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["neighbor_id"])
+        for r in vectorops.cosine_topk_ivf(q, df, k=5, n_centroids=128,
+                                           n_probe=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, recall
+    # the two kernels agree on bucket assignment (same centroids)
+    from gdal_scripts_spark.vectorops import (
+        _kmeans_lite, _nearest_centroids_arrow, _nearest_centroids_col)
+    cent = _kmeans_lite(vecs[:256].astype(np.float64), 32)
+    col_b = [r["b"] for r in df.select(
+        "vec_id", _nearest_centroids_col(F.col("embedding"), cent, 3).alias("b")
+    ).orderBy("vec_id").collect()]
+    arw_b = [r["b"] for r in df.select(
+        "vec_id", _nearest_centroids_arrow(F.col("embedding"), cent, 3).alias("b")
+    ).orderBy("vec_id").collect()]
+    agree = sum(a == b for a, b in zip(col_b, arw_b))
+    # identical up to FP-noise ties between the two distance formulations
+    assert agree >= 0.99 * len(col_b), (agree, len(col_b))
+
+
 def test_deterministic_sample_properties(spark):
     docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
     s20 = set(r["doc_id"] for r in textops.deterministic_sample(docs, "doc_id", 0.2).collect())
