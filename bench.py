@@ -95,6 +95,35 @@ def main() -> None:
         ).count()
     )
 
+    # the co-located plan a 100-TB deployment runs: both sides bucketed on
+    # the cell key at WRITE time (one shuffle at ingest, zero per join).
+    # Timed separately: the one-time bucketed write vs the shuffle-free join
+    # (measured 11.5x vs plain parquet in the round-3 A/B; here it rides the
+    # headline bench so every round records it next to the salted path).
+    from gdal_scripts_spark import bucketing
+
+    pts_cells = joins.with_cell(points, z=8)
+    dim_cells = (
+        pts_cells.groupBy("cell").count()
+        .withColumn("weight", F.pmod(F.col("cell"), F.lit(97)))
+        .drop("count")
+    )
+    spark.sql("DROP TABLE IF EXISTS bench_pts_b")
+    spark.sql("DROP TABLE IF EXISTS bench_dim_b")
+    times["bucketed_write"], _ = timed(lambda: (
+        bucketing.write_bucketed(pts_cells, "bench_pts_b", key="cell",
+                                 n_buckets=2 * CPUS),
+        bucketing.write_bucketed(dim_cells, "bench_dim_b", key="cell",
+                                 n_buckets=2 * CPUS),
+    ))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    co = bucketing.bucketed_join(spark, "bench_pts_b", "bench_dim_b", "cell")
+    n_exchanges = bucketing.count_exchanges(co)
+    times["spatial_join_bucketed"], _ = timed(co.count)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS bench_pts_b")
+    spark.sql("DROP TABLE IF EXISTS bench_dim_b")
+
     queries = fixtures.query_points_spark(spark, q=2000)
     times["knn"], _ = timed(lambda: knn.knn_join(queries, points, k=5).count())
 
@@ -141,6 +170,7 @@ def main() -> None:
                 "n_points": N_POINTS,
                 "n_images": N_IMAGES,
                 "cpus": CPUS,
+                "bucketed_join_exchanges": n_exchanges,
                 "control_unit_s": round(min(ctrl_pre, control_unit_s()), 4),
             }
         )

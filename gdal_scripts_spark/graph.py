@@ -102,11 +102,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     mn = sym.groupBy("a").agg(
         F.least(F.min("b"), F.col("a")).alias("m")
     )
+    # NO trailing distinct: the algorithm is multiset-safe (small-star's
+    # groupBy-min ignores duplicates and its own output IS deduped), and
+    # dropping it removes one full-width shuffle per iteration
     return (
         sym.join(mn, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 
@@ -191,18 +193,21 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # canonical undirected edge set, self-loops dropped (isolated nodes
-    # re-enter through the final left join against ``nodes``)
+    # canonical undirected orientation, self-loops dropped (isolated nodes
+    # re-enter through the final left join against ``nodes``). NOT deduped:
+    # both execution paths are duplicate-safe, and a distinct here would be
+    # a full-width shuffle spent before any real work
     und = (
         raw.select(
             F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
         .persist()
     )
-    # routing metric: symmetrized row count, same scale the threshold was
-    # calibrated against (each undirected edge = 2 directed rows)
+    # routing metric: symmetrized row count (each undirected row = 2
+    # directed rows), same scale the threshold was calibrated against;
+    # duplicate input pairs now count toward it, which can only route a
+    # borderline graph to the distributed path (the safe direction)
     n_edges = 2 * und.count()
 
     if n_edges <= local_edges_threshold:

@@ -77,3 +77,47 @@ def test_write_read_table_partitioned(spark, tmp_path):
     # partition pruning reaches the scan: filtering p=10 reads 1 partition
     plan = back.filter("p = 10")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "p#" in plan
+
+
+def test_iceberg_dispatch_plumbing_mocked(spark):
+    # the sandbox has no iceberg-spark-runtime jar, so the iceberg arm
+    # cannot execute — but its DISPATCH (writer API, using-clause, partition
+    # spec, mode mapping, reader route) is exactly where a deployment
+    # config error would hide. Exercise it against mocks so it breaks in CI
+    # rather than on a cluster.
+    from unittest.mock import MagicMock
+
+    from gdal_scripts_spark import etl
+
+    # write: overwrite -> writeTo(dst).using("iceberg").partitionedBy(...).createOrReplace()
+    df = MagicMock()
+    df.sparkSession.conf.get.return_value = "iceberg"
+    etl.write_table(df, "cat.db.images", partition_by=["cell"])
+    df.writeTo.assert_called_once_with("cat.db.images")
+    w = df.writeTo.return_value
+    w.using.assert_called_once_with("iceberg")
+    w.using.return_value.partitionedBy.assert_called_once()
+    w.using.return_value.partitionedBy.return_value.createOrReplace.assert_called_once()
+    df.write.format.assert_not_called()   # the parquet arm must NOT run
+
+    # write: append mode, no partition spec
+    df2 = MagicMock()
+    df2.sparkSession.conf.get.return_value = "iceberg"
+    etl.write_table(df2, "cat.db.images", mode="append")
+    w2 = df2.writeTo.return_value.using.return_value
+    w2.append.assert_called_once()
+    w2.partitionedBy.assert_not_called()
+    w2.createOrReplace.assert_not_called()
+
+    # read: catalog-table route through format("iceberg").load(name)
+    spark = MagicMock()
+    spark.conf.get.return_value = "iceberg"
+    etl.read_table(spark, "cat.db.images")
+    spark.read.format.assert_called_once_with("iceberg")
+    spark.read.format.return_value.load.assert_called_once_with("cat.db.images")
+
+    # explicit fmt overrides the session switch
+    df3 = MagicMock()
+    df3.sparkSession.conf.get.return_value = "parquet"
+    etl.write_table(df3, "cat.db.t", fmt="iceberg")
+    df3.writeTo.assert_called_once_with("cat.db.t")
