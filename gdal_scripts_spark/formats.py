@@ -684,6 +684,32 @@ def geom_to_4326(g: Column) -> Column:
     )
 
 
+def geom_to_utm(g: Column, zone, south) -> Column:
+    """EPSG:4326 -> UTM (EPSG:326xx/327xx) on every vertex — the
+    ``ogr2ogr -t_srs EPSG:326xx`` vector-ETL shape. ``south`` is a bool or
+    Boolean Column (one hemisphere per geometry; a polygon's vertices
+    share the false-northing convention of its layer)."""
+    from . import cells
+
+    return geom_transform(
+        g,
+        lambda x, y: cells.lonlat_to_utm(x, y, zone, south)["easting"],
+        lambda x, y: cells.lonlat_to_utm(x, y, zone, south)["northing"],
+    )
+
+
+def geom_from_utm(g: Column, zone, south) -> Column:
+    """UTM meters -> EPSG:4326 on every vertex (inverse of
+    :func:`geom_to_utm`)."""
+    from . import cells
+
+    return geom_transform(
+        g,
+        lambda x, y: cells.utm_to_lonlat(x, y, zone, south)["lon"],
+        lambda x, y: cells.utm_to_lonlat(x, y, zone, south)["lat"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # GeoJSON / GeoJSONSeq
 # ---------------------------------------------------------------------------

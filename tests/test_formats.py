@@ -505,3 +505,33 @@ def test_geom_transform_is_pure_column(spark):  # noqa: F811
         .toString()
     )
     assert "EvalPython" not in plan, plan[:1500]
+
+
+def test_geom_utm_roundtrip_and_area_scale(spark):
+    # a 0.2 x 0.2 deg rect near (9, 45): UTM round-trip returns the vertices
+    # (<1e-7 deg), and the UTM-plane area is ~ the ellipsoidal patch area
+    # within the TM scale distortion (k0^2 at the central meridian)
+    from gdal_scripts_spark import formats
+
+    wkt = "POLYGON ((8.9 44.9, 9.1 44.9, 9.1 45.1, 8.9 45.1, 8.9 44.9))"
+    df = spark.range(1).select(formats.wkt_parse(F.lit(wkt)).alias("g"))
+    utm = formats.geom_to_utm(F.col("g"), 32, False)
+    back = formats.geom_from_utm(utm, 32, False)
+    r = df.select(
+        formats.geom_area(utm).alias("area_m2"),
+        formats.wkt_format(back).alias("w"),
+    ).collect()[0]
+    # expected patch area: dx = 0.2 deg lon at lat 45 on WGS84, dy = 0.2 deg lat
+    import math
+    a, e2 = 6378137.0, 0.0066943799901413165
+    lat = math.radians(45.0)
+    n = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+    m = a * (1 - e2) / (1 - e2 * math.sin(lat) ** 2) ** 1.5
+    expect = (math.radians(0.2) * n * math.cos(lat)) * (math.radians(0.2) * m)
+    assert abs(r["area_m2"] - expect * 0.9996 ** 2) / expect < 2e-3
+    # round-trip vertices
+    got = [tuple(map(float, p.split())) for p in
+           r["w"].split("((")[1].rstrip("))").split(", ")]
+    want = [(8.9, 44.9), (9.1, 44.9), (9.1, 45.1), (8.9, 45.1), (8.9, 44.9)]
+    for (gx, gy), (wx, wy) in zip(got, want):
+        assert abs(gx - wx) < 1e-7 and abs(gy - wy) < 1e-7
