@@ -52,6 +52,7 @@ TARGET_S = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
 SIZES = {
     "assign": 50_000_000,
     "salted_join": 8_000_000,
+    "bucketed_join": 8_000_000,
     "pip": 4_000_000,
     "pip_native": 2_000_000,
     "tile_cut": 40_000,
@@ -81,6 +82,7 @@ if os.path.isdir("/dev/shm"):
     # single-box stand-in only.
     extra["spark.shuffle.compress"] = "false"
     extra["spark.shuffle.spill.compress"] = "false"
+    extra["spark.sql.warehouse.dir"] = "/dev/shm/spark-graft-warehouse-scale"
 spark = get_spark(app_name=f"scale_{wl}_{cpus}", cpus=cpus,
                   shuffle_partitions=2*cpus, extra_conf=extra)
 
@@ -93,6 +95,7 @@ def synth_pts(m):
     return spark.range(0, m, 1, 4*cpus).select(F.col("id"), lonw.alias("lon"), latw.alias("lat"))
 
 CAPS = {"assign": 4_000_000_000, "salted_join": 200_000_000,
+        "bucketed_join": 200_000_000,
         "pip": 40_000_000, "pip_native": 1_000_000_000, "tile_cut": 400_000}
 n_cap = CAPS[wl]
 _cached = {}
@@ -118,6 +121,39 @@ def rebuild(m):
             joined = s.join(d2.hint("shuffle_hash"), ["cell","s"])
             return joined.select(F.xxhash64("id","poly_id").alias("h")).agg(
                 F.sum(F.col("h")%1000), F.count("*")).collect()
+    elif wl == "bucketed_join":
+        # the CO-LOCATED variant of salted_join: same Zipf-hot points, the
+        # salt baked into the bucketed table LAYOUT at write time (Iceberg
+        # analog: PARTITIONED BY (bucket(B, cell))). 64 salts spread the
+        # hot cell across all 64 buckets; the join itself is zero-Exchange,
+        # so it should track the host ceiling, not the shared shuffle disk.
+        # The write (the amortized ingest shuffle) is NOT in the timed job.
+        NB = NS = 64
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enc = synth_pts(m).select(
+            "id", F.pmod(cell_id(F.col("lon"), F.col("lat"), 8), F.lit(100000)).alias("cell"))
+        sdf = enc.withColumn("s", F.pmod(F.xxhash64("id", F.lit(2)), F.lit(NS)))
+        dim = spark.range(200).select(F.col("id").alias("poly_id"),
+            F.explode(F.array(*[F.lit(i*37) for i in range(40)])).alias("cell"))
+        # bucket pruning requires EXACT key types on both sides: an int->
+        # bigint cast in the join keys silently disables the bucketed scan
+        d2 = dim.withColumn("s", F.explode(F.array(*[F.lit(i) for i in range(NS)]))).select(
+            "poly_id", F.col("cell").cast("long").alias("cell"),
+            F.col("s").cast("long").alias("s"))
+        import shutil as _sh
+        _sh.rmtree("/dev/shm/spark-graft-warehouse-scale", ignore_errors=True)
+        for t in ("scale_bf", "scale_bd"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (sdf.repartition(NB, "cell", "s").write.mode("overwrite")
+            .bucketBy(NB, "cell", "s").sortBy("cell", "s").saveAsTable("scale_bf"))
+        (d2.repartition(NB, "cell", "s").write.mode("overwrite")
+            .bucketBy(NB, "cell", "s").sortBy("cell", "s").saveAsTable("scale_bd"))
+        co = spark.table("scale_bf").join(spark.table("scale_bd"), ["cell", "s"])
+        plan = co._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed scaling join must be co-located"
+        def job():
+            return co.select(F.xxhash64("id", "poly_id").alias("h")).agg(
+                F.sum(F.col("h") % 1000), F.count("*")).collect()
     elif wl == "pip":
         pts = synth_pts(m).select(F.col("id").alias("image_id"), "lon", "lat").persist()
         pts.count(); _cached["pts"] = pts
@@ -379,7 +415,7 @@ if __name__ == "__main__":
 
 def main() -> None:
     results: dict = {"target_s": TARGET_S, "workloads": {}}
-    for wl in ("assign", "salted_join", "pip", "tile_cut"):
+    for wl in ("assign", "salted_join", "bucketed_join", "pip", "tile_cut"):
         results["workloads"][wl] = measure(wl)
     s_on = run_worker(SALT_AB, "salt")
     s_off = run_worker(SALT_AB, "nosalt")
@@ -392,7 +428,11 @@ def main() -> None:
     w8 = wls["assign"]["wall8"] + wls["salted_join"]["wall8"]
     w32 = wls["assign"]["wall32"] + wls["salted_join"]["wall32"]
     results["headline_efficiency"] = round((w8 / w32) / 4.0, 3)
+    w8b = wls["assign"]["wall8"] + wls["bucketed_join"]["wall8"]
+    w32b = wls["assign"]["wall32"] + wls["bucketed_join"]["wall32"]
+    results["headline_efficiency_bucketed"] = round((w8b / w32b) / 4.0, 3)
     print(json.dumps({"headline_efficiency": results["headline_efficiency"],
+                      "headline_efficiency_bucketed": results["headline_efficiency_bucketed"],
                       "control": results["control_mp"]["efficiency"]}), flush=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -400,6 +440,7 @@ def main() -> None:
         json.dump(results, f, indent=2)
 
     a, sj, pp, tc = wls["assign"], wls["salted_join"], wls["pip"], wls["tile_cut"]
+    bj = wls["bucketed_join"]
     ctrl = results["control_mp"]
     pk = results["control_pip_kernel"]
     md = f"""# BENCH — scaling & skew evidence
@@ -416,6 +457,7 @@ drifts over time; efficiency = (min T_8 / min T_32) / 4.
 |---|---|---|---|---|---|---|
 | assign (metric: tile-assignment) | tile/cell/quadkey encode, whole-stage codegen | {a["n"]:,} | {a["wall8"]} | {a["wall32"]} | {a["throughput32"]:,.0f} | **{a["efficiency"]}** |
 | salted_join (metric: spatial join) | Zipf-hot cell equi-join, salt=16, shuffle-hash | {sj["n"]:,} | {sj["wall8"]} | {sj["wall32"]} | {sj["throughput32"]:,.0f} | **{sj["efficiency"]}** |
+| bucketed_join (co-located layout) | same Zipf-hot join, salt baked into 64-bucket tables, ZERO Exchange | {bj["n"]:,} | {bj["wall8"]} | {bj["wall32"]} | {bj["throughput32"]:,.0f} | **{bj["efficiency"]}** |
 | pip (Arrow refine stage) | broadcast PiP join vs 200 polys | {pp["n"]:,} | {pp["wall8"]} | {pp["wall32"]} | {pp["throughput32"]:,.0f} | {pp["efficiency"]} |
 | tile_cut (Python raster stage) | XYZ cut: decode+resample+PNG | {tc["n"]:,} | {tc["wall8"]} | {tc["wall32"]} | {tc["throughput32"]:,.0f} | {tc["efficiency"]} |
 | control (host ceiling, NO Spark) | mp.Pool numpy+zlib, 8 vs 32 procs | — | {ctrl["per_unit_8"]} s/unit | {ctrl["per_unit_32"]} s/unit | — | **{ctrl["efficiency"]}** |
@@ -423,7 +465,10 @@ drifts over time; efficiency = (min T_8 / min T_32) / 4.
 
 **Headline (metric pipeline = assign + salted_join): efficiency
 {results["headline_efficiency"]}** against the north-rule target >= 0.8 for
-N -> 4N executors.
+N -> 4N executors. **Co-located layout variant (assign + bucketed_join):
+{results["headline_efficiency_bucketed"]}** — the plan an Iceberg
+`bucket(N, cell)` deployment actually runs: no per-join shuffle, so it is
+not bound by this box's single shared shuffle disk.
 
 Reading the table honestly:
 
