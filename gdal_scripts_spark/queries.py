@@ -3132,6 +3132,156 @@ WHERE doc_id NOT IN (SELECT id FROM comp)
 """)
 
 
+def _pts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the shared PTS_CTE derived point table."""
+    register_views(spark, sf_dir)
+    return spark.table("events").select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 3600).cast("double") / 10.0 - 179.95)
+        .alias("lon"),
+        ((F.col("event_id") * 104729 % 1680).cast("double") / 10.0 - 83.95)
+        .alias("lat"),
+    )
+
+
+def _q_s2_cell_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star "batched S2 cell encoding" (BASELINE.json): exact S2 ids
+    (s2.py — public s2geometry scheme: cube face -> quadratic ST -> 30-level
+    Hilbert) for the shared derived points, one Arrow-batched encode, then
+    ALL hierarchy ops (parent snap, token) and the density rollup in pure
+    Column bit math / codegen. Oracle: committed VALUES golden (the Hilbert
+    walk is not SQL-expressible). Level-2 rollup bounds the result set
+    (<= 96 face-quads); distinct-level-6 counts and leaf min/max pin the
+    full 64-bit id path through every point."""
+    from . import s2 as _s2
+
+    pts = _pts_events(spark, sf_dir)
+    enc = pts.select(
+        "event_id",
+        _s2.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf"),
+    )
+    grp = (
+        enc.withColumn("cell6", _s2.s2_parent(F.col("leaf"), 6))
+        .withColumn("cell2", _s2.s2_parent(F.col("leaf"), 2))
+        .groupBy("cell2")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.countDistinct("cell6").alias("n_cell6"),
+            F.min("leaf").alias("leaf_min"),
+            F.max("leaf").alias("leaf_max"),
+        )
+    )
+    return grp.select(
+        "cell2", _s2.s2_token(F.col("cell2")).alias("tok"),
+        "n_pts", "n_cell6", "leaf_min", "leaf_max",
+    )
+
+
+_add("s2_cell_groups", _q_s2_cell_groups, None)  # golden-oracled
+
+
+def _q_s2_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical point-in-region join on S2 ids with a MIXED-level
+    covering (levels 4 + 6 from customer-derived cells): the interval-join
+    semantics (leaf BETWEEN range_min AND range_max) executed as per-level
+    parent-snap EQUI-joins (s2.s2_containment_join) — the scale plan; a
+    nested-loop range join would be the lint-forbidden anti-pattern.
+    Oracle: committed VALUES golden."""
+    from . import s2 as _s2
+
+    pts = _pts_events(spark, sf_dir)
+    probe = pts.select(
+        "event_id", _s2.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf")
+    )
+    cust = spark.table("customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 104729 % 3600).cast("double") / 10.0 - 179.95)
+        .alias("lon"),
+        ((F.col("c_custkey") * 7919 % 1680).cast("double") / 10.0 - 83.95)
+        .alias("lat"),
+    )
+    regions = (
+        cust.select(
+            _s2.s2_cell_id(
+                F.col("lon"), F.col("lat"),
+                4,
+            ).alias("cell"),
+            F.lit(4).alias("lvl_tag"),
+        )
+        .where(F.col("c_custkey") % 2 == 0)
+        .unionByName(
+            cust.where(F.col("c_custkey") % 2 == 1).select(
+                _s2.s2_cell_id(F.col("lon"), F.col("lat"), 6).alias("cell"),
+                F.lit(6).alias("lvl_tag"),
+            )
+        )
+        .distinct()
+    )
+    joined = _s2.s2_containment_join(probe, regions, leaf_col="leaf",
+                                     cell_col="cell")
+    return (
+        joined.groupBy("cell", "lvl_tag")
+        .agg(F.count("*").alias("n_pts"), F.min("event_id").alias("first_event"))
+    )
+
+
+_add("s2_containment_join", _q_s2_containment_join, None)  # golden-oracled
+
+
+def _q_hex_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-STYLE hex density: web-mercator project (pure Column), pointy-top
+    axial hex binning with cube rounding (s2.hex_cell — zero Python), then
+    count + mean-center per hex. CROSS-ENGINE oracle: the identical
+    closed-form hex math as DuckDB SQL text (s2.hex_cell_sql), so the two
+    engines must agree bit-for-bit on every cube-rounding tie."""
+    from . import s2 as _s2
+    from .cells import lat_to_my, lon_to_mx
+
+    pts = _pts_events(spark, sf_dir)
+    # clip extreme latitudes so mercator y stays finite-bounded
+    pts = pts.where((F.col("lat") > -80.0) & (F.col("lat") < 80.0))
+    m = pts.select(
+        "event_id",
+        lon_to_mx(F.col("lon")).alias("mx"),
+        lat_to_my(F.col("lat")).alias("my"),
+    )
+    hexed = m.select(
+        "event_id", "mx", "my",
+        _s2.hex_cell(F.col("mx"), F.col("my"), 500000.0).alias("hex_id"),
+    )
+    return hexed.groupBy("hex_id").agg(
+        F.count("*").alias("n_pts"),
+        F.round(F.avg("mx"), 2).alias("cx"),
+        F.round(F.avg("my"), 2).alias("cy"),
+    )
+
+
+def _hex_density_oracle() -> str:
+    from . import s2 as _s2
+
+    hex_expr = _s2.hex_cell_sql("mx", "my", 500000.0)
+    return f"""
+WITH {PTS_CTE},
+m AS (
+  SELECT event_id,
+         lon * ({_OS} / 1.8e2) AS mx,
+         ln(tan((9.0e1 + lat) * pi() / 3.6e2)) / (pi() / 1.8e2)
+           * ({_OS} / 1.8e2) AS my
+  FROM pts
+  WHERE lat > -8.0e1 AND lat < 8.0e1
+)
+SELECT {hex_expr} AS hex_id,
+       count(*) AS n_pts,
+       round(avg(mx), 2) AS cx,
+       round(avg(my), 2) AS cy
+FROM m
+GROUP BY 1
+"""
+
+
+_add("hex_density", _q_hex_density, _hex_density_oracle())
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

@@ -1,0 +1,423 @@
+"""Exact S2 cell ids + H3-style hex binning — the north-star "batched
+H3/S2 cell encoding" surface (BASELINE.json : north_star).
+
+S2 side
+-------
+A from-scratch, numpy-vectorized implementation of the PUBLIC S2 cell-id
+scheme (s2geometry, Apache-2.0 — the algorithm is fully documented:
+``s2/s2cell_id.cc : FromFaceIJ`` / ``ToFaceIJOrientation`` and
+``s2/s2coords.h`` quadratic UV<->ST): lon/lat -> unit sphere -> cube face
+(+ (u,v) gnomonic coords) -> quadratic ST -> 30-level (i,j) -> Hilbert
+curve position via 4-bit lookup tables -> 64-bit cell id
+``[face:3][pos:2*level][1][0...]``.  Level-0 face cells are
+``(2*face+1) << 60``; a cell's children occupy the contiguous id range
+``[id - (lsb-1), id + (lsb-1)]`` where ``lsb = id & -id`` — which is what
+makes S2 a JOIN KEY: point-in-region becomes a range (interval) join on a
+LongType column, no geometry at join time.
+
+Ids use the full uint64 space (faces 4-5 set bit 63); they are returned as
+the SIGNED reinterpretation (int64 / Spark LongType), the standard storage
+convention.  Within any single cell's child range the signed order equals
+the unsigned order (the face bits are constant across the range), so
+BETWEEN range_min AND range_max is exact in SQL.
+
+Execution contract: the Hilbert walk is data-dependent bit mixing — not
+expressible as a closed-form Column — so encoding runs as an Arrow-batched
+scalar ``pandas_udf`` over the numpy kernel (plans as ArrowEvalPython; no
+row-Python).  Everything AFTER encoding (level, parent, range_min/max) is
+pure Column bit arithmetic inside whole-stage codegen, so the 100-TB plan
+pays Python once at ingest and joins/aggregates JVM-side thereafter.
+
+Hex side
+--------
+``hex_cell`` is an H3-STYLE (not H3-compatible — the public H3 grid is an
+aperture-7 icosahedral system) pointy-top axial hex binning over any
+planar (x, y): axial coords -> cube rounding -> packed 64-bit (q, r) key.
+Pure Column arithmetic end-to-end (round-half-up written as
+``floor(v + 0.5)`` so Spark and DuckDB agree bit-for-bit), giving hex
+density aggregations and hex equi-joins with zero Python.
+
+Reference parity: GDAL_scripts' tiling utilities key rasters by XYZ/quad
+tiles (gdal2tiles.py : GlobalMercator); S2/hex cells are this engine's
+scale-out generalization of that keying for sphere-uniform joins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+MAX_LEVEL = 30
+_LOOKUP_BITS = 4
+_SWAP = 1
+_INVERT = 2
+_LIMIT_IJ = 1 << MAX_LEVEL
+
+# traversal order of the 4 children in curve position order, per orientation:
+# _POS_TO_IJ[orient][pos] = (i << 1) | j of that child sub-cell
+_POS_TO_IJ = (
+    (0, 1, 3, 2),
+    (0, 2, 3, 1),
+    (3, 2, 0, 1),
+    (3, 1, 0, 2),
+)
+# orientation adjustment XORed in when descending into child `pos`
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT | _SWAP)
+
+# 4-bit lookup tables: (ij << 2 | orient) -> (pos << 2 | orient') and inverse
+_LOOKUP_POS = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+_LOOKUP_IJ = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.int64)
+
+
+def _init_lookup(level: int, i: int, j: int, orig: int, pos: int, orient: int) -> None:
+    if level == _LOOKUP_BITS:
+        ij = (i << _LOOKUP_BITS) + j
+        _LOOKUP_POS[(ij << 2) + orig] = (pos << 2) + orient
+        _LOOKUP_IJ[(pos << 2) + orig] = (ij << 2) + orient
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _POS_TO_IJ[orient]
+    for idx in range(4):
+        _init_lookup(level, i + (r[idx] >> 1), j + (r[idx] & 1), orig,
+                     pos + idx, orient ^ _POS_TO_ORIENT[idx])
+
+
+for _o in range(4):
+    _init_lookup(0, 0, 0, _o, 0, _o)
+
+
+# ---------------------------------------------------------------------------
+# sphere -> face/(u,v) -> ST -> IJ (all vectorized)
+# ---------------------------------------------------------------------------
+
+def np_lonlat_to_xyz(lon, lat):
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
+def np_xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    comp = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    val = np.choose(comp, [x, y, z])
+    face = comp + np.where(val < 0.0, 3, 0)
+    # per-face gnomonic (u, v) = ratios of the other two components.
+    # np.choose evaluates every branch, so off-face divisions hit zeros —
+    # silenced; the selected branch's divisor is the largest |component|.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.choose(face, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
+        v = np.choose(face, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
+    return face.astype(np.int64), u, v
+
+
+def np_uv_to_st(u):
+    u = np.asarray(u, dtype=np.float64)
+    # np.where evaluates both branches; the untaken one can sqrt a negative
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def np_st_to_uv(s):
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def np_st_to_ij(s):
+    return np.clip(np.floor(_LIMIT_IJ * np.asarray(s, dtype=np.float64)),
+                   0, _LIMIT_IJ - 1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# (face, i, j) <-> cell id via the 4-bit Hilbert lookup tables
+# ---------------------------------------------------------------------------
+
+def np_s2_id_from_face_ij(face, i, j):
+    """Leaf (level-30) cell id as uint64 for int64 arrays face/i/j."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    n = face.astype(np.uint64) << np.uint64(60)  # n = id >> 1
+    bits = face & _SWAP
+    for k in range(7, -1, -1):
+        bits = bits + (((i >> (k * 4)) & 15) << 6) + (((j >> (k * 4)) & 15) << 2)
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> 2).astype(np.uint64) << np.uint64(k * 8)
+        bits &= _SWAP | _INVERT
+    return (n << np.uint64(1)) | np.uint64(1)
+
+
+def np_s2_id_to_face_ij(cell_u64):
+    """Inverse: uint64 id (any level) -> (face, i, j, orientation) of its
+    leaf-aligned corner (matches s2 ToFaceIJOrientation)."""
+    cid = np.asarray(cell_u64, dtype=np.uint64)
+    face = (cid >> np.uint64(61)).astype(np.int64)
+    i = np.zeros_like(face)
+    j = np.zeros_like(face)
+    bits = face & _SWAP
+    for k in range(7, -1, -1):
+        nbits = MAX_LEVEL - 7 * _LOOKUP_BITS if k == 7 else _LOOKUP_BITS
+        chunk = ((cid >> np.uint64(k * 8 + 1)).astype(np.int64)
+                 & ((1 << (2 * nbits)) - 1))
+        bits = bits + (chunk << 2)
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * 4)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * 4)
+        bits &= _SWAP | _INVERT
+    return face, i, j, bits
+
+
+# ---------------------------------------------------------------------------
+# public kernel: lon/lat -> cell id at a level; hierarchy ops; centers
+# ---------------------------------------------------------------------------
+
+def _snap_to_level(leaf_u64, level: int):
+    if level >= MAX_LEVEL:
+        return leaf_u64
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (leaf_u64 & (~lsb + np.uint64(1))) | lsb
+
+
+def np_s2_cell_id(lon, lat, level: int = MAX_LEVEL):
+    """Exact S2 cell id (signed-int64 view) for lon/lat degrees at level."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    x, y, z = np_lonlat_to_xyz(lon, lat)
+    face, u, v = np_xyz_to_face_uv(x, y, z)
+    i = np_st_to_ij(np_uv_to_st(u))
+    j = np_st_to_ij(np_uv_to_st(v))
+    return _snap_to_level(np_s2_id_from_face_ij(face, i, j), level).view(np.int64)
+
+
+def np_s2_level(cell):
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    # lsb is a power of two <= 2^60: float64 log2 is exact
+    return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)).astype(np.int64)
+
+
+def np_s2_parent(cell, level: int):
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    return _snap_to_level(cid, level).view(np.int64)
+
+
+def np_s2_range(cell):
+    """(range_min, range_max) of the cell's leaf-id interval — the join
+    interval for hierarchical containment (signed views, same-face safe)."""
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    return ((cid - (lsb - np.uint64(1))).view(np.int64),
+            (cid + (lsb - np.uint64(1))).view(np.int64))
+
+
+def np_s2_center_lonlat(cell):
+    """Geometric (ST-midpoint) center of each cell, degrees."""
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    face, i, j, _ = np_s2_id_to_face_ij(cid)
+    size = np.int64(1) << (2 * (MAX_LEVEL - np_s2_level(cid.view(np.int64))) // 2)
+    # leaf-aligned corner -> cell-aligned corner -> midpoint in ST
+    i0 = (i // size) * size
+    j0 = (j // size) * size
+    s = (i0.astype(np.float64) + size * 0.5) / _LIMIT_IJ
+    t = (j0.astype(np.float64) + size * 0.5) / _LIMIT_IJ
+    u = np_st_to_uv(s)
+    v = np_st_to_uv(t)
+    one = np.ones_like(u)
+    x = np.choose(face, [one, -u, -u, -one, v, v])
+    y = np.choose(face, [u, one, -v, -v, -one, u])
+    z = np.choose(face, [v, v, one, -u, -u, -one])
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
+def np_s2_token(cell):
+    """Canonical hex token: 16-nibble uint64 hex, trailing zeros stripped."""
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    out = np.empty(cid.shape, dtype=object)
+    flat_in = cid.ravel()
+    flat_out = out.ravel()
+    for idx in range(flat_in.size):
+        h = format(int(flat_in[idx]), "016x").rstrip("0")
+        flat_out[idx] = h if h else "X"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column API
+# ---------------------------------------------------------------------------
+
+def s2_cell_id(lon: Column, lat: Column, level: int = MAX_LEVEL) -> Column:
+    """Arrow-batched S2 encode (the one Python hop; everything downstream
+    is Column bit math)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+
+    @F.pandas_udf(LongType())
+    def enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(np_s2_cell_id(lo.to_numpy(np.float64),
+                                       la.to_numpy(np.float64), level))
+
+    return enc(lon, lat)
+
+
+def s2_token(cell: Column) -> Column:
+    @F.pandas_udf(StringType())
+    def tok(c: pd.Series) -> pd.Series:
+        return pd.Series(np_s2_token(c.to_numpy(np.int64)))
+
+    return tok(cell)
+
+
+def s2_level(cell: Column) -> Column:
+    """Pure Column: level = 30 - trailing_zeros(id)/2 (id & -id is a power
+    of 4; its exact float64 log2 is codegen-safe)."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    lsb = c.bitwiseAND(-c)
+    return (F.lit(MAX_LEVEL)
+            - (F.round(F.log2(lsb.cast("double")) / F.lit(2.0), 0)).cast("long")
+            ).alias("s2_level")
+
+
+def s2_parent(cell: Column, level: int) -> Column:
+    """Pure Column: snap to an ancestor level (constant masks folded by
+    Catalyst)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
+    c = F.col(cell) if isinstance(cell, str) else cell
+    new_lsb = 1 << (2 * (MAX_LEVEL - level))
+    return c.bitwiseAND(F.lit(-new_lsb)).bitwiseOR(F.lit(new_lsb))
+
+
+def s2_range_min(cell: Column) -> Column:
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return c - (c.bitwiseAND(-c) - F.lit(1))
+
+
+def s2_range_max(cell: Column) -> Column:
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return c + (c.bitwiseAND(-c) - F.lit(1))
+
+
+def s2_containment_join(points: DataFrame, regions: DataFrame, *,
+                        leaf_col: str = "leaf", cell_col: str = "cell",
+                        how: str = "inner") -> DataFrame:
+    """Point-in-region as pure EQUI-joins on S2 ids.
+
+    ``regions[cell_col]`` may hold cells at MIXED levels (a covering).  A
+    naive interval join (leaf BETWEEN range_min AND range_max) has no
+    equi-key and would plan as a nested-loop — the exact scale-killer the
+    plan lint forbids.  Instead: group the covering by level (a
+    driver-bounded distinct over <= 31 values), snap the point leaf to each
+    present level with the pure-Column ``s2_parent``, and union the
+    per-level equi-joins.  Each branch is an ordinary shuffled/broadcast
+    hash join; at 100 TB the snap is free (bit math in codegen) and the
+    union fans out only over levels actually present in the covering.
+    """
+    lvl = s2_level(F.col(cell_col)).alias("_lvl")
+    levels = [r["_lvl"] for r in regions.select(lvl).distinct().collect()]
+    if not levels:
+        # empty covering: empty inner result with the joint schema
+        empty = points.withColumn("_cell", F.col(leaf_col))
+        return empty.join(regions, empty["_cell"] == regions[cell_col],
+                          "inner").drop("_cell").where(F.lit(False))
+    parts = []
+    for lv in sorted(int(x) for x in levels):
+        reg = regions.where(s2_level(F.col(cell_col)) == lv)
+        snapped = points.withColumn("_cell", s2_parent(F.col(leaf_col), lv))
+        parts.append(
+            snapped.join(reg, snapped["_cell"] == reg[cell_col], how)
+            .drop("_cell")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# H3-style pointy-top axial hex binning (planar) — pure Column + numpy twin
+# ---------------------------------------------------------------------------
+
+_SQRT3 = math.sqrt(3.0)
+_HEX_OFF = 1 << 20  # axial coords offset into non-negatives for packing
+
+
+def _round_half_up(c: Column) -> Column:
+    # floor(v + 0.5): identical text works in DuckDB -> cross-engine-stable
+    return F.floor(c + F.lit(0.5))
+
+
+def hex_cell(x: Column, y: Column, size: float) -> Column:
+    """Pack the (q, r) axial hex containing planar point (x, y) into one
+    int64: (q + 2^20) * 2^21 + (r + 2^20). `size` is the hex circumradius
+    in the units of x/y. Cube rounding (q + r + s == 0 restored by fixing
+    the axis with the largest rounding error) — all when/otherwise Column
+    arithmetic, zero Python."""
+    if size <= 0:
+        raise ValueError(f"hex size must be > 0, got {size}")
+    fq = (F.lit(_SQRT3 / 3.0) * x - F.lit(1.0 / 3.0) * y) / F.lit(float(size))
+    fr = (F.lit(2.0 / 3.0) * y) / F.lit(float(size))
+    fs = -fq - fr
+    rq = _round_half_up(fq)
+    rr = _round_half_up(fr)
+    rs = _round_half_up(fs)
+    dq = F.abs(rq - fq)
+    dr = F.abs(rr - fr)
+    ds = F.abs(rs - fs)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    return ((q + F.lit(_HEX_OFF)) * F.lit(1 << 21)
+            + (r + F.lit(_HEX_OFF))).cast("long")
+
+
+def hex_cell_sql(x_expr: str, y_expr: str, size: float) -> str:
+    """The SAME math as ``hex_cell`` as an ANSI-SQL expression string (the
+    DuckDB oracle twin — cross-engine agreement is part of the test)."""
+    fq = f"((sqrt(3.0)/3.0) * ({x_expr}) - (1.0/3.0) * ({y_expr})) / {size!r}"
+    fr = f"((2.0/3.0) * ({y_expr})) / {size!r}"
+    return _hex_sql(fq, fr)
+
+
+def _hex_sql(fq: str, fr: str) -> str:
+    fs = f"(-({fq}) - ({fr}))"
+    rq = f"floor(({fq}) + 0.5)"
+    rr = f"floor(({fr}) + 0.5)"
+    rs = f"floor(({fs}) + 0.5)"
+    dq = f"abs(({rq}) - ({fq}))"
+    dr = f"abs(({rr}) - ({fr}))"
+    ds = f"abs(({rs}) - ({fs}))"
+    q = f"(CASE WHEN ({dq}) > ({dr}) AND ({dq}) > ({ds}) THEN -({rr}) - ({rs}) ELSE ({rq}) END)"
+    r = (f"(CASE WHEN NOT (({dq}) > ({dr}) AND ({dq}) > ({ds})) AND ({dr}) > ({ds})"
+         f" THEN -({rq}) - ({rs}) ELSE ({rr}) END)")
+    return f"CAST((({q}) + {_HEX_OFF}) * {1 << 21} + (({r}) + {_HEX_OFF}) AS BIGINT)"
+
+
+def np_hex_cell(x, y, size: float):
+    """Numpy twin of ``hex_cell`` (same round-half-up), for tests/fixtures."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fq = (_SQRT3 / 3.0 * x - y / 3.0) / size
+    fr = (2.0 / 3.0 * y) / size
+    fs = -fq - fr
+    rq = np.floor(fq + 0.5)
+    rr = np.floor(fr + 0.5)
+    rs = np.floor(fs + 0.5)
+    dq = np.abs(rq - fq)
+    dr = np.abs(rr - fr)
+    ds = np.abs(rs - fs)
+    pick_q = (dq > dr) & (dq > ds)
+    pick_r = ~pick_q & (dr > ds)
+    q = np.where(pick_q, -rr - rs, rq)
+    r = np.where(pick_r, -rq - rs, rr)
+    return ((q + _HEX_OFF) * (1 << 21) + (r + _HEX_OFF)).astype(np.int64)

@@ -1,0 +1,232 @@
+"""S2 cell ids + hex binning (s2.py).
+
+The lookup-table kernel is validated against an INDEPENDENT bit-at-a-time
+Hilbert walk written here from the same public spec (one child-level per
+step, no 4-bit tables) — two implementations, one answer — plus structural
+pins: face-center level-0 ids, curve adjacency, hierarchy containment,
+center roundtrip, and Spark Column parity with the numpy twin.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_scripts_spark import s2
+
+_POS_TO_IJ = s2._POS_TO_IJ
+_POS_TO_ORIENT = s2._POS_TO_ORIENT
+# inverse: _IJ_TO_POS[orient][ij] = pos
+_IJ_TO_POS = [[row.index(ij) for ij in range(4)] for row in _POS_TO_IJ]
+
+
+def s2_id_reference(face: int, i: int, j: int) -> int:
+    """Independent leaf-id construction: descend 30 levels one bit of i/j
+    at a time, tracking orientation (no lookup tables)."""
+    orient = face & s2._SWAP
+    pos = 0
+    for k in range(29, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        child = _IJ_TO_POS[orient][ij]
+        pos = (pos << 2) | child
+        orient ^= _POS_TO_ORIENT[child]
+    return ((face << 60) | pos) << 1 | 1
+
+
+def test_lookup_matches_bitwise_reference():
+    rng = np.random.default_rng(7)
+    face = rng.integers(0, 6, 500)
+    i = rng.integers(0, 1 << 30, 500)
+    j = rng.integers(0, 1 << 30, 500)
+    got = s2.np_s2_id_from_face_ij(face, i, j)
+    exp = np.array([s2_id_reference(int(f), int(a), int(b))
+                    for f, a, b in zip(face, i, j)], dtype=np.uint64)
+    assert np.array_equal(got, exp)
+
+
+def test_face_center_level0_ids():
+    lons = [0.0, 90.0, 0.0, 180.0, -90.0, 0.0]
+    lats = [0.0, 0.0, 90.0, 0.0, 0.0, -90.0]
+    ids = s2.np_s2_cell_id(lons, lats, 0).view(np.uint64)
+    assert list(ids) == [(2 * f + 1) << 60 for f in range(6)]
+
+
+def test_face_selection_matches_largest_component():
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    x, y, z = s2.np_lonlat_to_xyz(lon, lat)
+    face, u, v = s2.np_xyz_to_face_uv(x, y, z)
+    comps = np.stack([x, y, z])
+    axis = face % 3
+    picked = np.abs(comps[axis, np.arange(len(lon))])
+    assert np.all(picked >= np.abs(comps).max(axis=0) - 1e-15)
+    # gnomonic coords on the unit cube face
+    assert np.all((u >= -1 - 1e-12) & (u <= 1 + 1e-12))
+    assert np.all((v >= -1 - 1e-12) & (v <= 1 + 1e-12))
+
+
+def test_st_uv_inverse():
+    s = np.linspace(0.0, 1.0, 10001)
+    assert np.allclose(s2.np_uv_to_st(s2.np_st_to_uv(s)), s, atol=1e-12)
+
+
+def test_hilbert_adjacency_on_every_face():
+    """Consecutive curve positions are edge-adjacent leaf cells — the
+    defining Hilbert property; catches any table/orientation slip."""
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, (1 << 60) - 2, 4000, dtype=np.int64).astype(np.uint64)
+    for face in range(6):
+        base = np.uint64(face) << np.uint64(60)
+        id1 = ((base | pos) << np.uint64(1)) | np.uint64(1)
+        id2 = ((base | (pos + np.uint64(1))) << np.uint64(1)) | np.uint64(1)
+        _, i1, j1, _ = s2.np_s2_id_to_face_ij(id1)
+        _, i2, j2, _ = s2.np_s2_id_to_face_ij(id2)
+        assert np.all(np.abs(i1 - i2) + np.abs(j1 - j2) == 1)
+
+
+def test_encode_decode_ij_roundtrip():
+    rng = np.random.default_rng(5)
+    face = rng.integers(0, 6, 2000)
+    i = rng.integers(0, 1 << 30, 2000)
+    j = rng.integers(0, 1 << 30, 2000)
+    ids = s2.np_s2_id_from_face_ij(face, i, j)
+    f2, i2, j2, _ = s2.np_s2_id_to_face_ij(ids)
+    assert np.array_equal(face, f2)
+    assert np.array_equal(i, i2)
+    assert np.array_equal(j, j2)
+
+
+@pytest.mark.parametrize("level", [0, 4, 12, 21, 30])
+def test_hierarchy_containment_and_level(level):
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(-89.95, 89.95, 3000)
+    leaf = s2.np_s2_cell_id(lon, lat, 30)
+    cell = s2.np_s2_cell_id(lon, lat, level)
+    assert np.array_equal(s2.np_s2_parent(leaf, level), cell)
+    assert np.all(s2.np_s2_level(cell) == level)
+    mn, mx = s2.np_s2_range(cell)
+    assert np.all((leaf >= mn) & (leaf <= mx))
+    # signed order == unsigned order inside any range (same face bits)
+    assert np.all(mn <= mx)
+
+
+def test_center_roundtrip_all_levels():
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-180, 180, 1500)
+    lat = rng.uniform(-89.9, 89.9, 1500)
+    for level in (30, 18, 8):
+        cell = s2.np_s2_cell_id(lon, lat, level)
+        clon, clat = s2.np_s2_center_lonlat(cell)
+        assert np.array_equal(s2.np_s2_cell_id(clon, clat, level), cell)
+
+
+def test_cell_sizes_are_sphere_uniformish():
+    """S2's raison d'être vs mercator tiles: level-12 cells at lat 0 and
+    lat 85 differ in linear extent by < 2.2x (mercator tiles: ~11.5x)."""
+    out = []
+    for lat in (0.0, 85.0):
+        cell = s2.np_s2_cell_id([45.0], [lat], 12)
+        mn, mx = s2.np_s2_range(cell)
+        lo_lon, lo_lat = s2.np_s2_center_lonlat(mn)  # leaf at range start
+        hi_lon, hi_lat = s2.np_s2_center_lonlat(mx)
+        # haversine diagonal of the cell
+        p = math.pi / 180
+        a = (math.sin((hi_lat[0] - lo_lat[0]) * p / 2) ** 2
+             + math.cos(lo_lat[0] * p) * math.cos(hi_lat[0] * p)
+             * math.sin((hi_lon[0] - lo_lon[0]) * p / 2) ** 2)
+        out.append(2 * 6371000.0 * math.asin(math.sqrt(a)))
+    ratio = max(out) / min(out)
+    assert ratio < 2.2, out
+
+
+def test_token_format():
+    toks = s2.np_s2_token(s2.np_s2_cell_id([0.0, 10.0], [0.0, 10.0], 12))
+    for t in toks:
+        assert 1 <= len(t) <= 16 and t == t.rstrip("0")
+    # level-0 face 0 token
+    assert s2.np_s2_token(np.array([1 << 60], dtype=np.int64))[0] == "1"
+
+
+def test_spark_column_parity(spark):
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 800)
+    lat = rng.uniform(-89.9, 89.9, 800)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    rows = (
+        df.select(
+            s2.s2_cell_id(F.col("lon"), F.col("lat"), 12).alias("c12"),
+            s2.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf"),
+        )
+        .withColumn("lvl", s2.s2_level(F.col("c12")))
+        .withColumn("par", s2.s2_parent(F.col("leaf"), 12))
+        .withColumn("mn", s2.s2_range_min(F.col("c12")))
+        .withColumn("mx", s2.s2_range_max(F.col("c12")))
+        .toPandas()
+    )
+    exp12 = s2.np_s2_cell_id(lon, lat, 12)
+    assert np.array_equal(rows["c12"].to_numpy(np.int64), exp12)
+    assert np.array_equal(rows["par"].to_numpy(np.int64), exp12)
+    assert np.all(rows["lvl"].to_numpy() == 12)
+    mn, mx = s2.np_s2_range(exp12)
+    assert np.array_equal(rows["mn"].to_numpy(np.int64), mn)
+    assert np.array_equal(rows["mx"].to_numpy(np.int64), mx)
+    leaf = rows["leaf"].to_numpy(np.int64)
+    assert np.all((leaf >= mn) & (leaf <= mx))
+
+
+def test_hex_cell_column_matches_numpy_twin(spark):
+    rng = np.random.default_rng(19)
+    x = rng.uniform(-1e6, 1e6, 2000)
+    y = rng.uniform(-1e6, 1e6, 2000)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    got = (
+        df.select(s2.hex_cell(F.col("x"), F.col("y"), 2500.0).alias("h"))
+        .toPandas()["h"].to_numpy(np.int64)
+    )
+    assert np.array_equal(got, s2.np_hex_cell(x, y, 2500.0))
+
+
+def test_hex_cell_is_a_partition():
+    """Every point belongs to exactly one hex whose center is the nearest
+    hex center (within half the hex-to-hex spacing)."""
+    rng = np.random.default_rng(23)
+    x = rng.uniform(-1e5, 1e5, 5000)
+    y = rng.uniform(-1e5, 1e5, 5000)
+    size = 1000.0
+    cell = s2.np_hex_cell(x, y, size)
+    q = cell // (1 << 21) - s2._HEX_OFF
+    r = cell % (1 << 21) - s2._HEX_OFF
+    # axial -> center xy (pointy-top)
+    cx = size * (math.sqrt(3.0) * q + math.sqrt(3.0) / 2.0 * r)
+    cy = size * 1.5 * r
+    d = np.hypot(x - cx, y - cy)
+    assert np.all(d <= size + 1e-9)  # inside circumradius of its own hex
+
+
+def test_hex_sql_twin_text_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(29)
+    x = rng.uniform(-5e5, 5e5, 3000)
+    y = rng.uniform(-5e5, 5e5, 3000)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": x, "y": y}))
+    expr = s2.hex_cell_sql("x", "y", 2500.0)
+    got = con.sql(f"SELECT {expr} AS h FROM t").df()["h"].to_numpy(np.int64)
+    assert np.array_equal(got, s2.np_hex_cell(x, y, 2500.0))
+
+
+def test_bad_inputs():
+    with pytest.raises(ValueError):
+        s2.np_s2_cell_id([0.0], [0.0], 31)
+    with pytest.raises(ValueError):
+        s2.s2_parent(F.lit(1), -1)
+    with pytest.raises(ValueError):
+        s2.hex_cell(F.lit(0.0), F.lit(0.0), 0.0)
