@@ -86,6 +86,18 @@ def main() -> None:
 
     times["tile_assign"], _ = timed(q_tile_assign)
 
+    def q_s2_assign():
+        # north-star "batched S2 cell encoding": one Arrow-batched leaf
+        # encode, parent snap + rollup in codegen (s2.py)
+        from gdal_scripts_spark import s2 as s2mod
+
+        leaf = s2mod.s2_cell_id(F.col("lon"), F.col("lat"), 30)
+        enc = points.select("image_id", leaf.alias("leaf"))
+        enc = enc.withColumn("c12", s2mod.s2_parent(F.col("leaf"), 12))
+        return enc.agg(F.count("*"), F.min("leaf"), F.max("c12")).collect()
+
+    times["s2_assign"], _ = timed(q_s2_assign)
+
     times["spatial_join_bc"], _ = timed(
         lambda: joins.spatial_join_broadcast(points, pack).count()
     )

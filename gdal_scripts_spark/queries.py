@@ -3282,6 +3282,47 @@ GROUP BY 1
 _add("hex_density", _q_hex_density, _hex_density_oracle())
 
 
+def _q_s2_cover_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production S2 query plan: RegionCoverer analog
+    (s2.np_s2_cover_rect — mixed-level disjoint covering of a lon/lat
+    rect, broadcastable) -> per-level parent-snap EQUI-join as the coarse
+    prefilter -> exact rect refine. Because covering-join + refine is
+    semantically identical to a full-scan rect filter, the oracle is a
+    FULLY INDEPENDENT plain SQL WHERE over the derived points — no S2
+    math on the oracle side at all."""
+    from . import s2 as _s2
+
+    pts = _pts_events(spark, sf_dir)
+    probe = pts.select(
+        "event_id", "lon", "lat",
+        _s2.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf"),
+    )
+    cov = _s2.np_s2_cover_rect(20.0, 10.0, 60.0, 40.0, max_level=8)
+    regions = spark.createDataFrame(
+        [(int(c),) for c in cov], schema="cell long"
+    )
+    joined = _s2.s2_containment_join(probe, F.broadcast(regions),
+                                     leaf_col="leaf", cell_col="cell")
+    return joined.where(
+        (F.col("lon") >= 20.0) & (F.col("lon") <= 60.0)
+        & (F.col("lat") >= 10.0) & (F.col("lat") <= 40.0)
+    ).select(
+        "event_id",
+        F.round("lon", 2).alias("lon_r"),
+        F.round("lat", 2).alias("lat_r"),
+    )
+
+
+_add("s2_cover_refine", _q_s2_cover_refine, f"""
+WITH {PTS_CTE}
+SELECT event_id,
+       round(lon, 2) AS lon_r,
+       round(lat, 2) AS lat_r
+FROM pts
+WHERE lon >= 2.0e1 AND lon <= 6.0e1 AND lat >= 1.0e1 AND lat <= 4.0e1
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

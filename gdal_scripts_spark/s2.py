@@ -309,6 +309,92 @@ def s2_range_max(cell: Column) -> Column:
     return c + (c.bitwiseAND(-c) - F.lit(1))
 
 
+def np_s2_children(cell):
+    """The 4 children of each cell (id order): shape (..., 4) int64."""
+    cid = np.asarray(cell, dtype=np.int64).view(np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    child_lsb = lsb >> np.uint64(2)
+    base = cid - lsb
+    ks = np.arange(4, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    return (base[..., None] + ks * child_lsb[..., None]).view(np.int64)
+
+
+def np_s2_cell_samples(cell: int, k: int = 5):
+    """k x k lon/lat sample grid spanning one cell's interior + edges
+    (ST-space uniform, includes the 4 corners)."""
+    cid = np.asarray([cell], dtype=np.int64).view(np.uint64)
+    face, i, j, _ = np_s2_id_to_face_ij(cid)
+    level = int(np_s2_level(cid.view(np.int64))[0])
+    size = 1 << (MAX_LEVEL - level)
+    i0 = (int(i[0]) // size) * size
+    j0 = (int(j[0]) // size) * size
+    fr = np.linspace(0.0, 1.0, k)
+    ss = (i0 + fr * size) / _LIMIT_IJ
+    ts = (j0 + fr * size) / _LIMIT_IJ
+    sg, tg = np.meshgrid(ss, ts)
+    u = np_st_to_uv(sg.ravel())
+    v = np_st_to_uv(tg.ravel())
+    one = np.ones_like(u)
+    f = int(face[0])
+    x = [one, -u, -u, -one, v, v][f]
+    y = [u, one, -v, -v, -one, u][f]
+    z = [v, v, one, -u, -u, -one][f]
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
+def np_s2_cover_rect(lon_min: float, lat_min: float, lon_max: float,
+                     lat_max: float, *, max_level: int = 10,
+                     samples: int = 5) -> np.ndarray:
+    """Mixed-level S2 covering of a lon/lat rect — the S2RegionCoverer
+    analog feeding ``s2_containment_join``: interior cells stay COARSE,
+    boundary cells descend to ``max_level``; the result is a DISJOINT
+    quadtree partition superset of the rect, small enough to broadcast.
+
+    Intersection tests are sample-based (k x k ST grid per cell) with a
+    conservative margin of one sample spacing, so the covering is complete
+    for rects with |lat| <= 80 and no antimeridian wrap (both enforced);
+    completeness and disjointness are pinned by randomized tests.
+    """
+    if not (lon_min < lon_max and lat_min < lat_max):
+        raise ValueError("rect must have lon_min < lon_max, lat_min < lat_max")
+    if lon_min < -180 or lon_max > 180 or max(abs(lat_min), abs(lat_max)) > 80:
+        raise ValueError("rect must lie in [-180,180] x [-80,80] (no wrap)")
+    if not 0 <= max_level <= MAX_LEVEL:
+        raise ValueError(f"max_level must be in [0, {MAX_LEVEL}]")
+
+    out: list[int] = []
+    frontier = [int(c) for c in
+                np_s2_cell_id([0.0, 90.0, 0.0, 180.0, -90.0, 0.0],
+                              [0.0, 0.0, 90.0, 0.0, 0.0, -90.0], 0)]
+    while frontier:
+        cell = frontier.pop()
+        lon, lat = np_s2_cell_samples(cell, samples)
+        # conservative cell bbox: sample extremes + one max sample gap
+        lon_m = float(np.max(np.abs(np.diff(np.sort(lon))))) if lon.size > 1 else 0.0
+        lat_m = float(np.max(np.abs(np.diff(np.sort(lat))))) if lat.size > 1 else 0.0
+        # faces touching a pole or the antimeridian seam: lon samples span
+        # the full circle — treat lon bounds as unbounded (never disjoint)
+        seam = (np.max(lon) - np.min(lon)) > 180.0
+        clo_ok = True if seam else (np.min(lon) - lon_m <= lon_max
+                                    and np.max(lon) + lon_m >= lon_min)
+        cla_ok = (np.min(lat) - lat_m <= lat_max
+                  and np.max(lat) + lat_m >= lat_min)
+        if not (clo_ok and cla_ok):
+            continue  # certainly disjoint
+        inside = ((lon >= lon_min) & (lon <= lon_max)
+                  & (lat >= lat_min) & (lat <= lat_max))
+        lvl = int(np_s2_level(np.asarray([cell]))[0])
+        if inside.all() and not seam:
+            out.append(cell)  # wholly inside: keep coarse
+        elif lvl >= max_level:
+            out.append(cell)  # boundary leaf of the covering
+        else:
+            frontier.extend(int(c) for c in np_s2_children([cell])[0])
+    return np.array(sorted(out), dtype=np.int64)
+
+
 def s2_containment_join(points: DataFrame, regions: DataFrame, *,
                         leaf_col: str = "leaf", cell_col: str = "cell",
                         how: str = "inner") -> DataFrame:

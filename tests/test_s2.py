@@ -223,6 +223,55 @@ def test_hex_sql_twin_text_matches_duckdb():
     assert np.array_equal(got, s2.np_hex_cell(x, y, 2500.0))
 
 
+def test_children_partition_parent():
+    rng = np.random.default_rng(31)
+    cells = s2.np_s2_cell_id(rng.uniform(-180, 180, 200),
+                             rng.uniform(-85, 85, 200), 7)
+    kids = s2.np_s2_children(cells)
+    assert kids.shape == (200, 4)
+    assert np.all(s2.np_s2_level(kids) == 8)
+    pmn, pmx = s2.np_s2_range(cells)
+    kmn, kmx = s2.np_s2_range(kids)
+    # children tile the parent range exactly, in order; sibling ranges are
+    # 2 apart (leaf ids are odd — the even slot between ranges is no id)
+    assert np.all(kmn[:, 0] == pmn)
+    assert np.all(kmx[:, 3] == pmx)
+    assert np.all(kmn[:, 1:] == kmx[:, :-1] + 2)
+    for k in range(4):
+        assert np.array_equal(s2.np_s2_parent(kids[:, k], 7), cells)
+
+
+def test_cover_rect_complete_disjoint_tight():
+    cov = s2.np_s2_cover_rect(-30.0, -20.0, 15.0, 25.0, max_level=7)
+    lvls = s2.np_s2_level(cov)
+    assert lvls.max() == 7 and lvls.min() < 7  # genuinely mixed-level
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    assert np.all(mn[order][1:] > mx[order][:-1])  # disjoint partition
+    # completeness: every random in-rect point lands in exactly one cell
+    rng = np.random.default_rng(37)
+    lon = rng.uniform(-30, 15, 10000)
+    lat = rng.uniform(-20, 25, 10000)
+    leaf = s2.np_s2_cell_id(lon, lat, 30)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    assert np.all(idx >= 0)
+    assert np.all(leaf <= mx[order][idx])
+    # tightness: covering solid angle within 25% of the rect's
+    frac = float(np.sum(1.0 / 6.0 / 4.0 ** lvls))
+    rect_frac = (45.0 / 360.0) * (math.sin(math.radians(25))
+                                  - math.sin(math.radians(-20))) / 2.0
+    assert frac < rect_frac * 1.25
+
+
+def test_cover_rect_bad_inputs():
+    with pytest.raises(ValueError):
+        s2.np_s2_cover_rect(10, 0, 5, 10)  # inverted lon
+    with pytest.raises(ValueError):
+        s2.np_s2_cover_rect(0, 70, 10, 85)  # beyond lat 80
+    with pytest.raises(ValueError):
+        s2.np_s2_cover_rect(0, 0, 10, 10, max_level=31)
+
+
 def test_bad_inputs():
     with pytest.raises(ValueError):
         s2.np_s2_cell_id([0.0], [0.0], 31)
