@@ -51,6 +51,7 @@ TARGET_S = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
 # starting size per workload; the worker self-calibrates toward TARGET_S
 SIZES = {
     "assign": 50_000_000,
+    "s2_assign": 20_000_000,
     "salted_join": 8_000_000,
     "bucketed_join": 8_000_000,
     "pip": 4_000_000,
@@ -94,7 +95,8 @@ tx, ty = lonlat_to_tile_tms(F.col("lon"), F.col("lat"), 12)
 def synth_pts(m):
     return spark.range(0, m, 1, 4*cpus).select(F.col("id"), lonw.alias("lon"), latw.alias("lat"))
 
-CAPS = {"assign": 4_000_000_000, "salted_join": 200_000_000,
+CAPS = {"assign": 4_000_000_000, "s2_assign": 400_000_000,
+        "salted_join": 200_000_000,
         "bucketed_join": 200_000_000,
         "pip": 40_000_000, "pip_native": 1_000_000_000, "tile_cut": 400_000}
 n_cap = CAPS[wl]
@@ -110,6 +112,17 @@ def rebuild(m):
                 morton_interleave(tx, ty).alias("qkm"),
                 cell_id(F.col("lon"), F.col("lat"), 8).alias("cell")
             ).agg(F.count("*"), F.min("cell"), F.max("qkm")).collect()
+    elif wl == "s2_assign":
+        # north-star "batched S2 cell encoding": Arrow-batched numpy
+        # Hilbert encode (one Python hop, real per-byte compute — unlike
+        # pip's near-passthrough refine), parent snap + rollup in codegen
+        from gdal_scripts_spark import s2 as s2mod
+        def job():
+            enc = synth_pts(m).select(
+                "id",
+                s2mod.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf"))
+            enc = enc.withColumn("c12", s2mod.s2_parent(F.col("leaf"), 12))
+            return enc.agg(F.count("*"), F.min("leaf"), F.max("c12")).collect()
     elif wl == "salted_join":
         pts = synth_pts(m).persist(); pts.count(); _cached["pts"] = pts
         dim = spark.range(200).select(F.col("id").alias("poly_id"),
@@ -415,7 +428,8 @@ if __name__ == "__main__":
 
 def main() -> None:
     results: dict = {"target_s": TARGET_S, "workloads": {}}
-    for wl in ("assign", "salted_join", "bucketed_join", "pip", "tile_cut"):
+    for wl in ("assign", "s2_assign", "salted_join", "bucketed_join", "pip",
+               "tile_cut"):
         results["workloads"][wl] = measure(wl)
     s_on = run_worker(SALT_AB, "salt")
     s_off = run_worker(SALT_AB, "nosalt")
@@ -441,6 +455,7 @@ def main() -> None:
 
     a, sj, pp, tc = wls["assign"], wls["salted_join"], wls["pip"], wls["tile_cut"]
     bj = wls["bucketed_join"]
+    s2w = wls["s2_assign"]
     ctrl = results["control_mp"]
     pk = results["control_pip_kernel"]
     md = f"""# BENCH — scaling & skew evidence
@@ -458,6 +473,7 @@ drifts over time; efficiency = (min T_8 / min T_32) / 4.
 | assign (metric: tile-assignment) | tile/cell/quadkey encode, whole-stage codegen | {a["n"]:,} | {a["wall8"]} | {a["wall32"]} | {a["throughput32"]:,.0f} | **{a["efficiency"]}** |
 | salted_join (metric: spatial join) | Zipf-hot cell equi-join, salt=16, shuffle-hash | {sj["n"]:,} | {sj["wall8"]} | {sj["wall32"]} | {sj["throughput32"]:,.0f} | **{sj["efficiency"]}** |
 | bucketed_join (co-located layout) | same Zipf-hot join, salt baked into 64-bucket tables, ZERO Exchange | {bj["n"]:,} | {bj["wall8"]} | {bj["wall32"]} | {bj["throughput32"]:,.0f} | **{bj["efficiency"]}** |
+| s2_assign (metric: S2 cell encoding) | Arrow-batched exact-S2 Hilbert encode + codegen parent/rollup | {s2w["n"]:,} | {s2w["wall8"]} | {s2w["wall32"]} | {s2w["throughput32"]:,.0f} | **{s2w["efficiency"]}** |
 | pip (Arrow refine stage) | broadcast PiP join vs 200 polys | {pp["n"]:,} | {pp["wall8"]} | {pp["wall32"]} | {pp["throughput32"]:,.0f} | {pp["efficiency"]} |
 | tile_cut (Python raster stage) | XYZ cut: decode+resample+PNG | {tc["n"]:,} | {tc["wall8"]} | {tc["wall32"]} | {tc["throughput32"]:,.0f} | {tc["efficiency"]} |
 | control (host ceiling, NO Spark) | mp.Pool numpy+zlib, 8 vs 32 procs | — | {ctrl["per_unit_8"]} s/unit | {ctrl["per_unit_32"]} s/unit | — | **{ctrl["efficiency"]}** |
@@ -552,6 +568,12 @@ reported), single node, one shared disk, virtualized (avg ~3% CPU steal,
 bursty). Raw JSON incl. all trial walls: BENCH/scaling.json.
 Reproduce: `python bench_scaling.py`.
 """
+    # appended evidence sections maintained outside the regenerated body
+    # (e.g. the CC fixpoint addendum) live in BASELINE_addenda.md
+    addenda = os.path.join(REPO, "BENCH", "BASELINE_addenda.md")
+    if os.path.exists(addenda):
+        with open(addenda) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 

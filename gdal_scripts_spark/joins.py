@@ -251,6 +251,55 @@ def spatial_join_cells(
     return _refine_pip(cand, pack, id_col, lon, lat)
 
 
+def spatial_join_s2(
+    points: DataFrame,
+    pack: geom.PolygonPack,
+    max_level: int = 9,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """(id_col, poly_id) via S2 mixed-level covering join + exact refine —
+    the sphere-uniform alternative to the z-tile cover of
+    ``spatial_join_cells``.
+
+    Per polygon, the bbox gets a mixed-level S2 covering
+    (s2.np_s2_cover_rect, driver-side, broadcastable): coarse interior
+    cells + fine boundary cells, so the dim table stays small at any
+    latitude (mercator z-tiles blow up ~11x in linear extent by lat 85 —
+    the S2 cell grid is near-uniform on the sphere, see
+    test_cell_sizes_are_sphere_uniformish). Points pay ONE Arrow-batched
+    leaf encode; the covering join itself is per-level parent-snap
+    EQUI-joins (pure Column bit math, broadcast hash), then the same exact
+    even-odd Arrow refine as every other path. Pair-identical to
+    spatial_join_broadcast by test.
+    """
+    from . import s2 as s2mod
+
+    spark = points.sparkSession
+    rows: list[tuple[int, int]] = []
+    for i in range(pack.n_polys):
+        x0, y0, x1, y1 = (float(v) for v in pack.bbox[i])
+        x0, x1 = max(x0, -180.0), min(x1, 180.0)
+        y0, y1 = max(y0, -89.9), min(y1, 89.9)
+        if not (x0 < x1 and y0 < y1):
+            continue
+        pid = int(pack.poly_ids[i])
+        for c in s2mod.np_s2_cover_rect(x0, y0, x1, y1, max_level=max_level):
+            rows.append((pid, int(c)))
+    regions = spark.createDataFrame(rows, schema="poly_id long, cell long")
+    probe = points.select(
+        id_col, lon, lat,
+        s2mod.s2_cell_id(F.col(lon), F.col(lat), 30).alias("_leaf"),
+    )
+    cand = s2mod.s2_containment_join(
+        probe, F.broadcast(regions), leaf_col="_leaf", cell_col="cell"
+    ).select(id_col, lon, lat, "poly_id")
+    # no dedupe needed: each polygon's covering is a DISJOINT partition, so
+    # a point matches at most one covering cell per polygon
+    return _refine_pip(cand, pack, id_col, lon, lat)
+
+
 # ---------------------------------------------------------------------------
 # 3) fully JVM-native PiP join — zero Python workers in the plan
 # ---------------------------------------------------------------------------

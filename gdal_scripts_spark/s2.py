@@ -354,13 +354,16 @@ def np_s2_cover_rect(lon_min: float, lat_min: float, lon_max: float,
 
     Intersection tests are sample-based (k x k ST grid per cell) with a
     conservative margin of one sample spacing, so the covering is complete
-    for rects with |lat| <= 80 and no antimeridian wrap (both enforced);
-    completeness and disjointness are pinned by randomized tests.
+    for rects with |lat| <= 89.9 and no antimeridian wrap (both enforced;
+    near-polar cells whose lon samples straddle the seam are treated as
+    lon-unbounded — conservative, so coverings near the poles are looser,
+    never incomplete); completeness and disjointness are pinned by
+    randomized tests.
     """
     if not (lon_min < lon_max and lat_min < lat_max):
         raise ValueError("rect must have lon_min < lon_max, lat_min < lat_max")
-    if lon_min < -180 or lon_max > 180 or max(abs(lat_min), abs(lat_max)) > 80:
-        raise ValueError("rect must lie in [-180,180] x [-80,80] (no wrap)")
+    if lon_min < -180 or lon_max > 180 or max(abs(lat_min), abs(lat_max)) > 89.9:
+        raise ValueError("rect must lie in [-180,180] x [-89.9,89.9] (no wrap)")
     if not 0 <= max_level <= MAX_LEVEL:
         raise ValueError(f"max_level must be in [0, {MAX_LEVEL}]")
 

@@ -263,11 +263,41 @@ def test_cover_rect_complete_disjoint_tight():
     assert frac < rect_frac * 1.25
 
 
+def test_cover_rect_complete_near_pole():
+    """High-latitude rects (mercator's worst case): seam-straddling cells
+    go lon-unbounded (conservative), so the covering stays complete."""
+    cov = s2.np_s2_cover_rect(100.0, 78.0, 160.0, 86.0, max_level=7)
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    assert np.all(mn[order][1:] > mx[order][:-1])
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(100, 160, 8000)
+    lat = rng.uniform(78, 86, 8000)
+    leaf = s2.np_s2_cell_id(lon, lat, 30)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    assert np.all(idx >= 0)
+    assert np.all(leaf <= mx[order][idx])
+
+
+def test_spatial_join_s2_matches_broadcast(spark):
+    """The S2-indexed join path returns the EXACT same (point, poly) pairs
+    as the direct broadcast Arrow path — covering prefilter changes the
+    plan, never the answer."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    a = set(map(tuple, joins.spatial_join_s2(pts, pack, max_level=8)
+                .collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_cover_rect_bad_inputs():
     with pytest.raises(ValueError):
         s2.np_s2_cover_rect(10, 0, 5, 10)  # inverted lon
     with pytest.raises(ValueError):
-        s2.np_s2_cover_rect(0, 70, 10, 85)  # beyond lat 80
+        s2.np_s2_cover_rect(0, 70, 10, 89.95)  # beyond lat 89.9
     with pytest.raises(ValueError):
         s2.np_s2_cover_rect(0, 0, 10, 10, max_level=31)
 
