@@ -95,9 +95,9 @@ tx, ty = lonlat_to_tile_tms(F.col("lon"), F.col("lat"), 12)
 def synth_pts(m):
     return spark.range(0, m, 1, 4*cpus).select(F.col("id"), lonw.alias("lon"), latw.alias("lat"))
 
-CAPS = {"assign": 4_000_000_000, "s2_assign": 400_000_000,
+CAPS = {"assign": 4_000_000_000, "s2_assign": 2_000_000_000,
         "salted_join": 200_000_000,
-        "bucketed_join": 200_000_000,
+        "bucketed_join": 2_000_000_000,
         "pip": 40_000_000, "pip_native": 1_000_000_000, "tile_cut": 400_000}
 n_cap = CAPS[wl]
 _cached = {}
@@ -395,6 +395,40 @@ if __name__ == "__main__":
             "efficiency": round(w8 / w32 / 4.0, 3)}
 
 
+def control_s2_kernel() -> dict:
+    """Same-kernel control for the s2_assign row: the EXACT fused S2 leaf
+    encode the Spark UDF runs, under mp.Pool with no Spark/JVM/Arrow —
+    separates the kernel's own memory-bus scaling from the Arrow copy
+    floor the Spark row additionally pays."""
+    code = r"""
+import multiprocessing as mp, time, json
+import numpy as np
+def work(seed):
+    from gdal_scripts_spark import s2
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180, 180, 131072)
+    lat = rng.uniform(-89, 89, 131072)
+    for _ in range(12):
+        s2._np_s2_leaf_fused(lon, lat)
+if __name__ == "__main__":
+    res = {}
+    for procs in (8, 32, 8, 32):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(work, range(procs * 3))
+            res.setdefault(str(procs), []).append(
+                round((time.time() - t0) / (procs * 3), 4))
+    print(json.dumps(res))
+"""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=900, cwd=REPO, env=env)
+    d = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    w8, w32 = min(d["8"]), min(d["32"])
+    return {"per_unit_8": w8, "per_unit_32": w32,
+            "efficiency": round(w8 / w32 / 4.0, 3)}
+
+
 def control_mp() -> dict:
     """Host ceiling: pure-process numpy+zlib scaling, no Spark/JVM at all."""
     code = r"""
@@ -438,6 +472,7 @@ def main() -> None:
     results["bucketed_join"] = run_worker(BUCKET_AB)
     results["control_mp"] = control_mp()
     results["control_pip_kernel"] = control_pip_kernel()
+    results["control_s2_kernel"] = control_s2_kernel()
     wls = results["workloads"]
     w8 = wls["assign"]["wall8"] + wls["salted_join"]["wall8"]
     w32 = wls["assign"]["wall32"] + wls["salted_join"]["wall32"]
@@ -458,6 +493,7 @@ def main() -> None:
     s2w = wls["s2_assign"]
     ctrl = results["control_mp"]
     pk = results["control_pip_kernel"]
+    sk = results["control_s2_kernel"]
     md = f"""# BENCH — scaling & skew evidence
 
 Methodology: identical deterministic jobs at **local[8] and local[32]** (N
@@ -478,6 +514,7 @@ drifts over time; efficiency = (min T_8 / min T_32) / 4.
 | tile_cut (Python raster stage) | XYZ cut: decode+resample+PNG | {tc["n"]:,} | {tc["wall8"]} | {tc["wall32"]} | {tc["throughput32"]:,.0f} | {tc["efficiency"]} |
 | control (host ceiling, NO Spark) | mp.Pool numpy+zlib, 8 vs 32 procs | — | {ctrl["per_unit_8"]} s/unit | {ctrl["per_unit_32"]} s/unit | — | **{ctrl["efficiency"]}** |
 | control (pip kernel, NO Spark) | geom.pip_batch under mp.Pool, 4M pts | 4,000,000 | {pk["wall8"]} | {pk["wall32"]} | — | **{pk["efficiency"]}** |
+| control (s2 kernel, NO Spark) | fused S2 leaf encode under mp.Pool | — | {sk["per_unit_8"]} s/unit | {sk["per_unit_32"]} s/unit | — | **{sk["efficiency"]}** |
 
 **Headline (metric pipeline = assign + salted_join): efficiency
 {results["headline_efficiency"]}** against the north-rule target >= 0.8 for

@@ -258,6 +258,7 @@ def spatial_join_s2(
     id_col: str = "image_id",
     lon: str = "lon",
     lat: str = "lat",
+    cover: str = "bbox",
 ) -> DataFrame:
     """(id_col, poly_id) via S2 mixed-level covering join + exact refine —
     the sphere-uniform alternative to the z-tile cover of
@@ -273,18 +274,30 @@ def spatial_join_s2(
     EQUI-joins (pure Column bit math, broadcast hash), then the same exact
     even-odd Arrow refine as every other path. Pair-identical to
     spatial_join_broadcast by test.
+
+    ``cover="rings"`` switches the bbox covering to the shape-aware
+    ``np_s2_cover_polygon`` (holes respected, boundary-free cells decided
+    by one ray cast) — a TIGHTER candidate set for spiky or holed
+    polygons, identical final pairs.
     """
     from . import s2 as s2mod
 
+    if cover not in ("bbox", "rings"):
+        raise ValueError(f"cover must be 'bbox' or 'rings', got {cover!r}")
     spark = points.sparkSession
     rows: list[tuple[int, int]] = []
     for i in range(pack.n_polys):
+        pid = int(pack.poly_ids[i])
+        if cover == "rings":
+            cov = s2mod.np_s2_cover_polygon(pack.edges_of(i),
+                                            max_level=max_level)
+            rows.extend((pid, int(c)) for c in cov)
+            continue
         x0, y0, x1, y1 = (float(v) for v in pack.bbox[i])
         x0, x1 = max(x0, -180.0), min(x1, 180.0)
         y0, y1 = max(y0, -89.9), min(y1, 89.9)
         if not (x0 < x1 and y0 < y1):
             continue
-        pid = int(pack.poly_ids[i])
         for c in s2mod.np_s2_cover_rect(x0, y0, x1, y1, max_level=max_level):
             rows.append((pid, int(c)))
     regions = spark.createDataFrame(rows, schema="poly_id long, cell long")

@@ -3337,6 +3337,47 @@ def _q_pip_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("pip_s2_cover", _q_pip_s2, _pip_native_oracle())
 
 
+def _q_s2_cap_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query as covering-join + exact refine: spherical-cap S2
+    covering (s2.np_s2_cover_cap, broadcast) -> parent-snap equi-joins ->
+    exact haversine gate. Semantically identical to a full-scan radius
+    filter, so the oracle is an INDEPENDENT plain-SQL haversine WHERE —
+    no S2 on the oracle side. Same earth radius both sides (6371008.8)."""
+    from . import s2 as _s2
+    from .cells import haversine_m
+
+    clon, clat, rad = 10.0, 50.0, 1_200_000.0
+    pts = _pts_events(spark, sf_dir)
+    probe = pts.select(
+        "event_id", "lon", "lat",
+        _s2.s2_cell_id(F.col("lon"), F.col("lat"), 30).alias("leaf"),
+    )
+    cov = _s2.np_s2_cover_cap(clon, clat, rad, max_level=7)
+    regions = spark.createDataFrame([(int(c),) for c in cov],
+                                    schema="cell long")
+    joined = _s2.s2_containment_join(probe, F.broadcast(regions),
+                                     leaf_col="leaf", cell_col="cell")
+    d = haversine_m(F.col("lon"), F.col("lat"), F.lit(clon), F.lit(clat))
+    return joined.where(d <= rad).select(
+        "event_id", F.round(d, 2).alias("dist_m")
+    )
+
+
+_add("s2_cap_refine", _q_s2_cap_refine, f"""
+WITH {PTS_CTE},
+d AS (
+  SELECT event_id,
+         2.0e0 * 6.3710088e6 * asin(sqrt(
+           power(sin((5.0e1 - lat) * pi() / 3.6e2), 2)
+           + cos(lat * pi() / 1.8e2) * cos(5.0e1 * pi() / 1.8e2)
+           * power(sin((1.0e1 - lon) * pi() / 3.6e2), 2))) AS dist_m
+  FROM pts
+)
+SELECT event_id, CAST(round(dist_m, 2) AS DOUBLE) AS dist_m
+FROM d WHERE dist_m <= 1.2e6
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

@@ -143,18 +143,38 @@ def np_st_to_ij(s):
 # ---------------------------------------------------------------------------
 
 def np_s2_id_from_face_ij(face, i, j):
-    """Leaf (level-30) cell id as uint64 for int64 arrays face/i/j."""
+    """Leaf (level-30) cell id as uint64 for int64 arrays face/i/j.
+
+    Allocation-lean: the 8-chunk lookup walk runs over two preallocated
+    int64 scratch buffers (np.take/out=, in-place shifts), and ``n`` stays
+    int64 until the final doubling (face<<60 | pos < 2^63, so only
+    ``2n+1`` needs the uint64 view) — the encode is memory-bandwidth-bound
+    at high core counts, so allocator traffic is the scaling killer
+    (BENCH/BASELINE.md s2_assign diagnosis)."""
     face = np.asarray(face, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)
-    n = face.astype(np.uint64) << np.uint64(60)  # n = id >> 1
+    scalar = face.ndim == 0
+    face, i, j = np.atleast_1d(face, i, j)
+    n = face << np.int64(60)  # n = id >> 1; fits int64 (face <= 5)
     bits = face & _SWAP
+    t = np.empty_like(bits)
     for k in range(7, -1, -1):
-        bits = bits + (((i >> (k * 4)) & 15) << 6) + (((j >> (k * 4)) & 15) << 2)
-        bits = _LOOKUP_POS[bits]
-        n |= (bits >> 2).astype(np.uint64) << np.uint64(k * 8)
-        bits &= _SWAP | _INVERT
-    return (n << np.uint64(1)) | np.uint64(1)
+        np.right_shift(i, k * 4, out=t)
+        np.bitwise_and(t, 15, out=t)
+        np.left_shift(t, 6, out=t)
+        np.add(bits, t, out=bits)
+        np.right_shift(j, k * 4, out=t)
+        np.bitwise_and(t, 15, out=t)
+        np.left_shift(t, 2, out=t)
+        np.add(bits, t, out=bits)
+        np.take(_LOOKUP_POS, bits, out=bits)
+        np.right_shift(bits, 2, out=t)
+        np.left_shift(t, 2 * k * _LOOKUP_BITS, out=t)
+        np.bitwise_or(n, t, out=n)
+        np.bitwise_and(bits, _SWAP | _INVERT, out=bits)
+    out = (n.view(np.uint64) << np.uint64(1)) | np.uint64(1)
+    return out[0] if scalar else out
 
 
 def np_s2_id_to_face_ij(cell_u64):
@@ -188,15 +208,65 @@ def _snap_to_level(leaf_u64, level: int):
     return (leaf_u64 & (~lsb + np.uint64(1))) | lsb
 
 
+# per-face selectors for the fused encode: u = SIGN_U * {y,x,x,z,z,y} / val,
+# v = SIGN_V * {z,z,y,y,x,x} / val, where val is the signed largest
+# component — algebraically identical to the 6-branch table in
+# np_xyz_to_face_uv but with 2 divisions instead of 12 evaluated branches
+_SIGN_U = np.array([1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_SIGN_V = np.array([1.0, 1.0, -1.0, 1.0, -1.0, -1.0])
+
+
+def _st_to_ij_inplace(u):
+    """u (gnomonic coord, consumed in place) -> quadratic-ST i/j int64."""
+    neg = u < 0.0
+    np.abs(u, out=u)
+    np.multiply(u, 3.0, out=u)
+    np.add(u, 1.0, out=u)
+    np.sqrt(u, out=u)
+    np.multiply(u, 0.5, out=u)            # 0.5*sqrt(1+3|u|)
+    np.subtract(1.0, u, out=u, where=neg)  # 1 - that, on the negative side
+    np.multiply(u, float(_LIMIT_IJ), out=u)
+    np.floor(u, out=u)
+    np.clip(u, 0, _LIMIT_IJ - 1, out=u)
+    return u.astype(np.int64)
+
+
+def _np_s2_leaf_fused(lon, lat):
+    """Fused lon/lat -> leaf uint64: same math as the step-by-step helpers
+    (np_lonlat_to_xyz -> np_xyz_to_face_uv -> np_uv_to_st -> np_st_to_ij),
+    pinned equal by test, but with in-place ops and single divisions — the
+    Arrow-batched encode is bandwidth-bound at 32 workers on one bus, so
+    temporaries, not FLOPs, set its scaling."""
+    lonr = np.radians(np.asarray(lon, dtype=np.float64))
+    latr = np.radians(np.asarray(lat, dtype=np.float64))
+    cl = np.cos(latr)
+    z = np.sin(latr, out=latr)
+    x = np.cos(lonr)
+    y = np.sin(lonr, out=lonr)
+    np.multiply(x, cl, out=x)
+    np.multiply(y, cl, out=y)
+    ax = np.abs(x, out=cl)  # cl no longer needed
+    ay = np.abs(y)
+    az = np.abs(z)
+    comp = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    val = np.choose(comp, (x, y, z))
+    face = comp + np.where(val < 0.0, 3, 0)
+    u = np.choose(face, (y, x, x, z, z, y))
+    np.multiply(u, _SIGN_U[face], out=u)
+    np.divide(u, val, out=u)
+    v = np.choose(face, (z, z, y, y, x, x))
+    np.multiply(v, _SIGN_V[face], out=v)
+    np.divide(v, val, out=v)
+    return np_s2_id_from_face_ij(face, _st_to_ij_inplace(u),
+                                 _st_to_ij_inplace(v))
+
+
 def np_s2_cell_id(lon, lat, level: int = MAX_LEVEL):
     """Exact S2 cell id (signed-int64 view) for lon/lat degrees at level."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError(f"level must be in [0, {MAX_LEVEL}], got {level}")
-    x, y, z = np_lonlat_to_xyz(lon, lat)
-    face, u, v = np_xyz_to_face_uv(x, y, z)
-    i = np_st_to_ij(np_uv_to_st(u))
-    j = np_st_to_ij(np_uv_to_st(v))
-    return _snap_to_level(np_s2_id_from_face_ij(face, i, j), level).view(np.int64)
+    return _snap_to_level(np.atleast_1d(_np_s2_leaf_fused(lon, lat)),
+                          level).view(np.int64)
 
 
 def np_s2_level(cell):
@@ -253,6 +323,23 @@ def np_s2_token(cell):
     return out
 
 
+def np_s2_from_token(tokens) -> np.ndarray:
+    """Inverse of ``np_s2_token``: hex token -> cell id (signed int64)."""
+    toks = np.asarray(tokens, dtype=object)
+    out = np.empty(toks.shape, dtype=np.uint64)
+    flat_in = toks.ravel()
+    flat_out = out.ravel()
+    for idx in range(flat_in.size):
+        t = str(flat_in[idx])
+        if t == "X":
+            flat_out[idx] = 0
+            continue
+        if not 1 <= len(t) <= 16:
+            raise ValueError(f"bad S2 token: {t!r}")
+        flat_out[idx] = int(t.ljust(16, "0"), 16)
+    return out.view(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Column API
 # ---------------------------------------------------------------------------
@@ -265,8 +352,18 @@ def s2_cell_id(lon: Column, lat: Column, level: int = MAX_LEVEL) -> Column:
 
     @F.pandas_udf(LongType())
     def enc(lo: pd.Series, la: pd.Series) -> pd.Series:
-        return pd.Series(np_s2_cell_id(lo.to_numpy(np.float64),
-                                       la.to_numpy(np.float64), level))
+        la_np = la.to_numpy(np.float64)
+        lo_np = lo.to_numpy(np.float64)
+        n = lo_np.shape[0]
+        out = np.empty(n, dtype=np.int64)
+        # chunk so the kernel's ~17-array working set stays L2/L3-resident
+        # per worker — 32 concurrent workers on one bus otherwise thrash
+        # (BENCH/BASELINE.md s2_assign diagnosis)
+        step = 32768
+        for s in range(0, n, step):
+            out[s:s + step] = np_s2_cell_id(lo_np[s:s + step],
+                                            la_np[s:s + step], level)
+        return pd.Series(out)
 
     return enc(lon, lat)
 
@@ -393,6 +490,151 @@ def np_s2_cover_rect(lon_min: float, lat_min: float, lon_max: float,
             out.append(cell)  # wholly inside: keep coarse
         elif lvl >= max_level:
             out.append(cell)  # boundary leaf of the covering
+        else:
+            frontier.extend(int(c) for c in np_s2_children([cell])[0])
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def _seg_rect_any(x1, y1, x2, y2, rx0, ry0, rx1, ry1) -> bool:
+    """True iff ANY segment (x1,y1)-(x2,y2) intersects the axis-aligned
+    rect — vectorized Liang-Barsky parameter clip over all edges."""
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    dx = x2 - x1
+    dy = y2 - y1
+    t0 = np.zeros_like(x1)
+    t1 = np.ones_like(x1)
+    ok = np.ones(x1.shape, dtype=bool)
+    for p, q in ((-dx, x1 - rx0), (dx, rx1 - x1),
+                 (-dy, y1 - ry0), (dy, ry1 - y1)):
+        zero = p == 0.0
+        ok &= ~(zero & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        t0 = np.where(~zero & (p < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~zero & (p > 0.0), np.minimum(t1, r), t1)
+    return bool(np.any(ok & (t0 <= t1)))
+
+
+def np_s2_cover_polygon(edges, *, max_level: int = 10,
+                        samples: int = 5) -> np.ndarray:
+    """Mixed-level S2 covering of an even-odd polygon interior (rings may
+    include holes) — the shape-aware upgrade of ``np_s2_cover_rect``.
+
+    ``edges`` is the ``(x1, y1, x2, y2)`` edge-array tuple of ALL rings
+    (``geom.PolygonPack.edges_of``).  Descent logic per cell, on the
+    cell's conservative lon/lat box (samples + one sample-gap margin):
+
+    - box disjoint from the polygon bbox -> prune;
+    - NO polygon edge intersects the box (exact Liang-Barsky test) -> the
+      box is boundary-free, so the whole cell is uniformly inside or
+      outside: one ray-cast decides keep-coarse vs prune;
+    - otherwise descend; at ``max_level`` keep (conservative boundary
+      cell).
+
+    Because the box is a superset of the cell, "no edge in box" is exact
+    and the covering is COMPLETE; boundary cells make it a superset, which
+    the engine's even-odd Arrow refine then trims exactly.
+    """
+    from . import geom as _geom
+
+    if not 0 <= max_level <= MAX_LEVEL:
+        raise ValueError(f"max_level must be in [0, {MAX_LEVEL}]")
+    ex1, ey1, ex2, ey2 = (np.asarray(a, dtype=np.float64) for a in edges)
+    if ex1.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    pb_x0 = float(min(ex1.min(), ex2.min()))
+    pb_x1 = float(max(ex1.max(), ex2.max()))
+    pb_y0 = float(min(ey1.min(), ey2.min()))
+    pb_y1 = float(max(ey1.max(), ey2.max()))
+
+    out: list[int] = []
+    frontier = [int(c) for c in
+                np_s2_cell_id([0.0, 90.0, 0.0, 180.0, -90.0, 0.0],
+                              [0.0, 0.0, 90.0, 0.0, 0.0, -90.0], 0)]
+    while frontier:
+        cell = frontier.pop()
+        lon, lat = np_s2_cell_samples(cell, samples)
+        lon_m = float(np.max(np.abs(np.diff(np.sort(lon))))) if lon.size > 1 else 0.0
+        lat_m = float(np.max(np.abs(np.diff(np.sort(lat))))) if lat.size > 1 else 0.0
+        seam = (np.max(lon) - np.min(lon)) > 180.0
+        bx0 = -180.0 if seam else float(np.min(lon) - lon_m)
+        bx1 = 180.0 if seam else float(np.max(lon) + lon_m)
+        by0 = float(np.min(lat) - lat_m)
+        by1 = float(np.max(lat) + lat_m)
+        if bx1 < pb_x0 or bx0 > pb_x1 or by1 < pb_y0 or by0 > pb_y1:
+            continue  # certainly disjoint
+        crosses = _seg_rect_any(ex1, ey1, ex2, ey2, bx0, by0, bx1, by1)
+        if not crosses:
+            # boundary-free box: the whole cell is uniformly in or out
+            if bool(_geom.pip_even_odd_edges(lon[:1], lat[:1], edges)[0]):
+                out.append(cell)
+            continue
+        lvl = int(np_s2_level(np.asarray([cell]))[0])
+        if lvl >= max_level:
+            out.append(cell)  # boundary cell of the covering
+        else:
+            frontier.extend(int(c) for c in np_s2_children([cell])[0])
+    return np.array(sorted(out), dtype=np.int64)
+
+
+_EARTH_R_M = 6371008.8
+
+
+def _np_haversine_m(lon1, lat1, lon2, lat2):
+    p = math.pi / 180.0
+    dphi = (lat2 - lat1) * p / 2.0
+    dlam = (lon2 - lon1) * p / 2.0
+    a = (np.sin(dphi) ** 2
+         + np.cos(lat1 * p) * np.cos(lat2 * p) * np.sin(dlam) ** 2)
+    return 2.0 * _EARTH_R_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def np_s2_cover_cap(lon: float, lat: float, radius_m: float, *,
+                    max_level: int = 10, samples: int = 5) -> np.ndarray:
+    """Mixed-level S2 covering of a spherical cap (center + great-circle
+    radius in meters) — the radius-query analog of ``np_s2_cover_rect``.
+
+    Per cell the k x k samples' haversine distances to the center decide,
+    with a conservative margin of one grid-adjacent sample gap (measured
+    on the sphere, so it is valid at any latitude including the poles):
+
+    - min sample distance - margin > radius  -> certainly outside, prune;
+    - max sample distance + margin <= radius -> wholly inside, keep coarse;
+    - else descend; keep at ``max_level``.
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    if not 0 <= max_level <= MAX_LEVEL:
+        raise ValueError(f"max_level must be in [0, {MAX_LEVEL}]")
+    out: list[int] = []
+    frontier = [int(c) for c in
+                np_s2_cell_id([0.0, 90.0, 0.0, 180.0, -90.0, 0.0],
+                              [0.0, 0.0, 90.0, 0.0, 0.0, -90.0], 0)]
+    while frontier:
+        cell = frontier.pop()
+        slon, slat = np_s2_cell_samples(cell, samples)
+        d = _np_haversine_m(slon, slat, lon, lat)
+        # conservative margin: max haversine gap between grid-adjacent
+        # samples (horizontal + vertical neighbors in the k x k grid)
+        k = samples
+        glon = slon.reshape(k, k)
+        glat = slat.reshape(k, k)
+        gaps = [
+            _np_haversine_m(glon[:, :-1], glat[:, :-1], glon[:, 1:], glat[:, 1:]),
+            _np_haversine_m(glon[:-1, :], glat[:-1, :], glon[1:, :], glat[1:, :]),
+        ]
+        margin = max(float(np.max(a)) for a in gaps) if k > 1 else 0.0
+        if float(np.min(d)) - margin > radius_m:
+            continue  # certainly outside
+        if float(np.max(d)) + margin <= radius_m:
+            out.append(cell)  # wholly inside
+            continue
+        lvl = int(np_s2_level(np.asarray([cell]))[0])
+        if lvl >= max_level:
+            out.append(cell)
         else:
             frontier.extend(int(c) for c in np_s2_children([cell])[0])
     return np.array(sorted(out), dtype=np.int64)

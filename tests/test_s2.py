@@ -150,6 +150,17 @@ def test_token_format():
     assert s2.np_s2_token(np.array([1 << 60], dtype=np.int64))[0] == "1"
 
 
+def test_token_roundtrip():
+    rng = np.random.default_rng(53)
+    for level in (3, 12, 30):
+        cells = s2.np_s2_cell_id(rng.uniform(-180, 180, 300),
+                                 rng.uniform(-89, 89, 300), level)
+        back = s2.np_s2_from_token(s2.np_s2_token(cells))
+        assert np.array_equal(back, cells)
+    with pytest.raises(ValueError):
+        s2.np_s2_from_token(["not-a-token-too-long-zz"])
+
+
 def test_spark_column_parity(spark):
     rng = np.random.default_rng(17)
     lon = rng.uniform(-180, 180, 800)
@@ -289,6 +300,112 @@ def test_spatial_join_s2_matches_broadcast(spark):
     pack = fixtures.polygons_pack(p=60)
     a = set(map(tuple, joins.spatial_join_s2(pts, pack, max_level=8)
                 .collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_cover_polygon_complete_and_tighter_than_bbox():
+    """Shape covering of a thin diagonal triangle: complete (every interior
+    point lands in a cell) and strictly smaller than the bbox covering."""
+    from gdal_scripts_spark import geom
+
+    rings = [np.array([[0.0, 0.0], [40.0, 4.0], [40.0, 8.0]])]
+    pack = geom.PolygonPack.from_rings([(0, rings)])
+    edges = pack.edges_of(0)
+    cov = s2.np_s2_cover_polygon(edges, max_level=8)
+    bbox_cov = s2.np_s2_cover_rect(0.0, 0.0, 40.0, 8.0, max_level=8)
+    # tighter: a diagonal sliver occupies a fraction of its bbox
+    a = float(np.sum(1.0 / 6.0 / 4.0 ** s2.np_s2_level(cov)))
+    b = float(np.sum(1.0 / 6.0 / 4.0 ** s2.np_s2_level(bbox_cov)))
+    assert a < 0.5 * b
+    # complete: rejection-sample interior points, all covered
+    rng = np.random.default_rng(43)
+    x = rng.uniform(0, 40, 40000)
+    y = rng.uniform(0, 8, 40000)
+    ins = geom.pip_even_odd_edges(x, y, edges)
+    leaf = s2.np_s2_cell_id(x[ins], y[ins], 30)
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    assert np.all(idx >= 0)
+    assert np.all(leaf <= mx[order][idx])
+
+
+def test_cover_polygon_prunes_holes():
+    """A cell wholly inside a hole is boundary-free and ray-casts outside
+    -> pruned; covering area tracks the annulus, not the outer ring."""
+    from gdal_scripts_spark import geom
+
+    ang = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    outer = np.column_stack([20 * np.cos(ang), 20 * np.sin(ang)])
+    hole = np.column_stack([15 * np.cos(ang[::-1]), 15 * np.sin(ang[::-1])])
+    pack = geom.PolygonPack.from_rings([(0, [outer, hole])])
+    edges = pack.edges_of(0)
+    cov = s2.np_s2_cover_polygon(edges, max_level=8)
+    solid = s2.np_s2_cover_polygon(
+        geom.PolygonPack.from_rings([(0, [outer])]).edges_of(0), max_level=8)
+    a_ann = float(np.sum(1.0 / 6.0 / 4.0 ** s2.np_s2_level(cov)))
+    a_solid = float(np.sum(1.0 / 6.0 / 4.0 ** s2.np_s2_level(solid)))
+    # annulus area fraction of disk = 1 - (15/20)^2 = 0.4375; covering
+    # carries boundary slack at level 8, so just require a clear separation
+    assert a_ann < 0.75 * a_solid
+    # interior-of-hole points are NOT covered
+    rng = np.random.default_rng(47)
+    r = rng.uniform(0, 13.0, 3000)
+    t = rng.uniform(0, 2 * np.pi, 3000)
+    leaf = s2.np_s2_cell_id(r * np.cos(t), r * np.sin(t), 30)
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    in_cov = (idx >= 0) & (leaf <= mx[order][np.clip(idx, 0, None)])
+    # boundary cells near r=15 may catch a few; the bulk must be pruned
+    assert np.mean(in_cov[r < 12.0]) < 0.05
+
+
+def test_cover_cap_complete_and_tight():
+    """Spherical-cap covering: complete on rejection-sampled in-cap points,
+    and area within 2x of the cap's solid angle."""
+    clon, clat, rad = 30.0, 55.0, 300_000.0
+    cov = s2.np_s2_cover_cap(clon, clat, rad, max_level=9)
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    assert np.all(mn[order][1:] > mx[order][:-1])  # disjoint
+    rng = np.random.default_rng(59)
+    lon = rng.uniform(clon - 8, clon + 8, 30000)
+    lat = rng.uniform(clat - 4, clat + 4, 30000)
+    d = s2._np_haversine_m(lon, lat, clon, clat)
+    ins = d <= rad
+    leaf = s2.np_s2_cell_id(lon[ins], lat[ins], 30)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    assert np.all(idx >= 0)
+    assert np.all(leaf <= mx[order][idx])
+    # tightness: covering solid-angle fraction vs cap fraction
+    frac = float(np.sum(1.0 / 6.0 / 4.0 ** s2.np_s2_level(cov)))
+    cap_frac = (1.0 - math.cos(rad / s2._EARTH_R_M)) / 2.0
+    assert frac < 2.0 * cap_frac
+
+
+def test_cover_cap_polar():
+    """Cap centered on the north pole — the mercator-impossible case."""
+    cov = s2.np_s2_cover_cap(0.0, 90.0, 500_000.0, max_level=7)
+    mn, mx = s2.np_s2_range(cov)
+    order = np.argsort(mn)
+    rng = np.random.default_rng(61)
+    lon = rng.uniform(-180, 180, 10000)
+    lat = rng.uniform(85.6, 90.0, 10000)  # all within ~490 km of the pole
+    leaf = s2.np_s2_cell_id(lon, lat, 30)
+    idx = np.searchsorted(mn[order], leaf, "right") - 1
+    assert np.all(idx >= 0)
+    assert np.all(leaf <= mx[order][idx])
+
+
+def test_spatial_join_s2_rings_matches_broadcast(spark):
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 3000, partitions=8)
+    pack = fixtures.polygons_pack(p=30)
+    a = set(map(tuple, joins.spatial_join_s2(pts, pack, max_level=8,
+                                             cover="rings").collect()))
     b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
     assert a == b and len(a) > 0
 
