@@ -589,3 +589,195 @@ def np_utm_to_lonlat(easting, northing, zone: int, south):
         * d**5 / 120
     ) / cp1
     return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Conic projections: Lambert conformal conic (2SP) and Albers equal-area —
+# the other two `-t_srs` families a real `ogr2ogr` ETL hits constantly
+# (national grids like Lambert-93 / EPSG:2154, continental equal-area grids
+# like CONUS Albers / EPSG:5070). Public GDAL route: ogr/ogrct.cpp :
+# OGRProjCT::Transform (≈L2000) -> PROJ lcc / aea. Closed-form ellipsoidal
+# series from Snyder, "Map Projections — A Working Manual" (USGS PP 1395):
+# LCC eqs. 15-1..15-11, Albers eqs. 14-1..14-11, iterative inverse latitudes
+# eqs. 7-9 / 3-16 (quadratically convergent; unrolled to a fixed depth so
+# the whole transform stays a pure Column expression inside whole-stage
+# codegen — zero UDF, zero shuffle, same contract as the UTM pair above).
+#
+# Projection constants (n, F, rho0 / C) depend only on the parameter set,
+# so they are computed once in Python floats and inlined as literals — the
+# per-row work is a handful of transcendentals.
+# ---------------------------------------------------------------------------
+
+WGS84_E = math.sqrt(WGS84_E2)
+
+
+def _conic_m(phi: float) -> float:
+    """Snyder 14-15: m = cos(phi)/sqrt(1 - e^2 sin^2 phi) (setup scalar)."""
+    return math.cos(phi) / math.sqrt(1.0 - WGS84_E2 * math.sin(phi) ** 2)
+
+
+def _conic_t(phi: float) -> float:
+    """Snyder 15-9: isometric-latitude factor t(phi) (setup scalar)."""
+    sp = math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) / (
+        (1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp)
+    ) ** (WGS84_E / 2.0)
+
+
+def _conic_q(phi: float) -> float:
+    """Snyder 3-12: authalic-latitude function q(phi) (setup scalar)."""
+    sp = math.sin(phi)
+    return (1.0 - WGS84_E2) * (
+        sp / (1.0 - WGS84_E2 * sp * sp)
+        - (1.0 / (2.0 * WGS84_E))
+        * math.log((1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp))
+    )
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float, lon0: float,
+                  fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Projection constants for a 2-standard-parallel LCC (Snyder 15-8a,
+    15-10, 15-7a). Returned dict feeds both the Column kernels and the
+    DuckDB oracle so both engines share bit-identical literals."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _conic_m(p1), _conic_m(p2)
+    t1, t2, t0 = _conic_t(p1), _conic_t(p2), _conic_t(p0)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f_ = m1 / (n * t1 ** n)
+    rho0 = EARTH_RADIUS * f_ * t0 ** n
+    return {"n": n, "f": f_, "rho0": rho0, "lon0": lon0, "fe": fe, "fn": fn}
+
+
+# Lambert-93 parameter set (EPSG:2154 publishes lat1=49, lat2=44,
+# lat0=46.5, lon0=3, FE=700000, FN=6600000; official ellipsoid GRS80 —
+# this engine models WGS84 everywhere, whose e^2 differs from GRS80 in the
+# 11th decimal, sub-0.1 mm here)
+LCC93 = lcc_constants(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
+# CONUS Albers parameter set (EPSG:5070: lat1=29.5, lat2=45.5, lat0=23,
+# lon0=-96, FE=FN=0; same GRS80-vs-WGS84 note)
+def albers_constants(lat1: float, lat2: float, lat0: float, lon0: float,
+                     fe: float = 0.0, fn: float = 0.0) -> dict:
+    """Projection constants for a 2-SP Albers (Snyder 14-14, 14-13, 14-12a)."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _conic_m(p1), _conic_m(p2)
+    q1, q2, q0 = _conic_q(p1), _conic_q(p2), _conic_q(p0)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = EARTH_RADIUS * math.sqrt(c - n * q0) / n
+    return {"n": n, "c": c, "rho0": rho0, "lon0": lon0, "fe": fe, "fn": fn}
+
+
+AEA_CONUS = albers_constants(29.5, 45.5, 23.0, -96.0)
+
+
+def _t_col(phi: Column) -> Column:
+    """Column twin of :func:`_conic_t`."""
+    sp = F.sin(phi)
+    return F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+        (1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp), WGS84_E / 2.0
+    )
+
+
+def _q_col(phi: Column) -> Column:
+    """Column twin of :func:`_conic_q`."""
+    sp = F.sin(phi)
+    return (1.0 - WGS84_E2) * (
+        sp / (1.0 - WGS84_E2 * sp * sp)
+        - (1.0 / (2.0 * WGS84_E))
+        * F.log((1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp))
+    )
+
+
+def lonlat_to_lcc(lon, lat, spec: dict = LCC93) -> Column:
+    """(lon, lat) degrees -> struct(x, y) meters, LCC 2SP (Snyder 15-1/2)."""
+    lon, lat = _c(lon), _c(lat)
+    rho = EARTH_RADIUS * spec["f"] * F.pow(_t_col(F.radians(lat)), spec["n"])
+    theta = spec["n"] * F.radians(lon - spec["lon0"])
+    return F.struct(
+        (spec["fe"] + rho * F.sin(theta)).alias("x"),
+        (spec["fn"] + spec["rho0"] - rho * F.cos(theta)).alias("y"),
+    )
+
+
+def lcc_to_lonlat(x, y, spec: dict = LCC93, iters: int = 4) -> Column:
+    """struct(lon, lat) degrees from LCC meters. Latitude solves Snyder 7-9
+    by fixed-point iteration (contraction factor ~e^2 per step; ``iters=4``
+    leaves < 1e-10 deg residual, pinned by the round-trip test)."""
+    xp = _c(x) - spec["fe"]
+    yp = spec["rho0"] - (_c(y) - spec["fn"])
+    sgn = 1.0 if spec["n"] >= 0 else -1.0
+    rho = sgn * F.sqrt(xp * xp + yp * yp)
+    t = F.pow(rho / (EARTH_RADIUS * spec["f"]), 1.0 / spec["n"])
+    lam = F.radians(F.lit(spec["lon0"])) + F.atan2(sgn * xp, sgn * yp) / spec["n"]
+    phi = F.lit(math.pi / 2.0) - 2.0 * F.atan(t)
+    for _ in range(iters):
+        sp = F.sin(phi)
+        phi = F.lit(math.pi / 2.0) - 2.0 * F.atan(
+            t * F.pow((1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp),
+                      WGS84_E / 2.0)
+        )
+    return F.struct(F.degrees(lam).alias("lon"), F.degrees(phi).alias("lat"))
+
+
+def lonlat_to_albers(lon, lat, spec: dict = AEA_CONUS) -> Column:
+    """(lon, lat) degrees -> struct(x, y) meters, Albers 2SP (Snyder 14-1/2)."""
+    lon, lat = _c(lon), _c(lat)
+    q = _q_col(F.radians(lat))
+    rho = EARTH_RADIUS * F.sqrt(spec["c"] - spec["n"] * q) / spec["n"]
+    theta = spec["n"] * F.radians(lon - spec["lon0"])
+    return F.struct(
+        (spec["fe"] + rho * F.sin(theta)).alias("x"),
+        (spec["fn"] + spec["rho0"] - rho * F.cos(theta)).alias("y"),
+    )
+
+
+def albers_to_lonlat(x, y, spec: dict = AEA_CONUS, iters: int = 3) -> Column:
+    """struct(lon, lat) degrees from Albers meters. Latitude solves
+    q(phi) = q' by the Newton step of Snyder 3-16 (quadratic; ``iters=3``
+    from the asin(q/2) seed reaches machine precision)."""
+    xp = _c(x) - spec["fe"]
+    yp = spec["rho0"] - (_c(y) - spec["fn"])
+    rho = F.sqrt(xp * xp + yp * yp)
+    q = (spec["c"] - F.pow(rho * spec["n"] / EARTH_RADIUS, 2.0)) / spec["n"]
+    lam = F.radians(F.lit(spec["lon0"])) + F.atan2(xp, yp) / spec["n"]
+    phi = F.asin(q / 2.0)
+    for _ in range(iters):
+        sp = F.sin(phi)
+        one = 1.0 - WGS84_E2 * sp * sp
+        phi = phi + F.pow(one, 2.0) / (2.0 * F.cos(phi)) * (
+            q / (1.0 - WGS84_E2)
+            - sp / one
+            + (1.0 / (2.0 * WGS84_E))
+            * F.log((1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp))
+        )
+    return F.struct(F.degrees(lam).alias("lon"), F.degrees(phi).alias("lat"))
+
+
+def np_lonlat_to_lcc(lon, lat, spec: dict = LCC93):
+    """Sequential numpy twin of :func:`lonlat_to_lcc` (test oracle)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sp = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp)
+    ) ** (WGS84_E / 2.0)
+    rho = EARTH_RADIUS * spec["f"] * t ** spec["n"]
+    theta = spec["n"] * np.radians(lon - spec["lon0"])
+    return (spec["fe"] + rho * np.sin(theta),
+            spec["fn"] + spec["rho0"] - rho * np.cos(theta))
+
+
+def np_lonlat_to_albers(lon, lat, spec: dict = AEA_CONUS):
+    """Sequential numpy twin of :func:`lonlat_to_albers` (test oracle)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sp = np.sin(phi)
+    q = (1.0 - WGS84_E2) * (
+        sp / (1.0 - WGS84_E2 * sp * sp)
+        - (1.0 / (2.0 * WGS84_E))
+        * np.log((1.0 - WGS84_E * sp) / (1.0 + WGS84_E * sp))
+    )
+    rho = EARTH_RADIUS * np.sqrt(spec["c"] - spec["n"] * q) / spec["n"]
+    theta = spec["n"] * np.radians(lon - spec["lon0"])
+    return (spec["fe"] + rho * np.sin(theta),
+            spec["fn"] + spec["rho0"] - rho * np.cos(theta))

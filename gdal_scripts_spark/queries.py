@@ -2592,6 +2592,103 @@ FROM f
 _add("geom_reproject_utm", _q_geom_reproject_utm, _utm_oracle_sql())
 
 
+def _q_geom_reproject_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs for the two conic families: Lambert conformal conic
+    2SP with Lambert-93 parameters (EPSG:2154 family) and Albers equal-area
+    with CONUS parameters (EPSG:5070 family). Deterministic points span
+    each projection's validity domain; forward = pure Column kernels
+    (cells.lonlat_to_lcc / lonlat_to_albers, Snyder 15-1/14-1), inverse
+    verified by the round-trip columns returning the inputs (iterative
+    latitude, unrolled — still zero-UDF codegen). The oracle re-derives
+    both FORWARD transforms independently in DuckDB SQL from the same
+    published formulas. Ref (public GDAL tree): ogr/ogrct.cpp :
+    OGRProjCT::Transform (≈L2000) -> PROJ lcc / aea."""
+    from . import cells as _cells
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lon_e = (F.col("p_partkey") % 160).cast("double") / 10.0 - 5.0
+    lat_e = ((F.col("p_partkey") * 7) % 100).cast("double") / 10.0 + 41.0
+    lon_a = (F.col("p_partkey") % 580).cast("double") / 10.0 - 125.0
+    lat_a = ((F.col("p_partkey") * 11) % 270).cast("double") / 10.0 + 23.0
+    src = part.select(
+        "p_partkey", lon_e.alias("lon_e"), lat_e.alias("lat_e"),
+        lon_a.alias("lon_a"), lat_a.alias("lat_a"),
+    )
+    lcc = _cells.lonlat_to_lcc(F.col("lon_e"), F.col("lat_e"))
+    aea = _cells.lonlat_to_albers(F.col("lon_a"), F.col("lat_a"))
+    prj = src.select(
+        "p_partkey", "lon_e", "lat_e", "lon_a", "lat_a",
+        lcc["x"].alias("lx"), lcc["y"].alias("ly"),
+        aea["x"].alias("ax"), aea["y"].alias("ay"),
+    )
+    inv_l = _cells.lcc_to_lonlat(F.col("lx"), F.col("ly"))
+    inv_a = _cells.albers_to_lonlat(F.col("ax"), F.col("ay"))
+    return prj.select(
+        "p_partkey",
+        F.round("lx", 2).alias("lcc_x_cm"),
+        F.round("ly", 2).alias("lcc_y_cm"),
+        F.round("ax", 2).alias("aea_x_cm"),
+        F.round("ay", 2).alias("aea_y_cm"),
+        F.round(inv_l["lon"], 5).alias("lon_e_rt"),
+        F.round(inv_l["lat"], 5).alias("lat_e_rt"),
+        F.round(inv_a["lon"], 5).alias("lon_a_rt"),
+        F.round(inv_a["lat"], 5).alias("lat_a_rt"),
+    )
+
+
+def _conic_oracle_sql() -> str:
+    from . import cells as _cells
+
+    # every literal cast to DOUBLE: DuckDB parses bare decimal literals as
+    # DECIMAL and overflows on multiplication of wide ones
+    d = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731
+    a = d(_cells.EARTH_RADIUS)
+    e = d(_cells.WGS84_E)
+    e2 = d(_cells.WGS84_E2)
+    Lc, Ac = _cells.LCC93, _cells.AEA_CONUS
+    L = {k: d(v) for k, v in Lc.items()}
+    A = {k: d(v) for k, v in Ac.items()}
+    return f"""
+WITH src AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 160 AS DOUBLE) / 10.0 - 5.0 AS lon_e,
+         CAST((p_partkey * 7) % 100 AS DOUBLE) / 10.0 + 41.0 AS lat_e,
+         CAST(p_partkey % 580 AS DOUBLE) / 10.0 - 125.0 AS lon_a,
+         CAST((p_partkey * 11) % 270 AS DOUBLE) / 10.0 + 23.0 AS lat_a
+  FROM part
+), k AS (
+  SELECT *, radians(lat_e) AS phi_e, radians(lat_a) AS phi_a FROM src
+), f AS (
+  SELECT *,
+    {a} * {L['f']} * pow(
+      tan(pi() / 4.0 - phi_e / 2.0)
+      / pow((1.0 - {e} * sin(phi_e)) / (1.0 + {e} * sin(phi_e)), {e} / 2.0),
+      {L['n']}) AS rho_l,
+    {L['n']} * radians(lon_e - {L['lon0']}) AS th_l,
+    {a} * sqrt({A['c']} - {A['n']} * ((1.0 - {e2}) * (
+        sin(phi_a) / (1.0 - {e2} * sin(phi_a) * sin(phi_a))
+        - (1.0 / (2.0 * {e}))
+          * ln((1.0 - {e} * sin(phi_a)) / (1.0 + {e} * sin(phi_a)))
+      ))) / {A['n']} AS rho_a,
+    {A['n']} * radians(lon_a - {A['lon0']}) AS th_a
+  FROM k
+)
+SELECT p_partkey,
+  round({L['fe']} + rho_l * sin(th_l), 2) AS lcc_x_cm,
+  round({L['fn']} + {L['rho0']} - rho_l * cos(th_l), 2) AS lcc_y_cm,
+  round({A['fe']} + rho_a * sin(th_a), 2) AS aea_x_cm,
+  round({A['fn']} + {A['rho0']} - rho_a * cos(th_a), 2) AS aea_y_cm,
+  round(lon_e, 5) AS lon_e_rt,
+  round(lat_e, 5) AS lat_e_rt,
+  round(lon_a, 5) AS lon_a_rt,
+  round(lat_a, 5) AS lat_a_rt
+FROM f
+"""
+
+
+_add("geom_reproject_conic", _q_geom_reproject_conic, _conic_oracle_sql())
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (raster x vector): 60 deterministic 16x12 PGM
     rasters placed on a world grid by part key, 3 overlapping rect zones.

@@ -250,3 +250,85 @@ def test_utm_zone_of_lon(spark):
         cells.utm_zone_of_lon(F.lit(179.9)).alias("c"),
     ).collect()[0]
     assert (r["a"], r["b"], r["c"]) == (1, 32, 60)
+
+
+# --- conic projections: LCC 2SP (Lambert-93) + Albers equal-area (CONUS) ---
+
+
+def test_np_conic_anchors_and_invariants():
+    # projection origin maps exactly to the false origin (Snyder: rho=rho0)
+    x, y = cells.np_lonlat_to_lcc([3.0], [46.5])
+    assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+    xa, ya = cells.np_lonlat_to_albers([-96.0], [23.0])
+    assert abs(xa[0]) < 1e-6 and abs(ya[0]) < 1e-6
+    # Paris in Lambert-93 — public anchor (EPSG:2154 ~652469, 6862035)
+    x, y = cells.np_lonlat_to_lcc([2.3522], [48.8566])
+    assert abs(x[0] - 652469.0) < 1.0 and abs(y[0] - 6862035.3) < 1.0
+    # scale factor k = 1 along both LCC standard parallels (conformal 2SP)
+    h = 1e-7
+    for lat in (49.0, 44.0):
+        x0, y0 = cells.np_lonlat_to_lcc([3.0], [lat])
+        x1, y1 = cells.np_lonlat_to_lcc([3.0 + h], [lat])
+        d = float(np.hypot(x1 - x0, y1 - y0)[0])
+        phi = np.radians(lat)
+        ground = (cells.EARTH_RADIUS * np.cos(phi)
+                  / np.sqrt(1 - cells.WGS84_E2 * np.sin(phi) ** 2)
+                  * np.radians(h))
+        assert abs(d / ground - 1.0) < 1e-6
+
+
+def test_np_albers_is_equal_area():
+    # Jacobian of the forward map == ellipsoidal area element everywhere
+    h = 1e-6
+    for lon, lat in [(-120.0, 40.0), (-80.0, 30.0), (-96.0, 45.5),
+                     (-66.0, 24.0), (-125.0, 49.0)]:
+        x0, y0 = cells.np_lonlat_to_albers([lon], [lat])
+        xl, yl = cells.np_lonlat_to_albers([lon + h], [lat])
+        xp, yp = cells.np_lonlat_to_albers([lon], [lat + h])
+        dl = np.radians(h)
+        jac = abs((xl - x0) * (yp - y0) - (yl - y0) * (xp - x0))[0] / dl / dl
+        phi = np.radians(lat)
+        area_el = (cells.EARTH_RADIUS ** 2 * (1 - cells.WGS84_E2)
+                   * np.cos(phi)
+                   / (1 - cells.WGS84_E2 * np.sin(phi) ** 2) ** 2)
+        assert abs(jac / area_el - 1.0) < 1e-5
+
+
+def test_spark_conic_roundtrip_and_numpy_parity(spark):
+    rng = np.random.default_rng(17)
+    lon_e = 3.0 + rng.uniform(-8, 8, 400)     # Lambert-93 domain
+    lat_e = rng.uniform(41.0, 51.0, 400)
+    lon_a = rng.uniform(-125.0, -66.0, 400)   # CONUS Albers domain
+    lat_a = rng.uniform(23.0, 50.0, 400)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(p), float(q))
+         for a, b, p, q in zip(lon_e, lat_e, lon_a, lat_a)],
+        "lon_e double, lat_e double, lon_a double, lat_a double",
+    )
+    lcc = cells.lonlat_to_lcc(F.col("lon_e"), F.col("lat_e"))
+    aea = cells.lonlat_to_albers(F.col("lon_a"), F.col("lat_a"))
+    prj = df.select(
+        "lon_e", "lat_e", "lon_a", "lat_a",
+        lcc["x"].alias("lx"), lcc["y"].alias("ly"),
+        aea["x"].alias("ax"), aea["y"].alias("ay"),
+    )
+    inv_l = cells.lcc_to_lonlat(F.col("lx"), F.col("ly"))
+    inv_a = cells.albers_to_lonlat(F.col("ax"), F.col("ay"))
+    rows = prj.select(
+        "*",
+        inv_l["lon"].alias("lon_e2"), inv_l["lat"].alias("lat_e2"),
+        inv_a["lon"].alias("lon_a2"), inv_a["lat"].alias("lat_a2"),
+    ).collect()
+    nx, ny = cells.np_lonlat_to_lcc(lon_e, lat_e)
+    nax, nay = cells.np_lonlat_to_albers(lon_a, lat_a)
+    got = {(round(r["lon_e"], 9)): r for r in rows}
+    for i in range(len(lon_e)):
+        r = got[round(float(lon_e[i]), 9)]
+        # Spark Column kernel == numpy twin (same formulas, both engines)
+        assert abs(r["lx"] - nx[i]) < 1e-6 and abs(r["ly"] - ny[i]) < 1e-6
+        assert abs(r["ax"] - nax[i]) < 1e-6 and abs(r["ay"] - nay[i]) < 1e-6
+        # inverse round-trips to the input well below the 1e-5 entry rounding
+        assert abs(r["lon_e2"] - lon_e[i]) < 1e-7
+        assert abs(r["lat_e2"] - lat_e[i]) < 1e-7
+        assert abs(r["lon_a2"] - lon_a[i]) < 1e-7
+        assert abs(r["lat_a2"] - lat_a[i]) < 1e-7
