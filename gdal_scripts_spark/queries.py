@@ -3515,6 +3515,23 @@ _FRONT_WINDOW = [
     "gdaldem_hillshade", "gdaldem_tiled_halo", "sieve_filter",
     "band_calc_expr", "raster_to_xyz", "retile_grid", "rasterize_burn",
     "jpeg_psnr_gate",
+    # round-4 S2/hex family: the north-star "batched H3/S2 cell encoding"
+    # surface — ranked ahead of extras whose components already hold
+    # multiple driver greens (R5 warp via resize/cubic/geodetic, P4 via
+    # pip_convex), so the 50-entry driver window verifies the index core
+    # first; the deferred extras re-enter via the automatic rotation
+    "s2_cell_groups", "s2_containment_join", "hex_density",
+    "s2_cover_refine", "pip_s2_cover", "s2_cap_refine",
+    # late-round-3 composites/ops whose components have no other green row
+    "ingest_pipeline", "rasterize_all_touched", "table_io_roundtrip",
+    "linear_interp_tin", "embedding_centroids", "top_terms_per_lang",
+    "viewshed_wall", "footprint_rects", "stratified_sample",
+    "ogrinfo_layers", "percentiles_exact",
+    "zonal_stats_rects", "gdalinfo_report",
+    # round-4 CRS kernels (UTM + conic): new components, verify first
+    "geom_reproject_utm", "geom_reproject_conic",
+    # extras for components already holding >=2 driver greens — these wait
+    # for the round-5 rotation when the window is short
     "warp_lanczos", "warp_reduce_modes", "warp_cutline",
     "jpeg_codec_matrix", "pip_native_hof",
 ]
