@@ -1334,7 +1334,16 @@ def np_pansharpen(ms: np.ndarray, pan: np.ndarray,
     ys = (np.arange(H) * h // H)
     xs = (np.arange(W) * w // W)
     up = ms[np.ix_(ys, xs)].astype(np.float64)
-    pseudo = np.tensordot(up, np.asarray(weights, np.float64), axes=([2], [0]))
+    # fixed-order elementwise weighted sum, NOT tensordot/BLAS: BLAS picks
+    # kernels (FMA width, accumulator count) by CPUID, so the same input
+    # can differ in the last ulp across host epochs and flip np.rint at
+    # exact .5 ties — which broke the committed checksum golden when this
+    # VM migrated hardware. Elementwise IEEE ops are bit-identical
+    # everywhere, keeping the golden machine-independent.
+    wts = np.asarray(weights, np.float64)
+    pseudo = up[:, :, 0] * wts[0]
+    for i in range(1, c):
+        pseudo = pseudo + up[:, :, i] * wts[i]
     ratio = pan.astype(np.float64) / np.maximum(pseudo, 1e-9)
     out = up * ratio[:, :, None]
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
