@@ -143,8 +143,17 @@ def spatial_anti_join(points: DataFrame, pack: geom.PolygonPack, **kw) -> DataFr
 # ---------------------------------------------------------------------------
 
 def _refine_pip(candidates: DataFrame, pack: geom.PolygonPack,
-                id_col: str, lon: str, lat: str) -> DataFrame:
-    """Exact even-odd refine of (point, poly) candidate pairs."""
+                id_col: str, lon: str, lat: str,
+                interior_col: str | None = None) -> DataFrame:
+    """Exact even-odd refine of (point, poly) candidate pairs.
+
+    ``interior_col`` (optional boolean column) marks candidates whose
+    covering cell is PROVEN inside the polygon (s2_cover_regions rings
+    flag): they bypass the ray cast — kept as matches with zero kernel
+    work — so the numpy time scales with the boundary fraction only,
+    while the plan stays ONE scan -> ONE Arrow stage (splitting into a
+    JVM-only branch + refine branch would recompute the whole upstream,
+    including the full-table Arrow leaf encode, once per branch)."""
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(pack)
     id_field = candidates.schema[id_col].dataType.simpleString()
@@ -161,9 +170,14 @@ def _refine_pip(candidates: DataFrame, pack: geom.PolygonPack,
             px = b.column(lon).to_numpy(zero_copy_only=False)
             py = b.column(lat).to_numpy(zero_copy_only=False)
             pids = b.column("poly_id").to_numpy(zero_copy_only=False)
-            keep = np.zeros(b.num_rows, dtype=bool)
-            for pid in np.unique(pids):
-                m = pids == pid
+            if interior_col is not None:
+                keep = b.column(interior_col).to_numpy(
+                    zero_copy_only=False).astype(bool).copy()
+            else:
+                keep = np.zeros(b.num_rows, dtype=bool)
+            todo = ~keep
+            for pid in np.unique(pids[todo]):
+                m = todo & (pids == pid)
                 keep[m] = geom.pip_even_odd_edges(px[m], py[m], pk.edges_of(pos[int(pid)]))
             if keep.any():
                 idx = pa.array(np.nonzero(keep)[0])
@@ -172,9 +186,10 @@ def _refine_pip(candidates: DataFrame, pack: geom.PolygonPack,
                     names=[id_col, "poly_id"],
                 )
 
-    return candidates.select(id_col, lon, lat, "poly_id").mapInArrow(
-        run, schema=out_schema
-    )
+    cols = [id_col, lon, lat, "poly_id"]
+    if interior_col is not None:
+        cols.append(interior_col)
+    return candidates.select(*cols).mapInArrow(run, schema=out_schema)
 
 
 def spatial_join_cells(
@@ -251,6 +266,46 @@ def spatial_join_cells(
     return _refine_pip(cand, pack, id_col, lon, lat)
 
 
+def s2_cover_regions(
+    spark: SparkSession,
+    pack: geom.PolygonPack,
+    max_level: int = 9,
+    cover: str = "bbox",
+) -> DataFrame:
+    """Driver-side S2 covering of every polygon -> broadcastable regions
+    table ``(poly_id long, cell long, interior boolean)``.
+
+    This is the reusable dim-side artifact of the S2 join: at 100 TB the
+    polygon set is computed/covered ONCE (or maintained as a table) and
+    reused across every probe query, so the covering cost is amortized out
+    of the per-query path. ``interior`` is True only for cells PROVEN
+    wholly inside (rings covering); bbox coverings mark everything
+    boundary because the rect coverer's wholly-inside test is sample-based
+    (complete, not exact) and bbox-inside is not polygon-inside anyway.
+    """
+    if cover not in ("bbox", "rings"):
+        raise ValueError(f"cover must be 'bbox' or 'rings', got {cover!r}")
+    from . import s2 as s2mod
+
+    rows: list[tuple[int, int, bool]] = []
+    for i in range(pack.n_polys):
+        pid = int(pack.poly_ids[i])
+        if cover == "rings":
+            cov, interior = s2mod.np_s2_cover_polygon_flags(
+                pack.edges_of(i), max_level=max_level)
+            rows.extend((pid, int(c), bool(f)) for c, f in zip(cov, interior))
+            continue
+        x0, y0, x1, y1 = (float(v) for v in pack.bbox[i])
+        x0, x1 = max(x0, -180.0), min(x1, 180.0)
+        y0, y1 = max(y0, -89.9), min(y1, 89.9)
+        if not (x0 < x1 and y0 < y1):
+            continue
+        for c in s2mod.np_s2_cover_rect(x0, y0, x1, y1, max_level=max_level):
+            rows.append((pid, int(c), False))
+    return spark.createDataFrame(
+        rows, schema="poly_id long, cell long, interior boolean")
+
+
 def spatial_join_s2(
     points: DataFrame,
     pack: geom.PolygonPack,
@@ -259,6 +314,7 @@ def spatial_join_s2(
     lon: str = "lon",
     lat: str = "lat",
     cover: str = "bbox",
+    regions: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, poly_id) via S2 mixed-level covering join + exact refine —
     the sphere-uniform alternative to the z-tile cover of
@@ -276,41 +332,38 @@ def spatial_join_s2(
     spatial_join_broadcast by test.
 
     ``cover="rings"`` switches the bbox covering to the shape-aware
-    ``np_s2_cover_polygon`` (holes respected, boundary-free cells decided
-    by one ray cast) — a TIGHTER candidate set for spiky or holed
-    polygons, identical final pairs.
+    ``np_s2_cover_polygon_flags`` (holes respected, boundary-free cells
+    decided by one ray cast) — a TIGHTER candidate set for spiky or holed
+    polygons, identical final pairs. Its interior flag is EXACT (the
+    boundary-free test runs on a superset box of the cell), so
+    interior-cell candidates are emitted as pairs straight from the
+    codegen equi-join, and ONLY boundary-cell candidates pay the
+    Arrow-batched even-odd refine. At 100 TB the refine traffic scales
+    with the polygon PERIMETER fraction of the data instead of the full
+    match volume — the filter-refine split that defuses the measured
+    copy-bandwidth floor (BENCH/BASELINE.md pip analysis).
+
+    Pass a precomputed ``regions`` table (:func:`s2_cover_regions`) to
+    amortize the driver-side covering across queries; ``max_level`` /
+    ``cover`` are then ignored for region construction.
     """
     from . import s2 as s2mod
 
-    if cover not in ("bbox", "rings"):
-        raise ValueError(f"cover must be 'bbox' or 'rings', got {cover!r}")
     spark = points.sparkSession
-    rows: list[tuple[int, int]] = []
-    for i in range(pack.n_polys):
-        pid = int(pack.poly_ids[i])
-        if cover == "rings":
-            cov = s2mod.np_s2_cover_polygon(pack.edges_of(i),
-                                            max_level=max_level)
-            rows.extend((pid, int(c)) for c in cov)
-            continue
-        x0, y0, x1, y1 = (float(v) for v in pack.bbox[i])
-        x0, x1 = max(x0, -180.0), min(x1, 180.0)
-        y0, y1 = max(y0, -89.9), min(y1, 89.9)
-        if not (x0 < x1 and y0 < y1):
-            continue
-        for c in s2mod.np_s2_cover_rect(x0, y0, x1, y1, max_level=max_level):
-            rows.append((pid, int(c)))
-    regions = spark.createDataFrame(rows, schema="poly_id long, cell long")
+    if regions is None:
+        regions = s2_cover_regions(spark, pack, max_level=max_level,
+                                   cover=cover)
     probe = points.select(
         id_col, lon, lat,
         s2mod.s2_cell_id(F.col(lon), F.col(lat), 30).alias("_leaf"),
     )
     cand = s2mod.s2_containment_join(
         probe, F.broadcast(regions), leaf_col="_leaf", cell_col="cell"
-    ).select(id_col, lon, lat, "poly_id")
+    ).select(id_col, lon, lat, "poly_id", "interior")
     # no dedupe needed: each polygon's covering is a DISJOINT partition, so
     # a point matches at most one covering cell per polygon
-    return _refine_pip(cand, pack, id_col, lon, lat)
+    return _refine_pip(cand, pack, id_col, lon, lat,
+                       interior_col="interior")
 
 
 # ---------------------------------------------------------------------------

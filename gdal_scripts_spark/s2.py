@@ -419,23 +419,43 @@ def np_s2_children(cell):
 def np_s2_cell_samples(cell: int, k: int = 5):
     """k x k lon/lat sample grid spanning one cell's interior + edges
     (ST-space uniform, includes the 4 corners)."""
-    cid = np.asarray([cell], dtype=np.int64).view(np.uint64)
+    lon, lat = np_s2_cells_samples(np.asarray([cell], dtype=np.int64), k)
+    return lon[0], lat[0]
+
+
+def np_s2_cells_samples(cells, k: int = 5):
+    """Batched :func:`np_s2_cell_samples`: (N,) cell ids -> (N, k*k)
+    lon/lat sample grids, one vectorized pass over ALL cells (identical
+    IEEE arithmetic per element, so results match the per-cell path
+    bit-for-bit — the region coverers below rely on that)."""
+    cid = np.asarray(cells, dtype=np.int64).view(np.uint64)
     face, i, j, _ = np_s2_id_to_face_ij(cid)
-    level = int(np_s2_level(cid.view(np.int64))[0])
-    size = 1 << (MAX_LEVEL - level)
-    i0 = (int(i[0]) // size) * size
-    j0 = (int(j[0]) // size) * size
+    level = np_s2_level(cid.view(np.int64))
+    size = (np.int64(1) << (MAX_LEVEL - level)).astype(np.int64)
+    i0 = (i // size) * size
+    j0 = (j // size) * size
     fr = np.linspace(0.0, 1.0, k)
-    ss = (i0 + fr * size) / _LIMIT_IJ
-    ts = (j0 + fr * size) / _LIMIT_IJ
-    sg, tg = np.meshgrid(ss, ts)
-    u = np_st_to_uv(sg.ravel())
-    v = np_st_to_uv(tg.ravel())
+    ss = (i0[:, None] + fr[None, :] * size[:, None]) / _LIMIT_IJ  # (N, k)
+    ts = (j0[:, None] + fr[None, :] * size[:, None]) / _LIMIT_IJ
+    # per-cell meshgrid(ss, ts) then ravel(): element (r*k + c) reads
+    # (ss[c], ts[r]) — reproduce via broadcasting
+    u = np.broadcast_to(np_st_to_uv(ss)[:, None, :],
+                        (len(cid), k, k)).reshape(len(cid), k * k)
+    v = np.broadcast_to(np_st_to_uv(ts)[:, :, None],
+                        (len(cid), k, k)).reshape(len(cid), k * k)
     one = np.ones_like(u)
-    f = int(face[0])
-    x = [one, -u, -u, -one, v, v][f]
-    y = [u, one, -v, -v, -one, u][f]
-    z = [v, v, one, -u, -u, -one][f]
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    xs = (one, -u, -u, -one, v, v)
+    ys = (u, one, -v, -v, -one, u)
+    zs = (v, v, one, -u, -u, -one)
+    for f in range(6):
+        m = face == f
+        if m.any():
+            x[m] = xs[f][m]
+            y[m] = ys[f][m]
+            z[m] = zs[f][m]
     lon = np.degrees(np.arctan2(y, x))
     lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
     return lon, lat
@@ -518,6 +538,34 @@ def _seg_rect_any(x1, y1, x2, y2, rx0, ry0, rx1, ry1) -> bool:
     return bool(np.any(ok & (t0 <= t1)))
 
 
+def _seg_rect_any_batched(x1, y1, x2, y2, rx0, ry0, rx1, ry1) -> np.ndarray:
+    """Batched :func:`_seg_rect_any`: (E,) segments against (N,) rects ->
+    (N,) bool, one Liang-Barsky clip over the full (N, E) grid."""
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    rx0 = np.asarray(rx0, dtype=np.float64)[:, None]
+    ry0 = np.asarray(ry0, dtype=np.float64)[:, None]
+    rx1 = np.asarray(rx1, dtype=np.float64)[:, None]
+    ry1 = np.asarray(ry1, dtype=np.float64)[:, None]
+    dx = x2 - x1
+    dy = y2 - y1
+    n, e = rx0.shape[0], x1.shape[0]
+    t0 = np.zeros((n, e))
+    t1 = np.ones((n, e))
+    ok = np.ones((n, e), dtype=bool)
+    for p, q in ((-dx, x1 - rx0), (dx, rx1 - x1),
+                 (-dy, y1 - ry0), (dy, ry1 - y1)):
+        zero = p == 0.0  # (E,)
+        ok &= ~(zero & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        t0 = np.where(~zero & (p < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~zero & (p > 0.0), np.minimum(t1, r), t1)
+    return (ok & (t0 <= t1)).any(axis=1)
+
+
 def np_s2_cover_polygon(edges, *, max_level: int = 10,
                         samples: int = 5) -> np.ndarray:
     """Mixed-level S2 covering of an even-odd polygon interior (rings may
@@ -538,46 +586,85 @@ def np_s2_cover_polygon(edges, *, max_level: int = 10,
     and the covering is COMPLETE; boundary cells make it a superset, which
     the engine's even-odd Arrow refine then trims exactly.
     """
+    return np_s2_cover_polygon_flags(edges, max_level=max_level,
+                                     samples=samples)[0]
+
+
+def np_s2_cover_polygon_flags(edges, *, max_level: int = 10,
+                              samples: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """``(cells, interior)`` — the covering of :func:`np_s2_cover_polygon`
+    plus a per-cell EXACT-interior flag.
+
+    ``interior[i]`` is True iff the cell was kept by the boundary-free
+    branch: its conservative lon/lat box (a SUPERSET of the cell) contains
+    no polygon edge and one ray cast put it inside. Every point of such a
+    cell is therefore inside the polygon with certainty — a containment
+    join may emit those pairs WITHOUT the per-point refine, so only the
+    boundary-cell fraction of a 100 TB point table ever crosses the
+    JVM->Arrow copy boundary (the measured pip cost floor). Boundary cells
+    (``interior`` False) remain conservative and still require the exact
+    even-odd refine.
+    """
     from . import geom as _geom
 
     if not 0 <= max_level <= MAX_LEVEL:
         raise ValueError(f"max_level must be in [0, {MAX_LEVEL}]")
     ex1, ey1, ex2, ey2 = (np.asarray(a, dtype=np.float64) for a in edges)
     if ex1.size == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
     pb_x0 = float(min(ex1.min(), ex2.min()))
     pb_x1 = float(max(ex1.max(), ex2.max()))
     pb_y0 = float(min(ey1.min(), ey2.min()))
     pb_y1 = float(max(ey1.max(), ey2.max()))
 
-    out: list[int] = []
-    frontier = [int(c) for c in
-                np_s2_cell_id([0.0, 90.0, 0.0, 180.0, -90.0, 0.0],
-                              [0.0, 0.0, 90.0, 0.0, 0.0, -90.0], 0)]
-    while frontier:
-        cell = frontier.pop()
-        lon, lat = np_s2_cell_samples(cell, samples)
-        lon_m = float(np.max(np.abs(np.diff(np.sort(lon))))) if lon.size > 1 else 0.0
-        lat_m = float(np.max(np.abs(np.diff(np.sort(lat))))) if lat.size > 1 else 0.0
-        seam = (np.max(lon) - np.min(lon)) > 180.0
-        bx0 = -180.0 if seam else float(np.min(lon) - lon_m)
-        bx1 = 180.0 if seam else float(np.max(lon) + lon_m)
-        by0 = float(np.min(lat) - lat_m)
-        by1 = float(np.max(lat) + lat_m)
-        if bx1 < pb_x0 or bx0 > pb_x1 or by1 < pb_y0 or by0 > pb_y1:
-            continue  # certainly disjoint
-        crosses = _seg_rect_any(ex1, ey1, ex2, ey2, bx0, by0, bx1, by1)
-        if not crosses:
-            # boundary-free box: the whole cell is uniformly in or out
-            if bool(_geom.pip_even_odd_edges(lon[:1], lat[:1], edges)[0]):
-                out.append(cell)
-            continue
-        lvl = int(np_s2_level(np.asarray([cell]))[0])
+    kept: list[np.ndarray] = []
+    kept_flags: list[np.ndarray] = []
+    # level-batched BFS: every frontier generation is one level deeper, so
+    # each iteration processes ALL its cells in one vectorized pass (the
+    # per-cell recursion this replaces spent its time in ~len(covering)
+    # small-array numpy calls; decisions and arithmetic are identical)
+    frontier = np_s2_cell_id([0.0, 90.0, 0.0, 180.0, -90.0, 0.0],
+                             [0.0, 0.0, 90.0, 0.0, 0.0, -90.0], 0)
+    lvl = 0
+    while frontier.size:
+        lon, lat = np_s2_cells_samples(frontier, samples)  # (N, k*k)
+        slon = np.sort(lon, axis=1)
+        slat = np.sort(lat, axis=1)
+        lon_m = np.max(np.abs(np.diff(slon, axis=1)), axis=1)
+        lat_m = np.max(np.abs(np.diff(slat, axis=1)), axis=1)
+        seam = (slon[:, -1] - slon[:, 0]) > 180.0
+        bx0 = np.where(seam, -180.0, slon[:, 0] - lon_m)
+        bx1 = np.where(seam, 180.0, slon[:, -1] + lon_m)
+        by0 = slat[:, 0] - lat_m
+        by1 = slat[:, -1] + lat_m
+        live = ~((bx1 < pb_x0) | (bx0 > pb_x1) | (by1 < pb_y0) | (by0 > pb_y1))
+        crosses = np.zeros(frontier.size, dtype=bool)
+        if live.any():
+            crosses[live] = _seg_rect_any_batched(
+                ex1, ey1, ex2, ey2,
+                bx0[live], by0[live], bx1[live], by1[live])
+        free = live & ~crosses  # boundary-free box: uniformly in or out
+        if free.any():
+            ins = _geom.pip_even_odd_edges(lon[free, 0], lat[free, 0], edges)
+            sure = frontier[free][ins]
+            if sure.size:
+                kept.append(sure)
+                kept_flags.append(np.ones(sure.size, dtype=bool))
+        hit = live & crosses
         if lvl >= max_level:
-            out.append(cell)  # boundary cell of the covering
-        else:
-            frontier.extend(int(c) for c in np_s2_children([cell])[0])
-    return np.array(sorted(out), dtype=np.int64)
+            leaf = frontier[hit]  # boundary cells of the covering
+            if leaf.size:
+                kept.append(leaf)
+                kept_flags.append(np.zeros(leaf.size, dtype=bool))
+            break
+        frontier = np_s2_children(frontier[hit]).reshape(-1)
+        lvl += 1
+    if not kept:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    cells_arr = np.concatenate(kept)
+    flags = np.concatenate(kept_flags)
+    order = np.argsort(cells_arr)
+    return cells_arr[order], flags[order]
 
 
 _EARTH_R_M = 6371008.8
@@ -656,14 +743,32 @@ def s2_containment_join(points: DataFrame, regions: DataFrame, *,
     union fans out only over levels actually present in the covering.
     """
     lvl = s2_level(F.col(cell_col)).alias("_lvl")
-    levels = [r["_lvl"] for r in regions.select(lvl).distinct().collect()]
+    levels = sorted({int(r["_lvl"]) for r in regions.select(lvl).distinct().collect()})
     if not levels:
         # empty covering: empty inner result with the joint schema
         empty = points.withColumn("_cell", F.col(leaf_col))
         return empty.join(regions, empty["_cell"] == regions[cell_col],
                           "inner").drop("_cell").where(F.lit(False))
+    if how == "inner":
+        # ONE join: snap the leaf to every present level (pure-Column bit
+        # math — an array of <=31 longs) and explode. A snapped cell can
+        # only equal a region cell AT ITS OWN LEVEL (the lsb encodes the
+        # level), so this is exactly the union of per-level equi-joins —
+        # but the probe side is scanned ONCE instead of once per level
+        # (the union form re-ran the whole upstream plan, including the
+        # Arrow leaf encode, for every level branch — n_levels full scans
+        # of a 100 TB table).
+        snapped = points.withColumn(
+            "_cell",
+            F.explode(F.array(*[s2_parent(F.col(leaf_col), lv)
+                                for lv in levels])),
+        )
+        return snapped.join(regions, snapped["_cell"] == regions[cell_col],
+                            "inner").drop("_cell")
+    # non-inner joins keep per-level branches (outer semantics differ
+    # under row multiplication)
     parts = []
-    for lv in sorted(int(x) for x in levels):
+    for lv in levels:
         reg = regions.where(s2_level(F.col(cell_col)) == lv)
         snapped = points.withColumn("_cell", s2_parent(F.col(leaf_col), lv))
         parts.append(

@@ -410,6 +410,61 @@ def test_spatial_join_s2_rings_matches_broadcast(spark):
     assert a == b and len(a) > 0
 
 
+def test_cover_polygon_flags_interior_exact():
+    """Interior-flagged cells are EXACTLY inside: every leaf-sample of an
+    interior cell ray-casts inside the polygon, flags align with the
+    unflagged covering, and a large holed polygon yields BOTH kinds."""
+    from gdal_scripts_spark import geom
+
+    rings = [
+        np.array([[0.0, 0.0], [30.0, 2.0], [34.0, 28.0], [14.0, 20.0],
+                  [2.0, 26.0]]),                       # non-convex shell
+        np.array([[10.0, 8.0], [18.0, 8.0], [18.0, 14.0], [10.0, 14.0]]),
+    ]
+    pack = geom.PolygonPack.from_rings([(0, rings)])
+    edges = pack.edges_of(0)
+    cov, flags = s2.np_s2_cover_polygon_flags(edges, max_level=8)
+    assert np.array_equal(cov, s2.np_s2_cover_polygon(edges, max_level=8))
+    assert flags.any() and (~flags).any()
+    for cell in cov[flags]:
+        lon, lat = s2.np_s2_cell_samples(int(cell), 4)
+        assert geom.pip_even_odd_edges(lon, lat, edges).all()
+
+
+def test_spatial_join_s2_interior_shortcut_fires(spark):
+    """cover='rings' must route interior-cell candidates around the Arrow
+    refine (pairs come from the codegen equi-join alone) and still match
+    the broadcast path exactly on a polygon big enough to have interior
+    cells — including its hole."""
+    from gdal_scripts_spark import fixtures, geom, joins
+
+    rings = [
+        np.array([[0.0, 0.0], [30.0, 2.0], [34.0, 28.0], [14.0, 20.0],
+                  [2.0, 26.0]]),
+        np.array([[10.0, 8.0], [18.0, 8.0], [18.0, 14.0], [10.0, 14.0]]),
+    ]
+    pack = geom.PolygonPack.from_rings([(7, rings)])
+    rng = np.random.default_rng(11)
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "image_id": np.arange(4000, dtype=np.int64),
+        "lon": rng.uniform(-5.0, 40.0, 4000),
+        "lat": rng.uniform(-5.0, 33.0, 4000),
+    })
+    pts = spark.createDataFrame(pdf)
+    got = joins.spatial_join_s2(pts, pack, max_level=8, cover="rings")
+    a = set(map(tuple, got.collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
+    # hole points excluded
+    assert not any(10.0 < pdf.lon[i] < 18.0 and 8.0 < pdf.lat[i] < 14.0
+                   for i, _ in a)
+    # the shortcut really fired: interior cells exist in the covering
+    _, flags = s2.np_s2_cover_polygon_flags(pack.edges_of(0), max_level=8)
+    assert flags.any()
+
+
 def test_cover_rect_bad_inputs():
     with pytest.raises(ValueError):
         s2.np_s2_cover_rect(10, 0, 5, 10)  # inverted lon
