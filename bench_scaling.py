@@ -55,6 +55,7 @@ SIZES = {
     "salted_join": 8_000_000,
     "bucketed_join": 8_000_000,
     "pip": 4_000_000,
+    "pip_s2": 8_000_000,
     "pip_native": 2_000_000,
     "tile_cut": 40_000,
 }
@@ -98,7 +99,8 @@ def synth_pts(m):
 CAPS = {"assign": 4_000_000_000, "s2_assign": 2_000_000_000,
         "salted_join": 200_000_000,
         "bucketed_join": 2_000_000_000,
-        "pip": 40_000_000, "pip_native": 1_000_000_000, "tile_cut": 400_000}
+        "pip": 40_000_000, "pip_s2": 400_000_000,
+        "pip_native": 1_000_000_000, "tile_cut": 400_000}
 n_cap = CAPS[wl]
 _cached = {}
 
@@ -173,6 +175,23 @@ def rebuild(m):
         pack = fixtures.polygons_pack(p=200)
         def job():
             return joins.spatial_join_broadcast(pts, pack).count()
+    elif wl == "pip_s2":
+        # filter-refine split: rings covering with EXACT interior flags
+        # (precomputed once, like a deployed dim-side covering table);
+        # interior candidates bypass the ray cast inside the refine
+        # kernel, so the Python stage scales with the polygon BOUNDARY
+        # fraction (interior area frac 0.79 at max_level=10 for this
+        # pack) instead of the full match volume
+        pts = synth_pts(m).select(F.col("id").alias("image_id"), "lon", "lat").persist()
+        pts.count(); _cached["pts"] = pts
+        pack = fixtures.polygons_pack(p=200)
+        reg = joins.s2_cover_regions(spark, pack, max_level=10,
+                                     cover="rings").persist()
+        reg.count(); _cached["reg"] = reg
+        def job():
+            return joins.spatial_join_s2(pts, pack, id_col="image_id",
+                                         regions=reg,
+                                         split_interior=True).count()
     elif wl == "pip_native":
         pts = synth_pts(m).select(F.col("id").alias("image_id"), "lon", "lat").persist()
         pts.count(); _cached["pts"] = pts
@@ -463,7 +482,7 @@ if __name__ == "__main__":
 def main() -> None:
     results: dict = {"target_s": TARGET_S, "workloads": {}}
     for wl in ("assign", "s2_assign", "salted_join", "bucketed_join", "pip",
-               "tile_cut"):
+               "pip_s2", "tile_cut"):
         results["workloads"][wl] = measure(wl)
     s_on = run_worker(SALT_AB, "salt")
     s_off = run_worker(SALT_AB, "nosalt")
@@ -489,6 +508,7 @@ def main() -> None:
         json.dump(results, f, indent=2)
 
     a, sj, pp, tc = wls["assign"], wls["salted_join"], wls["pip"], wls["tile_cut"]
+    ps = wls["pip_s2"]
     bj = wls["bucketed_join"]
     s2w = wls["s2_assign"]
     ctrl = results["control_mp"]
@@ -511,6 +531,7 @@ drifts over time; efficiency = (min T_8 / min T_32) / 4.
 | bucketed_join (co-located layout) | same Zipf-hot join, salt baked into 64-bucket tables, ZERO Exchange | {bj["n"]:,} | {bj["wall8"]} | {bj["wall32"]} | {bj["throughput32"]:,.0f} | **{bj["efficiency"]}** |
 | s2_assign (metric: S2 cell encoding) | Arrow-batched exact-S2 Hilbert encode + codegen parent/rollup | {s2w["n"]:,} | {s2w["wall8"]} | {s2w["wall32"]} | {s2w["throughput32"]:,.0f} | **{s2w["efficiency"]}** |
 | pip (Arrow refine stage) | broadcast PiP join vs 200 polys | {pp["n"]:,} | {pp["wall8"]} | {pp["wall32"]} | {pp["throughput32"]:,.0f} | {pp["efficiency"]} |
+| pip_s2 (filter-refine split) | S2 rings covering join, interior cells bypass the ray cast (refine = boundary fraction only) | {ps["n"]:,} | {ps["wall8"]} | {ps["wall32"]} | {ps["throughput32"]:,.0f} | **{ps["efficiency"]}** |
 | tile_cut (Python raster stage) | XYZ cut: decode+resample+PNG | {tc["n"]:,} | {tc["wall8"]} | {tc["wall32"]} | {tc["throughput32"]:,.0f} | {tc["efficiency"]} |
 | control (host ceiling, NO Spark) | mp.Pool numpy+zlib, 8 vs 32 procs | — | {ctrl["per_unit_8"]} s/unit | {ctrl["per_unit_32"]} s/unit | — | **{ctrl["efficiency"]}** |
 | control (pip kernel, NO Spark) | geom.pip_batch under mp.Pool, 4M pts | 4,000,000 | {pk["wall8"]} | {pk["wall32"]} | — | **{pk["efficiency"]}** |
@@ -560,6 +581,16 @@ Reading the table honestly:
   is the copy traffic itself. On a real N -> 4N cluster each node brings
   its own memory bus and loopback, so this floor scales with nodes — the
   same story as the shuffle-disk row, now proven at the copy level.
+- **pip_s2 is the engineered answer to the pip floor (round 4)**: the
+  rings covering carries an EXACT per-cell interior flag (the coverer's
+  boundary-free test runs on a superset box of the cell), so candidates
+  from interior cells bypass the ray cast inside the refine kernel and
+  the numpy work tracks the polygon BOUNDARY fraction. The plan is one
+  scan -> one Arrow leaf encode -> one broadcast equi-join (all covering
+  levels snapped and exploded, single join — the union-of-levels form
+  re-ran the probe scan+encode once per level) -> one refine stage.
+  Covering construction is driver-side, vectorized, and amortized like a
+  deployed dim table ({ps["n"]:,} pts: see table row).
 - **The zero-Python counterfactual was built and measured, and it LOSES**:
   `joins.spatial_join_native` re-expresses the same join with no Python
   workers (codegen cell encode -> broadcast cover join -> codegen bbox

@@ -315,6 +315,7 @@ def spatial_join_s2(
     lat: str = "lat",
     cover: str = "bbox",
     regions: DataFrame | None = None,
+    split_interior: bool = False,
 ) -> DataFrame:
     """(id_col, poly_id) via S2 mixed-level covering join + exact refine —
     the sphere-uniform alternative to the z-tile cover of
@@ -346,6 +347,21 @@ def spatial_join_s2(
     Pass a precomputed ``regions`` table (:func:`s2_cover_regions`) to
     amortize the driver-side covering across queries; ``max_level`` /
     ``cover`` are then ignored for region construction.
+
+    ``split_interior`` picks how interior-cell candidates avoid the ray
+    cast, a MATCH-DENSITY tradeoff (both produce identical pairs):
+
+    - False (default): one plan branch; interior candidates ride through
+      the refine kernel flagged as proven matches (zero numpy work but
+      they still cross the JVM->Arrow copy boundary). Best when points
+      match few polygons — the candidate stream is about the size of the
+      point stream and a second scan would cost more than it saves.
+    - True: the leaf-encoded probe is persisted (points-sized, narrow)
+      and interior pairs are emitted straight from the codegen equi-join
+      — they NEVER enter Python; only boundary candidates cross. Best for
+      dense overlap (candidates >> points), where the measured Arrow copy
+      floor is the dominant cost. Caller owns the persisted probe's
+      lifetime (it unpersists with the session/GC).
     """
     from . import s2 as s2mod
 
@@ -357,11 +373,17 @@ def spatial_join_s2(
         id_col, lon, lat,
         s2mod.s2_cell_id(F.col(lon), F.col(lat), 30).alias("_leaf"),
     )
+    if split_interior:
+        probe = probe.persist()
     cand = s2mod.s2_containment_join(
         probe, F.broadcast(regions), leaf_col="_leaf", cell_col="cell"
     ).select(id_col, lon, lat, "poly_id", "interior")
     # no dedupe needed: each polygon's covering is a DISJOINT partition, so
     # a point matches at most one covering cell per polygon
+    if split_interior:
+        sure = cand.filter(F.col("interior")).select(id_col, "poly_id")
+        maybe = cand.filter(~F.col("interior")).drop("interior")
+        return sure.unionByName(_refine_pip(maybe, pack, id_col, lon, lat))
     return _refine_pip(cand, pack, id_col, lon, lat,
                        interior_col="interior")
 

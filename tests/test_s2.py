@@ -463,6 +463,12 @@ def test_spatial_join_s2_interior_shortcut_fires(spark):
     # the shortcut really fired: interior cells exist in the covering
     _, flags = s2.np_s2_cover_polygon_flags(pack.edges_of(0), max_level=8)
     assert flags.any()
+    # split mode (interior pairs emitted JVM-side, probe persisted) is
+    # pair-identical too — same covering, different plan shape
+    c = set(map(tuple, joins.spatial_join_s2(
+        pts, pack, max_level=8, cover="rings",
+        split_interior=True).collect()))
+    assert c == b
 
 
 def test_cover_rect_bad_inputs():
