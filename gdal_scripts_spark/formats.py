@@ -455,6 +455,125 @@ def geom_num_points(g: Column) -> Column:
     )
 
 
+def geodesic_length(g: Column) -> Column:
+    """Great-circle (spherical) path length in METERS over lon/lat
+    vertices — the sphere limit of ``OGR_G_GeodesicLength`` (public GDAL
+    ogr/ogrcurve.cpp : get_GeodesicLength, which delegates to
+    GeographicLib; on a sphere the geodesic is the great circle, so each
+    segment is one haversine). Same mean radius as every other metric in
+    the engine (cells.HAVERSINE_RADIUS). All-JVM: zip_with + aggregate
+    over the geometry struct, no Python in the hot path."""
+    from .cells import haversine_m
+
+    def ring_len(ring):
+        n = F.size(ring)
+        a = F.slice(ring, 1, n - 1)
+        b = F.slice(ring, 2, n - 1)
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda p, q: haversine_m(p["x"], p["y"], q["x"], q["y"]),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.aggregate(
+        g["parts"],
+        F.lit(0.0),
+        lambda acc, part: acc
+        + F.aggregate(part, F.lit(0.0), lambda a2, r: a2 + ring_len(r)),
+    )
+
+
+def _ring_cd_sum(ring: Column) -> Column:
+    """Chamberlain-Duquette spherical-excess partial sum over one ring:
+    sum of rad(lon2-lon1) * (2 + sin(rad lat1) + sin(rad lat2)) over
+    consecutive vertex pairs plus the closing wrap pair (zero when the
+    ring is stored closed, i.e. first == last)."""
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    term = lambda p, q: F.radians(q["x"] - p["x"]) * (  # noqa: E731
+        F.lit(2.0) + F.sin(F.radians(p["y"])) + F.sin(F.radians(q["y"]))
+    )
+    seg = F.aggregate(
+        F.zip_with(a, b, term), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return seg + term(F.element_at(ring, -1), F.element_at(ring, 1))
+
+
+def geodesic_area(g: Column) -> Column:
+    """Spherical polygon area in SQUARE METERS — the sphere limit of
+    ``OGR_G_GeodesicArea`` via the Chamberlain & Duquette (JPL 2007)
+    spherical-excess formula: |sum over ring edges of
+    (lam2-lam1)*(2+sin phi1+sin phi2)| * R^2/2, exterior minus holes per
+    part, 0 for non-surface kinds (matching planar geom_area's contract).
+    All-JVM."""
+    from .cells import HAVERSINE_RADIUS
+
+    half_r2 = F.lit(HAVERSINE_RADIUS * HAVERSINE_RADIUS / 2.0)
+
+    def part_area(part):
+        ext = F.abs(_ring_cd_sum(F.element_at(part, 1))) * half_r2
+        holes = F.aggregate(
+            F.slice(part, 2, F.greatest(F.size(part) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.abs(_ring_cd_sum(r)) * half_r2,
+        )
+        return ext - holes
+
+    return F.when(
+        g["kind"].endswith("POLYGON"),
+        F.aggregate(g["parts"], F.lit(0.0), lambda acc, p: acc + part_area(p)),
+    ).otherwise(F.lit(0.0))
+
+
+def segmentize(g: Column, max_len) -> Column:
+    """ogr2ogr ``-segmentize <max_length>`` analog (public GDAL
+    ogr/ogrgeometry.cpp : OGRGeometry::segmentize): insert evenly spaced
+    vertices so no segment of any ring/path exceeds ``max_len`` (planar
+    units). Each segment p->q with length d is split into
+    k = max(ceil(d/max_len), 1) equal pieces, keeping the original
+    vertices; kind is unchanged. Pure Column (nested transform/zip_with/
+    sequence — whole-stage codegen, no Python), so densifying a billion
+    geometries is map-only JVM work."""
+    if not isinstance(max_len, Column):
+        if not float(max_len) > 0.0:
+            raise ValueError("segmentize max_len must be > 0")
+        max_len = F.lit(float(max_len))
+
+    def seg_pts(p, q):
+        d = F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"])
+            + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        )
+        k = F.greatest(F.ceil(d / max_len).cast("int"), F.lit(1))
+        kd = k.cast("double")
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda j: F.struct(
+                (p["x"] + (q["x"] - p["x"]) * j.cast("double") / kd).alias("x"),
+                (p["y"] + (q["y"] - p["y"]) * j.cast("double") / kd).alias("y"),
+            ),
+        )
+
+    def densify_ring(ring):
+        n = F.size(ring)
+        a = F.slice(ring, 1, n - 1)
+        b = F.slice(ring, 2, n - 1)
+        return F.concat(
+            F.flatten(F.zip_with(a, b, seg_pts)), F.slice(ring, -1, 1)
+        )
+
+    return F.struct(
+        g["kind"].alias("kind"),
+        F.transform(
+            g["parts"], lambda part: F.transform(part, densify_ring)
+        ).alias("parts"),
+    )
+
+
 def geom_bbox(g: Column) -> Column:
     """struct<minx,miny,maxx,maxy> over every vertex. All-JVM."""
     pts = F.flatten(F.flatten(g["parts"]))

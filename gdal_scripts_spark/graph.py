@@ -128,7 +128,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _cc_distributed(e: DataFrame, max_rounds: int) -> DataFrame:
+def _cc_distributed(
+    e: DataFrame, max_rounds: int, local_edges_threshold: int = 0
+) -> DataFrame:
     """Alternating large-star / small-star over a monotonically shrinking
     edge set -> (id, comp) star edges for every NON-isolated node.
 
@@ -142,7 +144,17 @@ def _cc_distributed(e: DataFrame, max_rounds: int) -> DataFrame:
     steps, and since both steps preserve connectivity its stars are the
     input's components, centered on each component's minimum id because
     children always exceed parents). O(log^2 n) iterations worst case;
-    2-4 in practice."""
+    2-4 in practice.
+
+    Tail cutoff: both star steps preserve the non-isolated node set (every
+    node re-emerges as a child of, or the parent in, its group's output),
+    so once the per-round count shows the rewritten edge set has shrunk
+    under ``local_edges_threshold`` the remaining rounds collapse into ONE
+    single-task union-find (``_cc_local``) — connectivity is invariant
+    under the steps, so components (and their min ids) are unchanged. The
+    late rounds are exactly the driver-synchronization-bound ones (a tiny
+    star table, 2-4 barriers), so cutting them helps wall AND the N->4N
+    efficiency, which fixed per-round costs dilute."""
     cur = e.localCheckpoint()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
@@ -158,6 +170,14 @@ def _cc_distributed(e: DataFrame, max_rounds: int) -> DataFrame:
             F.count("*").alias("n"),
             F.count_distinct("a").alias("d"),
         ).collect()[0]
+        # tail cutoff: the star steps shrank the graph under the hybrid
+        # threshold (same symmetrized-row scale as the wrapper's routing
+        # metric) — finish in one union-find task instead of 2-4 more
+        # driver-synchronized rounds over a tiny table
+        if 0 < 2 * n <= local_edges_threshold:
+            return _cc_local(
+                cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            )
         if n == n_children:
             both = (
                 cur.select("a")
@@ -221,7 +241,7 @@ def connected_components(
             und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         )
     else:
-        part = _cc_distributed(und, max_rounds)
+        part = _cc_distributed(und, max_rounds, local_edges_threshold)
 
     out = (
         nodes.join(part, nodes["id"] == part["id"], "left")

@@ -3475,6 +3475,135 @@ FROM d WHERE dist_m <= 1.2e6
 """)
 
 
+def _q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (spherical) length + area over lon/lat geometries — the
+    sphere limit of OGR_G_GeodesicLength / OGR_G_GeodesicArea (public GDAL
+    ogr/ogrcurve.cpp : get_GeodesicLength, ogr/ogrsurface.cpp :
+    get_GeodesicArea). A two-segment great-circle path and a geographic
+    rect per customer; pure-Column haversine + Chamberlain-Duquette sums
+    (formats.geodesic_length/geodesic_area — zero Python in the metric).
+    The oracle re-derives both from the same published formulas in DuckDB
+    SQL."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col("c_custkey")
+    lon0 = (c % 120).cast("double") - 60.0
+    lat0 = ((c * 7) % 80).cast("double") - 40.0
+    a = (c % 5 + 1).cast("double")
+    b = ((c * 3) % 4 + 1).cast("double")
+    sp, cm = F.lit(" "), F.lit(", ")
+    line_wkt = F.concat(
+        F.lit("LINESTRING ("),
+        _int_str(lon0), sp, _int_str(lat0), cm,
+        _int_str(lon0 + a), sp, _int_str(lat0), cm,
+        _int_str(lon0 + a), sp, _int_str(lat0 + b),
+        F.lit(")"),
+    )
+    poly_wkt = F.concat(
+        F.lit("POLYGON ("), _rect_ring_str(lon0, lat0, a, b), F.lit(")")
+    )
+    g = cust.select(
+        "c_custkey",
+        formats.wkt_parse(line_wkt).alias("line"),
+        formats.wkt_parse(poly_wkt).alias("poly"),
+    )
+    return g.select(
+        "c_custkey",
+        F.round(formats.geodesic_length(F.col("line")) / 1000.0, 3).alias(
+            "path_km"
+        ),
+        F.round(formats.geodesic_area(F.col("poly")) / 1.0e6, 3).alias(
+            "area_km2"
+        ),
+    )
+
+
+_add("geodesic_measures", _q_geodesic_measures, """
+WITH src AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 120 AS DOUBLE) - 60.0 AS lon0,
+         CAST((c_custkey * 7) % 80 AS DOUBLE) - 40.0 AS lat0,
+         CAST(c_custkey % 5 + 1 AS DOUBLE) AS a,
+         CAST((c_custkey * 3) % 4 + 1 AS DOUBLE) AS b
+  FROM customer
+), hav AS (
+  SELECT *,
+    -- segment 1: (lon0,lat0)->(lon0+a,lat0); segment 2 is meridional
+    2.0 * 6371008.8 * asin(sqrt(
+      pow(sin(0.0), 2)
+      + cos(lat0 * pi() / 180.0) * cos(lat0 * pi() / 180.0)
+        * pow(sin(a * pi() / 180.0 / 2.0), 2))) AS d1,
+    2.0 * 6371008.8 * asin(sqrt(
+      pow(sin(b * pi() / 180.0 / 2.0), 2))) AS d2,
+    -- Chamberlain-Duquette rect: only the two zonal edges contribute
+    radians(a) * (2.0 + 2.0 * sin(radians(lat0)))
+      + radians(-a) * (2.0 + 2.0 * sin(radians(lat0 + b))) AS cd
+  FROM src
+)
+SELECT c_custkey,
+  round((d1 + d2) / 1000.0, 3) AS path_km,
+  round(abs(cd) * 6371008.8 * 6371008.8 / 2.0 / 1.0e6, 3) AS area_km2
+FROM hav
+""")
+
+
+def _q_segmentize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -segmentize analog: densify an axis-aligned two-segment
+    path (integer legs a, b) to max segment length 0.5 — every leg splits
+    into exact dyadic halves, so vertex count (2a+2b+1), unchanged total
+    length (a+b) and the coordinate sums are all closed-form and
+    float-exact on both engines. Pure-Column HOFs (formats.segmentize);
+    ref public GDAL ogr/ogrgeometry.cpp : OGRGeometry::segmentize."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col("c_custkey")
+    x0 = (c % 50).cast("double")
+    y0 = ((c * 3) % 40).cast("double")
+    a = (c % 5 + 1).cast("double")
+    b = ((c * 3) % 4 + 1).cast("double")
+    sp, cm = F.lit(" "), F.lit(", ")
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        _int_str(x0), sp, _int_str(y0), cm,
+        _int_str(x0 + a), sp, _int_str(y0), cm,
+        _int_str(x0 + a), sp, _int_str(y0 + b),
+        F.lit(")"),
+    )
+    g = cust.select(
+        "c_custkey",
+        formats.segmentize(formats.wkt_parse(wkt), 0.5).alias("geom"),
+    )
+    pts = F.element_at(F.element_at(F.col("geom")["parts"], 1), 1)
+    return g.select(
+        "c_custkey",
+        formats.geom_num_points(F.col("geom")).cast("long").alias("n_pts"),
+        formats.geom_length(F.col("geom")).alias("path_len"),
+        F.aggregate(
+            pts, F.lit(0.0), lambda acc, p: acc + p["x"]
+        ).alias("sum_x"),
+        F.aggregate(
+            pts, F.lit(0.0), lambda acc, p: acc + p["y"]
+        ).alias("sum_y"),
+    )
+
+
+_add("segmentize_path", _q_segmentize_path, """
+WITH src AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 50 AS DOUBLE) AS x0,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS y0,
+         CAST(c_custkey % 5 + 1 AS DOUBLE) AS a,
+         CAST((c_custkey * 3) % 4 + 1 AS DOUBLE) AS b
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(2 * a + 2 * b + 1 AS BIGINT) AS n_pts,
+  a + b AS path_len,
+  2.0 * a * x0 + a * (2.0 * a - 1.0) / 2.0 + (2.0 * b + 1.0) * (x0 + a)
+    AS sum_x,
+  (2.0 * a + 2.0 * b + 1.0) * y0 + b * (2.0 * b - 1.0) / 2.0 + b AS sum_y
+FROM src
+""")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's CORRECTNESS gate checks the FIRST 50
 # entries of queries() in dict order (observed rounds 1-2). Ordering is

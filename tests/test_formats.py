@@ -535,3 +535,84 @@ def test_geom_utm_roundtrip_and_area_scale(spark):
     want = [(8.9, 44.9), (9.1, 44.9), (9.1, 45.1), (8.9, 45.1), (8.9, 44.9)]
     for (gx, gy), (wx, wy) in zip(got, want):
         assert abs(gx - wx) < 1e-7 and abs(gy - wy) < 1e-7
+
+
+def test_geodesic_length_meridian_and_equator(spark):
+    # meridian arc: d = R * dphi exactly (haversine is exact for dlon=0);
+    # equator arc: d = R * dlam (cos 0 = 1)
+    R = 6371008.8
+    wkt_m = "LINESTRING (10 0, 10 30)"
+    wkt_e = "LINESTRING (0 0, 90 0)"
+    r = spark.range(1).select(
+        formats.geodesic_length(
+            formats.wkt_parse(F.lit(wkt_m))).alias("dm"),
+        formats.geodesic_length(
+            formats.wkt_parse(F.lit(wkt_e))).alias("de"),
+    ).collect()[0]
+    assert abs(r["dm"] - R * math.radians(30)) < 1e-6
+    assert abs(r["de"] - R * math.radians(90)) < 1e-6
+
+
+def test_geodesic_area_band_closed_form(spark):
+    # zonal band rect [lam0, lam0+dlam] x [phi0, phi1]: spherical area =
+    # R^2 * dlam * (sin phi1 - sin phi0); holes subtract
+    R = 6371008.8
+    wkt = "POLYGON ((10 20, 30 20, 30 50, 10 50, 10 20))"
+    hole = ("POLYGON ((10 20, 30 20, 30 50, 10 50, 10 20), "
+            "(15 25, 20 25, 20 30, 15 30, 15 25))")
+    r = spark.range(1).select(
+        formats.geodesic_area(formats.wkt_parse(F.lit(wkt))).alias("a"),
+        formats.geodesic_area(formats.wkt_parse(F.lit(hole))).alias("ah"),
+        formats.geodesic_area(
+            formats.wkt_parse(F.lit("LINESTRING (0 0, 1 1)"))).alias("al"),
+    ).collect()[0]
+    exp = R * R * math.radians(20) * (math.sin(math.radians(50))
+                                      - math.sin(math.radians(20)))
+    exp_hole = R * R * math.radians(5) * (math.sin(math.radians(30))
+                                          - math.sin(math.radians(25)))
+    assert abs(r["a"] - exp) / exp < 1e-12
+    assert abs(r["ah"] - (exp - exp_hole)) / exp < 1e-12
+    assert r["al"] == 0.0
+
+
+def test_segmentize_counts_and_geometry(spark):
+    # 3-4-5 triangle ring, max_len 1.0: legs split into 3, 4, and 5 pieces
+    # -> 12 new ring vertices + closing point; length and area unchanged
+    wkt = "POLYGON ((0 0, 3 0, 3 4, 0 0))"
+    df = spark.range(1).select(formats.wkt_parse(F.lit(wkt)).alias("src"))
+    g = formats.segmentize(F.col("src"), 1.0)
+    r = df.select(
+        formats.geom_num_points(g).alias("n"),
+        formats.geom_length(g).alias("len"),
+        formats.geom_area(g).alias("area"),
+    ).collect()[0]
+    assert r["n"] == 13
+    assert abs(r["len"] - 12.0) < 1e-12
+    assert abs(r["area"] - 6.0) < 1e-12
+    # every vertex lies on the triangle boundary: for the hypotenuse
+    # segment from (3,4) back to (0,0), collinearity is 4x - 3y == 0; the
+    # two axis legs pin x*y*(x-3)*(y-4) relations. Checked with one pure-
+    # Column fold over the densified ring (no formatter UDF needed).
+    ring = F.element_at(F.element_at(g["parts"], 1), 1)
+    bad = F.aggregate(
+        ring,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            (p["y"] == 0.0)  # bottom leg
+            | (p["x"] == 3.0)  # right leg
+            | (F.abs(p["x"] * 4.0 - p["y"] * 3.0) < 1e-12),  # hypotenuse
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    assert df.select(bad.alias("b")).collect()[0]["b"] == 0
+
+
+def test_segmentize_noop_when_short_and_validates(spark):
+    wkt = "LINESTRING (0 0, 1 0)"
+    g = formats.segmentize(formats.wkt_parse(F.lit(wkt)), 10.0)
+    r = spark.range(1).select(
+        formats.geom_num_points(g).alias("n")).collect()[0]
+    assert r["n"] == 2
+    with pytest.raises(ValueError):
+        formats.segmentize(F.lit(None), 0.0)

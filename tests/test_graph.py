@@ -102,3 +102,16 @@ def test_dedup_keeper_flags(spark):
         10: (10, True), 20: (10, False), 30: (10, False),
         40: (40, True), 50: (40, False),
     }
+
+
+def test_distributed_tail_cutoff(spark):
+    # route to the distributed path (initial symmetrized count exceeds the
+    # threshold) but let the post-round-1 shrunken star set fall UNDER it,
+    # exercising the mid-loop single-task finish; labels must still match
+    # the oracle exactly
+    rng = random.Random(11)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(400)]
+    # symmetrized count = 2*undirected ~ 800 > 500 -> distributed; after
+    # one large+small star round the ~150-node graph is near-stars, so the
+    # per-round count drops under 500 -> _cc_local tail
+    _run(spark, edges, local_edges_threshold=500)
