@@ -45,8 +45,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # above this many symmetrized edges the distributed fixpoint runs; below,
-# one union-find task beats ~log(diameter) driver-synchronized rounds
-LOCAL_EDGES_THRESHOLD = 5_000_000
+# one union-find task beats ~log(diameter) driver-synchronized rounds.
+# Re-measured (round 4, BENCH/cc_threshold_ab_r4.json) after the union-find
+# kernel was vectorized (12.3x): interleaved A/B on the same cached edge
+# tables at local[32] put the crossover between 20M (local 37 s vs
+# distributed 70 s) and 40M (local 74 s vs distributed 48 s) symmetrized
+# rows — the old 5M setting predated the fast kernel and left a 2-4x win
+# on the table across the 5M-20M band.
+LOCAL_EDGES_THRESHOLD = 25_000_000
 
 
 def _cc_local(e: DataFrame) -> DataFrame:
