@@ -590,7 +590,18 @@ Reading the table honestly:
   levels snapped and exploded, single join — the union-of-levels form
   re-ran the probe scan+encode once per level) -> one refine stage.
   Covering construction is driver-side, vectorized, and amortized like a
-  deployed dim table ({ps["n"]:,} pts: see table row).
+  deployed dim table ({ps["n"]:,} pts: see table row). Its
+  efficiency column is the pip copy-floor story at full saturation: the
+  8- and 32-core walls are near-IDENTICAL (one memory bus moving the
+  same bytes either way), so the ratio reads as ~0.25. Read the ROW cost
+  honestly too: on this box the S2 path costs MORE per point than plain
+  broadcast pip (~2-3x) — it pays the Arrow floor on the leaf encode for
+  every point plus the exploded covering join, while plain pip pays the
+  floor once and its ray-cast kernel is already submerged in it. The S2
+  covering join is the at-scale tool for the regime broadcast-pip cannot
+  serve (polygon sets too large/too hot to broadcast, high selectivity
+  where the covering prunes candidates JVM-side before any Python); on
+  one shared bus it cannot beat a single already-floor-bound pass.
 - **The zero-Python counterfactual was built and measured, and it LOSES**:
   `joins.spatial_join_native` re-expresses the same join with no Python
   workers (codegen cell encode -> broadcast cover join -> codegen bbox
@@ -629,7 +640,9 @@ One writer-side detail is load-bearing: the fact table is
 each writer task holds exactly one bucket and writes ONE file per bucket.
 Without it P tasks x B buckets = P*B tiny files and read-side footer churn
 swamps the shuffle savings — measured as the bucketed arm running 3x
-SLOWER; with it the same join is 11.5x faster.
+SLOWER; with it the co-location win above holds (11.5x in the
+round-3 epoch, 4.1x this one — the plain arm's two Exchanges hit
+the shared disk harder when it is cold).
 
 Hardware: {platform.processor() or "x86_64"}, 32 vCPU (1 thread/core
 reported), single node, one shared disk, virtualized (avg ~3% CPU steal,
