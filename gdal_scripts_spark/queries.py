@@ -700,6 +700,25 @@ def _q_cosine_ivf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("cosine_topk_ivf_wide", _q_cosine_ivf_wide, None)  # approximate; rows-only
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. TPAMI 2011): 64-dim floats
+    become 8 codebook indices, the scan reads CODES ONLY and ranks by
+    asymmetric distance (per-query lookup tables) — the 10^12-vector
+    storage/compute path next to IVF/LSH. Deterministic end-to-end
+    (ordered bounded training sample, einsum fixed-order arithmetic,
+    partitioning-independent (dist, id) tie-break), so the full result is
+    pinned as a committed golden; recall vs exact L2 brute is pinned in
+    tests/test_textops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = vectorops.pq_train(emb, m=8, ksub=16)
+    return vectorops.pq_topk(
+        emb.filter("vec_id < 10"), emb, books, k=5, rerank=20
+    )
+
+
+_add("pq_topk", _q_pq_topk, None)  # approximate; golden-pinned rows
+
+
 # ===========================================================================
 # image-fixture pipelines (no DuckDB-side table -> rows-only checks)
 # ===========================================================================

@@ -271,3 +271,159 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the 100 TB storage/compute path: a
+# D-dim float vector becomes m small codes (m bytes at ksub<=256), so the
+# search scan reads ~100x fewer bytes and never shuffles vectors at all
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame, m: int = 8, ksub: int = 16, sample_n: int = 2048,
+    seed: int = 13, cid: str = "vec_id", vec: str = "embedding",
+) -> np.ndarray:
+    """Driver-side PQ codebooks: ``(m, ksub, D/m)`` float64 from a bounded
+    ORDERED sample (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public textbook method). Each of the m
+    subspaces gets its own k-means codebook; training is milliseconds on
+    a few thousand rows and, like the IVF coarse quantizer, is amortized
+    exactly like building any deployed dim table."""
+    sample = np.array(
+        [r[1] for r in corpus.select(cid, vec).orderBy(cid).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        _kmeans_lite(sample[:, j * dsub:(j + 1) * dsub], ksub, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(vec: Column, books: np.ndarray) -> Column:
+    """``array<int>`` of m codebook indices per vector — ONE Arrow-batched
+    kernel, argmin per subspace. All products go through np.einsum with
+    default optimize=False (fixed C-loop order, NO BLAS dispatch): BLAS
+    picks kernels by CPUID and its last-ulp drift already broke one
+    committed golden in this repo (see SURVEY round-4 pansharpen note) —
+    argmin near-ties would amplify that into different CODES."""
+    b = np.ascontiguousarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = b.shape
+    b2 = np.einsum("mkd,mkd->mk", b, b)
+
+    @F.pandas_udf("array<int>")
+    def kern(s: pd.Series) -> pd.Series:
+        if s.empty:
+            return pd.Series([], dtype=object)
+        x = np.array(s.tolist(), dtype=np.float64).reshape(len(s), m, dsub)
+        codes = np.empty((len(s), m), dtype=np.int32)
+        for j in range(m):
+            # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
+            d2 = b2[j][None, :] - 2.0 * np.einsum("nd,kd->nk", x[:, j], b[j])
+            codes[:, j] = d2.argmin(axis=1)  # first-min: deterministic ties
+        return pd.Series([row.tolist() for row in codes])
+
+    return kern(vec.cast("array<double>"))
+
+
+def pq_topk(
+    queries: DataFrame, corpus: DataFrame, books: np.ndarray, k: int = 5,
+    rerank: int = 0,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: the corpus is scanned
+    as CODES ONLY, each query carries an (m, ksub) lookup table of exact
+    query-subvector-to-centroid squared distances, and a row's distance is
+    m table lookups — no vector arithmetic in the scan at all.
+
+    ``rerank > 0`` is the production deployment shape (ADC shortlist of
+    that size per query, then EXACT L2 on the shortlist only): quantization
+    error is on the order of within-cluster distances, so raw ADC ranks
+    coarsely — it finds the right neighborhood cheaply, and the exact pass
+    touches just q*rerank vectors (an equi-join on the shortlist ids, JVM
+    fold arithmetic). Measured on clustered 64-dim data: recall@5 0.24 raw
+    -> >=0.85 with a 50-wide shortlist (tests/test_textops.py).
+
+    Scale shape: at 10^12 vectors the encoded corpus is ~m bytes/row
+    (vs 4*D), queries are the broadcast-small side (collected once to
+    build LUTs), the scan emits only (qid, neighbor_id, dist) candidates
+    pruned to a per-batch top-k — id-only shuffle, exactly like the kNN
+    and LSH paths. Per-batch pruning uses the SAME (dist, neighbor_id)
+    lexicographic key as the final window rank, so the global result is
+    independent of partitioning and core count. Recall vs the brute
+    oracle is measured in tests; exactness remains the brute path's job."""
+    b = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+    q = queries.select(qid, vec).orderBy(qid).collect()
+    if not q:
+        raise ValueError("pq_topk: empty query side")
+    qids = np.array([r[0] for r in q], dtype=np.int64)
+    qv = np.array([r[1] for r in q], dtype=np.float64).reshape(len(q), m, dsub)
+    # lut[i, j, c] = ||q_i[j] - books[j, c]||^2 (exact, fixed-order einsum)
+    diff = qv[:, :, None, :] - b[None, :, :, :]
+    lut = np.einsum("nmkd,nmkd->nmk", diff, diff)
+    nq = len(qids)
+    kk = int(max(k, rerank) if rerank else k)
+
+    cb = corpus.select(
+        F.col(cid).alias("neighbor_id"), pq_encode(F.col(vec), b).alias("codes")
+    )
+
+    def scan(batches):
+        for bt in batches:
+            if not len(bt):
+                continue
+            codes = np.array(bt["codes"].tolist(), dtype=np.int64)  # (n, m)
+            nid = bt["neighbor_id"].to_numpy(dtype=np.int64)
+            d = np.zeros((nq, len(codes)), dtype=np.float64)
+            for j in range(m):
+                d += lut[:, j, :][:, codes[:, j]]
+            out_q, out_n, out_d = [], [], []
+            for i in range(nq):
+                keep = nid != qids[i]
+                di, ni = d[i][keep], nid[keep]
+                top = np.lexsort((ni, di))[:kk]  # same key as the window
+                out_q.append(np.full(len(top), qids[i]))
+                out_n.append(ni[top])
+                out_d.append(di[top])
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dist": np.concatenate(out_d),
+            })
+
+    cand = cb.mapInPandas(scan, schema="qid long, neighbor_id long, dist double")
+    wnd = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    if rerank:
+        shortlist = (
+            cand.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= int(rerank))
+            .select("qid", "neighbor_id")
+        )
+        qvdf = queries.select(
+            F.col(qid).alias("qid"), F.col(vec).cast("array<double>").alias("qv")
+        )
+        cvdf = corpus.select(
+            F.col(cid).alias("neighbor_id"),
+            F.col(vec).cast("array<double>").alias("cv"),
+        )
+        exact_d = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, c: (a - c) * (a - c)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return (
+            shortlist.join(cvdf, "neighbor_id")
+            .join(F.broadcast(qvdf), "qid")
+            .withColumn("dist", exact_d)
+            .withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= int(k))
+            .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= kk)
+        .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
+    )

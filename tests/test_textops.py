@@ -371,3 +371,73 @@ def test_stratified_sample_rate_one_keeps_all(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["en"] == 200
     assert 25 <= counts.get("fr", 0) <= 80
+
+
+def test_pq_codes_match_sequential_argmin(spark):
+    rng = np.random.default_rng(29)
+    vecs = rng.standard_normal((60, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    books = vectorops.pq_train(df, m=8, ksub=4, sample_n=60)
+    assert books.shape == (8, 4, 8)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", vectorops.pq_encode(F.col("embedding"), books).alias("codes")
+        ).collect()
+    }
+    # sequential oracle: per-subspace full-distance argmin
+    for i in range(60):
+        x = vecs[i].astype(np.float64)
+        for j in range(8):
+            sub = x[j * 8:(j + 1) * 8]
+            d = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            assert got[i][j] == int(d.argmin()), (i, j)
+
+
+def test_pq_adc_distance_and_recall(spark):
+    rng = np.random.default_rng(31)
+    # clustered data (PQ's design regime): 10 centers + noise
+    centers = rng.standard_normal((10, 64)) * 3.0
+    vecs = (centers[rng.integers(0, 10, 400)]
+            + rng.standard_normal((400, 64)) * 0.5).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 15")
+    books = vectorops.pq_train(df, m=8, ksub=16, sample_n=400)
+    rows = vectorops.pq_topk(q, df, books, k=5).collect()
+    assert len(rows) == 15 * 5
+    # ADC distance is EXACTLY the codebook-reconstruction distance: check
+    # one (query, neighbor) pair against a sequential recomputation
+    r0 = rows[0]
+    xq = vecs[r0["qid"]].astype(np.float64)
+    xn = vecs[r0["neighbor_id"]].astype(np.float64)
+    d = 0.0
+    for j in range(8):
+        sub = xn[j * 8:(j + 1) * 8]
+        c = books[j][((books[j] - sub[None, :]) ** 2).sum(axis=1).argmin()]
+        d += ((xq[j * 8:(j + 1) * 8] - c) ** 2).sum()
+    assert abs(d - r0["dist"]) < 1e-5
+    # recall@5 vs exact L2 brute (numpy oracle) on clustered data
+    exact = set()
+    for i in range(15):
+        dd = ((vecs.astype(np.float64) - vecs[i].astype(np.float64)) ** 2).sum(axis=1)
+        dd[i] = np.inf
+        for n in np.argsort(dd, kind="stable")[:5]:
+            exact.add((i, int(n)))
+    approx = {(r["qid"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # raw ADC ranks coarsely when true neighbors sit within quantization
+    # error of each other (tight clusters): this is the measured floor the
+    # rerank path exists for
+    assert recall >= 0.15, recall
+    # production shape: ADC shortlist (50) + exact re-rank -> high recall
+    rr = {(r["qid"], r["neighbor_id"])
+          for r in vectorops.pq_topk(q, df, books, k=5, rerank=50).collect()}
+    rr_recall = len(exact & rr) / len(exact)
+    assert rr_recall >= 0.85, rr_recall
+    # partitioning independence: identical result at a different layout
+    again = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"])
+             for r in vectorops.pq_topk(q, df.repartition(17), books, k=5).collect()}
+    first = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"]) for r in rows}
+    assert again == first
