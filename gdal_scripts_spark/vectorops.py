@@ -331,7 +331,7 @@ def pq_encode(vec: Column, books: np.ndarray) -> Column:
 
 def pq_topk(
     queries: DataFrame, corpus: DataFrame, books: np.ndarray, k: int = 5,
-    rerank: int = 0,
+    rerank: int = 0, codes: DataFrame | None = None,
     qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k: the corpus is scanned
@@ -368,7 +368,10 @@ def pq_topk(
     nq = len(qids)
     kk = int(max(k, rerank) if rerank else k)
 
-    cb = corpus.select(
+    # production ingest shape: codes are written once next to the corpus
+    # (pass them via ``codes`` as a (neighbor_id, codes) table) and the
+    # search never touches vectors except in the optional re-rank join
+    cb = codes if codes is not None else corpus.select(
         F.col(cid).alias("neighbor_id"), pq_encode(F.col(vec), b).alias("codes")
     )
 
