@@ -3682,6 +3682,16 @@ _FRONT_WINDOW = [
     # for the round-5 rotation when the window is short
     "warp_lanczos", "warp_reduce_modes", "warp_cutline",
     "jpeg_codec_matrix", "pip_native_hof",
+    # pin the rest of the de-risked round-4 window explicitly (these rode
+    # on definition order before): round-4 session-2 entries (pq_topk,
+    # geodesic_measures, segmentize_path) stay un-listed so they enter
+    # with the round-5 rotation instead of displacing checked entries
+    "wkt_polygon_etl", "wkb_polygon_roundtrip",
+    "geojson_seq_etl", "linestring_wkt_length", "multipolygon_hole_scalars",
+    "cosine_topk_ivf_wide", "dedup_clusters", "doc_repetition_signals",
+    "gdaldem_color_relief", "image_band_stats", "minhash_incremental",
+    "multimodal_features", "nearblack_collar", "pct2rgb_roundtrip",
+    "warp_reproject_utm",
 ]
 
 
