@@ -616,3 +616,48 @@ def test_segmentize_noop_when_short_and_validates(spark):
     assert r["n"] == 2
     with pytest.raises(ValueError):
         formats.segmentize(F.lit(None), 0.0)
+
+
+def test_segmentize_invariants_random_batch(spark):
+    # 200 seeded random polylines x random per-row max_len (Column path):
+    # total length preserved, no segment exceeds max_len, vertex count
+    # never shrinks, endpoints unchanged — all checked as Column folds in
+    # ONE job (no per-example Spark round-trips)
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(200):
+        n = rng.integers(3, 7)
+        pts = rng.uniform(-100, 100, size=(n, 2)).round(3)
+        wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+        rows.append((i, wkt, float(rng.choice([0.3, 1.7, 9.9]))))
+    df = spark.createDataFrame(rows, "id long, wkt string, ml double")
+    src = df.select("id", "ml", formats.wkt_parse(F.col("wkt")).alias("g"))
+    seg = formats.segmentize(F.col("g"), F.col("ml"))
+    ring0 = F.element_at(F.element_at(F.col("g")["parts"], 1), 1)
+    ring1 = F.element_at(F.element_at(seg["parts"], 1), 1)
+
+    def max_seg(ring):
+        a = F.slice(ring, 1, F.size(ring) - 1)
+        b = F.slice(ring, 2, F.size(ring) - 1)
+        return F.array_max(F.zip_with(
+            a, b,
+            lambda p, q: F.sqrt((p["x"] - q["x"]) * (p["x"] - q["x"])
+                                + (p["y"] - q["y"]) * (p["y"] - q["y"])),
+        ))
+
+    out = src.select(
+        "id", "ml",
+        formats.geom_length(F.col("g")).alias("len0"),
+        formats.geom_length(seg).alias("len1"),
+        formats.geom_num_points(F.col("g")).alias("n0"),
+        formats.geom_num_points(seg).alias("n1"),
+        max_seg(ring1).alias("maxseg"),
+        (F.element_at(ring0, 1) == F.element_at(ring1, 1)).alias("head_ok"),
+        (F.element_at(ring0, -1) == F.element_at(ring1, -1)).alias("tail_ok"),
+    ).collect()
+    assert len(out) == 200
+    for r in out:
+        assert abs(r["len1"] - r["len0"]) <= 1e-9 * max(1.0, r["len0"]), r
+        assert r["maxseg"] <= r["ml"] + 1e-9, r
+        assert r["n1"] >= r["n0"], r
+        assert r["head_ok"] and r["tail_ok"], r
