@@ -719,6 +719,23 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("pq_topk", _q_pq_topk, None)  # approximate; golden-pinned rows
 
 
+def _q_pq_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou et al. TPAMI 2011 §V) — IVF coarse buckets prune the
+    scan, PQ codes price the survivors, exact re-rank on the shortlist:
+    the canonical 10^12-vector production ANN. Probing-all == pq_topk
+    exactly and pruned recall >= 0.8 are pinned in tests; the registry pin
+    is the deterministic full result set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = vectorops.pq_train(emb, m=8, ksub=16)
+    return vectorops.pq_topk_ivf(
+        emb.filter("vec_id < 10"), emb, books, k=5,
+        n_centroids=16, n_probe=6, rerank=20,
+    )
+
+
+_add("pq_topk_ivf", _q_pq_topk_ivf, None)  # approximate; golden-pinned rows
+
+
 # ===========================================================================
 # image-fixture pipelines (no DuckDB-side table -> rows-only checks)
 # ===========================================================================

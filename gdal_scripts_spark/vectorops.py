@@ -430,3 +430,109 @@ def pq_topk(
         .filter(F.col("rank") <= kk)
         .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
     )
+
+
+def pq_topk_ivf(
+    queries: DataFrame, corpus: DataFrame, books: np.ndarray, k: int = 5,
+    n_centroids: int = 16, n_probe: int = 4, rerank: int = 0,
+    sample_n: int = 2048, seed: int = 11,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. TPAMI 2011 §V): IVF coarse buckets prune the
+    candidate set, PQ codes price what remains — the canonical production
+    ANN shape at 10^12 vectors. The corpus scan reads (bucket, codes) only;
+    each query carries its ADC lookup tables plus the id set of its
+    ``n_probe`` nearest coarse buckets, and the kernel masks rows to the
+    probed buckets before any table lookups, so the ADC work per batch is
+    ~n_probe/n_centroids of the full scan while the bytes stay ~m/row.
+    Same partitioning-independent (dist, id) pruning key and optional
+    exact re-rank as :func:`pq_topk`; recall vs brute pinned in tests."""
+    sample = np.array(
+        [r[1] for r in corpus.select(cid, vec).orderBy(cid).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    b = np.ascontiguousarray(books, dtype=np.float64)
+    m, ksub, dsub = b.shape
+    q = queries.select(qid, vec).orderBy(qid).collect()
+    if not q:
+        raise ValueError("pq_topk_ivf: empty query side")
+    qids = np.array([r[0] for r in q], dtype=np.int64)
+    qraw = np.array([r[1] for r in q], dtype=np.float64)
+    qv = qraw.reshape(len(q), m, dsub)
+    diff = qv[:, :, None, :] - b[None, :, :, :]
+    lut = np.einsum("nmkd,nmkd->nmk", diff, diff)
+    # probed bucket ids per query: exact distances to the coarse centroids
+    # (fixed-order einsum, stable argsort — same tie rule as the kernels)
+    cdiff = qraw[:, None, :] - cent[None, :, :]
+    cd2 = np.einsum("nkd,nkd->nk", cdiff, cdiff)
+    probed = np.argsort(cd2, axis=1, kind="stable")[:, :n_probe]
+    nq = len(qids)
+    kk = int(max(k, rerank) if rerank else k)
+
+    cb = corpus.select(
+        F.col(cid).alias("neighbor_id"),
+        nearest_centroids(F.col(vec), cent, 1)[0].alias("bucket"),
+        pq_encode(F.col(vec), b).alias("codes"),
+    )
+
+    def scan(batches):
+        for bt in batches:
+            if not len(bt):
+                continue
+            codes = np.array(bt["codes"].tolist(), dtype=np.int64)
+            nid = bt["neighbor_id"].to_numpy(dtype=np.int64)
+            bkt = bt["bucket"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_d = [], [], []
+            for i in range(nq):
+                keep = np.isin(bkt, probed[i]) & (nid != qids[i])
+                if not keep.any():
+                    continue
+                ci, ni = codes[keep], nid[keep]
+                d = np.zeros(len(ci), dtype=np.float64)
+                for j in range(m):
+                    d += lut[i, j, :][ci[:, j]]
+                top = np.lexsort((ni, d))[:kk]
+                out_q.append(np.full(len(top), qids[i]))
+                out_n.append(ni[top])
+                out_d.append(d[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dist": np.concatenate(out_d),
+            })
+
+    cand = cb.mapInPandas(scan, schema="qid long, neighbor_id long, dist double")
+    wnd = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    if rerank:
+        shortlist = (
+            cand.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= int(rerank))
+            .select("qid", "neighbor_id")
+        )
+        qvdf = queries.select(
+            F.col(qid).alias("qid"), F.col(vec).cast("array<double>").alias("qv")
+        )
+        cvdf = corpus.select(
+            F.col(cid).alias("neighbor_id"),
+            F.col(vec).cast("array<double>").alias("cv"),
+        )
+        exact_d = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, c: (a - c) * (a - c)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return (
+            shortlist.join(cvdf, "neighbor_id")
+            .join(F.broadcast(qvdf), "qid")
+            .withColumn("dist", exact_d)
+            .withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= int(k))
+            .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= kk)
+        .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
+    )

@@ -441,3 +441,44 @@ def test_pq_adc_distance_and_recall(spark):
              for r in vectorops.pq_topk(q, df.repartition(17), books, k=5).collect()}
     first = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"]) for r in rows}
     assert again == first
+
+
+def test_pq_ivf_matches_full_scan_when_probing_all(spark):
+    rng = np.random.default_rng(37)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 8")
+    books = vectorops.pq_train(df, m=8, ksub=16, sample_n=300)
+    full = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"])
+            for r in vectorops.pq_topk(q, df, books, k=5).collect()}
+    ivf_all = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"])
+               for r in vectorops.pq_topk_ivf(
+                   q, df, books, k=5, n_centroids=8, n_probe=8).collect()}
+    # probing every coarse bucket == the unpruned ADC scan, exactly
+    assert full == ivf_all
+
+
+def test_pq_ivf_pruned_recall_with_rerank(spark):
+    rng = np.random.default_rng(43)
+    centers = rng.standard_normal((10, 64)) * 3.0
+    vecs = (centers[rng.integers(0, 10, 400)]
+            + rng.standard_normal((400, 64)) * 0.5).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 12")
+    books = vectorops.pq_train(df, m=8, ksub=16, sample_n=400)
+    rows = vectorops.pq_topk_ivf(q, df, books, k=5, n_centroids=16,
+                                 n_probe=6, rerank=50).collect()
+    exact = set()
+    for i in range(12):
+        dd = ((vecs.astype(np.float64) - vecs[i].astype(np.float64)) ** 2).sum(axis=1)
+        dd[i] = np.inf
+        for n in np.argsort(dd, kind="stable")[:5]:
+            exact.add((i, int(n)))
+    approx = {(r["qid"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # coarse pruning to 6/16 buckets + ADC shortlist + exact re-rank: the
+    # clusters are well-separated, so the probed buckets hold the true
+    # neighbors and the re-rank fixes ADC's within-cluster coarseness
+    assert recall >= 0.8, recall
