@@ -559,7 +559,7 @@ freq AS (
 SELECT doc_id,
        1.0e0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dup_token_ratio,
        MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_token_frac,
-       SUM(c) AS n_tokens
+       CAST(SUM(c) AS BIGINT) AS n_tokens
 FROM freq GROUP BY doc_id
 """)
 
