@@ -490,13 +490,22 @@ def _ring_cd_sum(ring: Column) -> Column:
     """Chamberlain-Duquette spherical-excess partial sum over one ring:
     sum of rad(lon2-lon1) * (2 + sin(rad lat1) + sin(rad lat2)) over
     consecutive vertex pairs plus the closing wrap pair (zero when the
-    ring is stored closed, i.e. first == last)."""
+    ring is stored closed, i.e. first == last). Each per-edge longitude
+    delta is normalized into [-180, 180] so rings crossing the
+    antimeridian take the short way around (179 -> -179 is +2 deg, not
+    -358) — matching OGR_G_GeodesicArea, whose GeographicLib backend is
+    wrap-safe by construction."""
     n = F.size(ring)
     a = F.slice(ring, 1, n - 1)
     b = F.slice(ring, 2, n - 1)
-    term = lambda p, q: F.radians(q["x"] - p["x"]) * (  # noqa: E731
-        F.lit(2.0) + F.sin(F.radians(p["y"])) + F.sin(F.radians(q["y"]))
-    )
+
+    def term(p, q):
+        dl = q["x"] - p["x"]
+        dl = dl - F.lit(360.0) * F.round(dl / F.lit(360.0), 0)
+        return F.radians(dl) * (
+            F.lit(2.0) + F.sin(F.radians(p["y"])) + F.sin(F.radians(q["y"]))
+        )
+
     seg = F.aggregate(
         F.zip_with(a, b, term), F.lit(0.0), lambda acc, t: acc + t
     )
@@ -537,18 +546,39 @@ def segmentize(g: Column, max_len) -> Column:
     k = max(ceil(d/max_len), 1) equal pieces, keeping the original
     vertices; kind is unchanged. Pure Column (nested transform/zip_with/
     sequence — whole-stage codegen, no Python), so densifying a billion
-    geometries is map-only JVM work."""
+    geometries is map-only JVM work.
+
+    Contract: ``max_len > 0`` — enforced eagerly for the scalar path and
+    with a runtime ``raise_error`` for the Column (per-row) path. The
+    split count per segment is computed as LONG and guarded at 2^24
+    pieces (16.7M inserted vertices in ONE segment already exceeds any
+    materializable geometry) so a degenerate d/max_len ratio fails with a
+    clear error instead of clamping at INT_MAX and OOMing in sequence()."""
     if not isinstance(max_len, Column):
         if not float(max_len) > 0.0:
             raise ValueError("segmentize max_len must be > 0")
         max_len = F.lit(float(max_len))
+    else:
+        max_len = F.when(max_len > 0, max_len.cast("double")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("segmentize: max_len must be > 0, got "),
+                    max_len.cast("string"),
+                )
+            )
+        )
 
     def seg_pts(p, q):
         d = F.sqrt(
             (q["x"] - p["x"]) * (q["x"] - p["x"])
             + (q["y"] - p["y"]) * (q["y"] - p["y"])
         )
-        k = F.greatest(F.ceil(d / max_len).cast("int"), F.lit(1))
+        k = F.greatest(F.ceil(d / max_len).cast("long"), F.lit(1).cast("long"))
+        k = F.when(
+            k <= F.lit(1 << 24).cast("long"), k
+        ).otherwise(
+            F.raise_error("segmentize: d/max_len exceeds 2^24 splits per segment")
+        )
         kd = k.cast("double")
         return F.transform(
             F.sequence(F.lit(0), k - 1),

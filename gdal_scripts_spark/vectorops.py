@@ -63,6 +63,36 @@ def cosine_topk_bruteforce(
     )
 
 
+def l2_topk_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    qid: str = "vec_id", cid: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """(qid, rank, neighbor_id, dist) EXACT squared-L2 top-k via the same
+    zip_with/aggregate JVM fold the PQ re-rank stage uses — the
+    apples-to-apples exactness baseline for the ADC codes scan (same
+    metric, same per-row arithmetic; round-4 ADVICE). Broadcast nested
+    loop by design, like cosine_topk_bruteforce."""
+    q = queries.select(
+        F.col(qid).alias("qid"), F.col(vec).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(cid).alias("neighbor_id"), F.col(vec).cast("array<double>").alias("cv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    wnd = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("dist", d)
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -304,29 +334,58 @@ def pq_train(
 
 
 def pq_encode(vec: Column, books: np.ndarray) -> Column:
-    """``array<int>`` of m codebook indices per vector — ONE Arrow-batched
-    kernel, argmin per subspace. All products go through np.einsum with
-    default optimize=False (fixed C-loop order, NO BLAS dispatch): BLAS
-    picks kernels by CPUID and its last-ulp drift already broke one
-    committed golden in this repo (see SURVEY round-4 pansharpen note) —
-    argmin near-ties would amplify that into different CODES."""
+    """``binary`` of m PACKED uint8 codebook indices per vector (requires
+    ksub <= 256) — ONE Arrow-batched kernel, argmin per subspace. The
+    packed layout is the design point of the PQ path: m bytes/row in the
+    codes scan (8 at the default m=8) vs 4*D for float32 vectors — the
+    ~100x storage shrink Jegou et al. TPAMI'11 builds on. All products go
+    through np.einsum with default optimize=False (fixed C-loop order, NO
+    BLAS dispatch): BLAS picks kernels by CPUID and its last-ulp drift
+    already broke one committed golden in this repo (see SURVEY round-4
+    pansharpen note) — argmin near-ties would amplify that into different
+    CODES."""
     b = np.ascontiguousarray(books, dtype=np.float64)  # (m, ksub, dsub)
     m, ksub, dsub = b.shape
+    if ksub > 256:
+        raise ValueError(f"pq_encode: ksub={ksub} > 256 does not fit uint8 codes")
     b2 = np.einsum("mkd,mkd->mk", b, b)
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf("binary")
     def kern(s: pd.Series) -> pd.Series:
         if s.empty:
             return pd.Series([], dtype=object)
         x = np.array(s.tolist(), dtype=np.float64).reshape(len(s), m, dsub)
-        codes = np.empty((len(s), m), dtype=np.int32)
+        codes = np.empty((len(s), m), dtype=np.uint8)
         for j in range(m):
             # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row
             d2 = b2[j][None, :] - 2.0 * np.einsum("nd,kd->nk", x[:, j], b[j])
             codes[:, j] = d2.argmin(axis=1)  # first-min: deterministic ties
-        return pd.Series([row.tolist() for row in codes])
+        return pd.Series([row.tobytes() for row in codes])
 
     return kern(vec.cast("array<double>"))
+
+
+def _codes_matrix(col: pd.Series, m: int) -> np.ndarray:
+    """(n, m) int64 codes from either the packed-binary layout (bytes per
+    row) or the legacy ``array<int>`` layout — one frombuffer for the
+    packed path, no per-row Python beyond the join."""
+    first = col.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return np.frombuffer(
+            b"".join(col), dtype=np.uint8
+        ).reshape(len(col), m).astype(np.int64)
+    return np.array(col.tolist(), dtype=np.int64)
+
+
+def _check_rerank(k: int, rerank: int) -> None:
+    """``0 < rerank < k`` would cut the ADC shortlist below k rows and the
+    exact pass would silently return fewer than k neighbors per query."""
+    if rerank and rerank < k:
+        raise ValueError(
+            f"rerank={rerank} must be >= k={k} (the exact pass re-ranks "
+            f"only the ADC shortlist; a shortlist narrower than k cannot "
+            f"yield k results)"
+        )
 
 
 def pq_topk(
@@ -355,6 +414,7 @@ def pq_topk(
     lexicographic key as the final window rank, so the global result is
     independent of partitioning and core count. Recall vs the brute
     oracle is measured in tests; exactness remains the brute path's job."""
+    _check_rerank(k, rerank)
     b = np.ascontiguousarray(books, dtype=np.float64)
     m, ksub, dsub = b.shape
     q = queries.select(qid, vec).orderBy(qid).collect()
@@ -379,7 +439,7 @@ def pq_topk(
         for bt in batches:
             if not len(bt):
                 continue
-            codes = np.array(bt["codes"].tolist(), dtype=np.int64)  # (n, m)
+            codes = _codes_matrix(bt["codes"], m)  # (n, m)
             nid = bt["neighbor_id"].to_numpy(dtype=np.int64)
             d = np.zeros((nq, len(codes)), dtype=np.float64)
             for j in range(m):
@@ -447,6 +507,7 @@ def pq_topk_ivf(
     ~n_probe/n_centroids of the full scan while the bytes stay ~m/row.
     Same partitioning-independent (dist, id) pruning key and optional
     exact re-rank as :func:`pq_topk`; recall vs brute pinned in tests."""
+    _check_rerank(k, rerank)
     sample = np.array(
         [r[1] for r in corpus.select(cid, vec).orderBy(cid).limit(sample_n).collect()],
         dtype=np.float64,
@@ -480,7 +541,7 @@ def pq_topk_ivf(
         for bt in batches:
             if not len(bt):
                 continue
-            codes = np.array(bt["codes"].tolist(), dtype=np.int64)
+            codes = _codes_matrix(bt["codes"], m)
             nid = bt["neighbor_id"].to_numpy(dtype=np.int64)
             bkt = bt["bucket"].to_numpy(dtype=np.int64)
             out_q, out_n, out_d = [], [], []

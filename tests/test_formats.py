@@ -575,6 +575,24 @@ def test_geodesic_area_band_closed_form(spark):
     assert r["al"] == 0.0
 
 
+def test_geodesic_area_dateline_crossing_ring(spark):
+    # a 2-degree zonal band straddling the antimeridian (179 -> -179):
+    # per-edge wrap normalization must read the delta as +/-2 deg, not
+    # -/+358 (round-4 ADVICE). Same closed form as the band test, and the
+    # identical band placed away from the dateline must agree exactly.
+    R = 6371008.8
+    cross = "POLYGON ((179 20, -179 20, -179 50, 179 50, 179 20))"
+    plain = "POLYGON ((10 20, 12 20, 12 50, 10 50, 10 20))"
+    r = spark.range(1).select(
+        formats.geodesic_area(formats.wkt_parse(F.lit(cross))).alias("ax"),
+        formats.geodesic_area(formats.wkt_parse(F.lit(plain))).alias("ap"),
+    ).collect()[0]
+    exp = R * R * math.radians(2) * (math.sin(math.radians(50))
+                                     - math.sin(math.radians(20)))
+    assert abs(r["ax"] - exp) / exp < 1e-12
+    assert abs(r["ax"] - r["ap"]) / exp < 1e-12
+
+
 def test_segmentize_counts_and_geometry(spark):
     # 3-4-5 triangle ring, max_len 1.0: legs split into 3, 4, and 5 pieces
     # -> 12 new ring vertices + closing point; length and area unchanged
@@ -616,6 +634,17 @@ def test_segmentize_noop_when_short_and_validates(spark):
     assert r["n"] == 2
     with pytest.raises(ValueError):
         formats.segmentize(F.lit(None), 0.0)
+
+
+def test_segmentize_column_path_rejects_nonpositive_max_len(spark):
+    # the per-row Column path enforces max_len > 0 with raise_error at
+    # execution (round-4 ADVICE: it previously no-op'd via null division)
+    df = spark.createDataFrame(
+        [("LINESTRING (0 0, 5 0)", 0.0)], "wkt string, ml double"
+    )
+    g = formats.segmentize(formats.wkt_parse(F.col("wkt")), F.col("ml"))
+    with pytest.raises(Exception, match="max_len must be > 0"):
+        df.select(formats.geom_num_points(g).alias("n")).collect()
 
 
 def test_segmentize_invariants_random_batch(spark):

@@ -482,3 +482,47 @@ def test_pq_ivf_pruned_recall_with_rerank(spark):
     # clusters are well-separated, so the probed buckets hold the true
     # neighbors and the re-rank fixes ADC's within-cluster coarseness
     assert recall >= 0.8, recall
+
+
+def test_pq_rerank_narrower_than_k_rejected(spark):
+    # 0 < rerank < k would silently return < k rows per query (r4 ADVICE)
+    rng = np.random.default_rng(47)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    books = vectorops.pq_train(df, m=8, ksub=4, sample_n=40)
+    with pytest.raises(ValueError, match="rerank"):
+        vectorops.pq_topk(df.limit(2), df, books, k=5, rerank=3)
+    with pytest.raises(ValueError, match="rerank"):
+        vectorops.pq_topk_ivf(df.limit(2), df, books, k=5, rerank=3)
+
+
+def test_pq_codes_packed_binary_and_legacy_parity(spark):
+    # round-5 layout: codes ride as PACKED uint8 binary (m bytes/row, the
+    # TPAMI'11 design point); a legacy array<int> codes table must still
+    # produce the identical result set through _codes_matrix
+    rng = np.random.default_rng(53)
+    vecs = rng.standard_normal((80, 64)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>").persist()
+    q = df.filter("vec_id < 4")
+    books = vectorops.pq_train(df, m=8, ksub=16, sample_n=80)
+    codes = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vectorops.pq_encode(F.col("embedding"), books).alias("codes"),
+    ).persist()
+    first = codes.orderBy("neighbor_id").first()
+    assert isinstance(first["codes"], (bytes, bytearray))
+    assert len(first["codes"]) == 8  # m bytes per vector, packed
+    binary_run = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"])
+                  for r in vectorops.pq_topk(q, df, books, k=5, codes=codes).collect()}
+    legacy_rows = [(r["neighbor_id"], list(bytes(r["codes"])))
+                   for r in codes.collect()]
+    legacy = spark.createDataFrame(
+        legacy_rows, "neighbor_id long, codes array<int>")
+    legacy_run = {(r["qid"], r["rank"], r["neighbor_id"], r["dist"])
+                  for r in vectorops.pq_topk(q, df, books, k=5, codes=legacy).collect()}
+    assert binary_run == legacy_run
+    # ksub > 256 cannot pack into uint8 — rejected eagerly
+    with pytest.raises(ValueError, match="256"):
+        vectorops.pq_encode(F.col("embedding"), np.zeros((8, 257, 8)))

@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""PQ scan A/B (round 4): codes-only ADC scan vs HOF exact brute on the
-same corpus, one local[32] JVM, interleaved trials. The claim under test
-is the storage/compute shape, not vectorization tricks: after a one-time
-encode (amortized at ingest like the bucketed write), the search scans
-~m bytes/row instead of 4*D, and the optional exact re-rank touches only
-q*rerank vectors. Writes BENCH/pq_scan_ab_r4.json."""
+"""PQ scan A/B (round 5): codes-only ADC scan vs the SAME-METRIC exact
+baseline — l2_topk_bruteforce, the zip_with squared-L2 fold the re-rank
+stage itself uses (round-4 ADVICE: the old baseline was cosine, a
+different metric and per-row arithmetic). One local[32] JVM, interleaved
+trials. The claim under test is the storage/compute shape, not
+vectorization tricks: after a one-time encode (amortized at ingest like
+the bucketed write), the search scans m PACKED BYTES per row (binary
+codes, round-5 layout) instead of 8*D float64 / 4*D float32, and the
+optional exact re-rank touches only q*rerank vectors. Writes
+BENCH/pq_scan_ab_r5.json."""
 from __future__ import annotations
 
 import json
@@ -63,20 +67,24 @@ pq_raw = timeit(lambda: vectorops.pq_topk(
     queries, corpus, books, k=K, codes=codes).count())
 pq_rr = timeit(lambda: vectorops.pq_topk(
     queries, corpus, books, k=K, rerank=50, codes=codes).count())
-brute = timeit(lambda: vectorops.cosine_topk_bruteforce(
+brute_l2 = timeit(lambda: vectorops.l2_topk_bruteforce(
     queries, corpus, k=K).count(), trials=1)
 
 out = {
-    "workload": "PQ ADC codes-only scan vs HOF exact brute, same corpus",
+    "workload": ("PQ ADC packed-binary codes scan vs exact squared-L2 HOF "
+                 "brute (same metric, same zip_with fold as the re-rank)"),
     "n_corpus": N, "dim": DIM, "m": M, "ksub": KSUB, "n_queries": Q, "k": K,
-    "bytes_per_row_scanned": {"pq_codes": 4 * M, "brute_vectors": 8 * DIM},
+    "bytes_per_row_scanned": {"pq_codes_binary": M, "brute_vectors_f64": 8 * DIM},
     "encode_once_s": encode_s,
-    "pq_scan_s": pq_raw, "pq_rerank50_s": pq_rr, "brute_hof_s": brute,
-    "note": ("brute is the engine's exactness baseline (JVM HOF fold — the "
-             "documented slow-exact path, cf. pip_native); the PQ scan reads "
-             "codes only and shuffles ids only. Encode is one-time at ingest."),
+    "pq_scan_s": pq_raw, "pq_rerank50_s": pq_rr, "brute_l2_hof_s": brute_l2,
+    "note": ("baseline is l2_topk_bruteforce — identical squared-L2 metric "
+             "and per-row JVM fold arithmetic as the PQ re-rank stage, so "
+             "the A/B isolates the codes-layout advantage (round-4 ADVICE "
+             "fixed the cosine-metric mismatch). Codes are PACKED uint8 "
+             "binary this round: m bytes/row, 4x below the r4 array<int> "
+             "layout. Encode is one-time at ingest."),
 }
 print(json.dumps(out))
-with open(os.path.join(REPO, "BENCH", "pq_scan_ab_r4.json"), "w") as f:
+with open(os.path.join(REPO, "BENCH", "pq_scan_ab_r5.json"), "w") as f:
     json.dump(out, f, indent=2)
 spark.stop()
