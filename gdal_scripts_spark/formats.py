@@ -46,6 +46,7 @@ parquet so ``geom.kind``-only scans never read coordinates.
 from __future__ import annotations
 
 import json
+import math
 import re
 import struct as _struct
 
@@ -529,6 +530,222 @@ def geodesic_area(g: Column) -> Column:
             F.slice(part, 2, F.greatest(F.size(part) - 1, F.lit(0))),
             F.lit(0.0),
             lambda acc, r: acc + F.abs(_ring_cd_sum(r)) * half_r2,
+        )
+        return ext - holes
+
+    return F.when(
+        g["kind"].endswith("POLYGON"),
+        F.aggregate(g["parts"], F.lit(0.0), lambda acc, p: acc + part_area(p)),
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# WGS84 ellipsoidal geodesics (round 5 — upgrades the sphere-limit pair)
+# ---------------------------------------------------------------------------
+
+# public WGS84 defining constants
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+_WGS84_E = math.sqrt(WGS84_E2)
+
+
+def _authalic_q(s: float) -> float:
+    e, e2 = _WGS84_E, WGS84_E2
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+_WGS84_QP = _authalic_q(1.0)
+# authalic radius: the sphere with the ellipsoid's exact surface area
+# (Snyder, Map Projections — A Working Manual, eq. 3-13); WGS84 value
+# 6371007.1810 m, pinned in tests
+WGS84_AUTHALIC_R = WGS84_A * math.sqrt(_WGS84_QP / 2.0)
+
+
+def _let(value: Column, fn) -> Column:
+    """Column-level let-binding: evaluate ``value`` ONCE at runtime and
+    feed it to ``fn`` as a lambda variable. Implemented as a 1-element
+    ``transform`` — the optimizer cannot inline through lambda variables,
+    so the expression tree stays LINEAR in the number of chained lets
+    (a naive unrolled fixpoint would blow up exponentially)."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def vincenty_distance_m(lon1, lat1, lon2, lat2, iters: int = 4) -> Column:
+    """WGS84 inverse geodesic distance in meters — Vincenty (1975) inverse
+    formula with the lambda iteration unrolled to ``iters`` fixed steps
+    (public formula; the behavior target is OGR_G_GeodesicLength, public
+    GDAL ogr/ogrgeometry.cpp : OGRCurve::get_GeodesicLength, whose
+    GeographicLib/Karney backend agrees with converged Vincenty to <0.5 mm
+    except near-antipodal pairs, where fixed-iteration Vincenty degrades
+    gracefully instead of failing — a documented divergence). Pure Column:
+    all trig stays JVM-side; each iteration's intermediates are bound once
+    via :func:`_let`, so the tree is linear in ``iters``."""
+    f = WGS84_F
+    dl = lon2 - lon1
+    dl = dl - F.lit(360.0) * F.round(dl / F.lit(360.0), 0)
+    L0 = F.radians(dl)
+    base = F.struct(
+        L0.alias("L"),
+        F.sin(F.atan((1.0 - f) * F.tan(F.radians(lat1)))).alias("su1"),
+        F.cos(F.atan((1.0 - f) * F.tan(F.radians(lat1)))).alias("cu1"),
+        F.sin(F.atan((1.0 - f) * F.tan(F.radians(lat2)))).alias("su2"),
+        F.cos(F.atan((1.0 - f) * F.tan(F.radians(lat2)))).alias("cu2"),
+        L0.alias("lam"),
+    )
+
+    def core(t):
+        """sigma / alpha terms of one Vincenty evaluation at the bound
+        state's auxiliary-sphere longitude difference t.lam. Every input
+        is a lambda-variable field reference, so each use costs one node."""
+        sl, cl = F.sin(t["lam"]), F.cos(t["lam"])
+        sin_sig = F.sqrt(
+            (t["cu2"] * sl) * (t["cu2"] * sl)
+            + (t["cu1"] * t["su2"] - t["su1"] * t["cu2"] * cl)
+            * (t["cu1"] * t["su2"] - t["su1"] * t["cu2"] * cl)
+        )
+        cos_sig = t["su1"] * t["su2"] + t["cu1"] * t["cu2"] * cl
+        sig = F.atan2(sin_sig, cos_sig)
+        sin_al = F.when(sin_sig == 0.0, F.lit(0.0)).otherwise(
+            t["cu1"] * t["cu2"] * sl / sin_sig
+        )
+        cos2a = 1.0 - sin_al * sin_al
+        cos2sm = F.when(cos2a == 0.0, F.lit(0.0)).otherwise(
+            cos_sig - 2.0 * t["su1"] * t["su2"] / cos2a
+        )
+        return sin_sig, cos_sig, sig, sin_al, cos2a, cos2sm
+
+    def finish(t):
+        sin_sig, cos_sig, sig, sin_al, cos2a, cos2sm = core(t)
+        u2 = cos2a * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+        A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+        Bc = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+        dsig = Bc * sin_sig * (
+            cos2sm + Bc / 4.0 * (
+                cos_sig * (-1.0 + 2.0 * cos2sm * cos2sm)
+                - Bc / 6.0 * cos2sm
+                * (-3.0 + 4.0 * sin_sig * sin_sig)
+                * (-3.0 + 4.0 * cos2sm * cos2sm)
+            )
+        )
+        return F.when(sin_sig == 0.0, F.lit(0.0)).otherwise(
+            WGS84_B * A * (sig - dsig)
+        )
+
+    def make_step(k):
+        """Continuation-nested unroll: each remaining iteration computes
+        the lambda update from the CURRENT bound state and re-binds via
+        _let, so the whole distance tree is linear in ``iters``."""
+        def step(t):
+            if k == 0:
+                return finish(t)
+            sin_sig, cos_sig, sig, sin_al, cos2a, cos2sm = core(t)
+            C = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+            lam_new = t["L"] + (1.0 - C) * f * sin_al * (
+                sig + C * sin_sig * (
+                    cos2sm + C * cos_sig * (-1.0 + 2.0 * cos2sm * cos2sm)
+                )
+            )
+            st = F.struct(
+                t["L"].alias("L"), t["su1"].alias("su1"), t["cu1"].alias("cu1"),
+                t["su2"].alias("su2"), t["cu2"].alias("cu2"), lam_new.alias("lam"),
+            )
+            return _let(st, make_step(k - 1))
+        return step
+
+    return _let(base, make_step(iters))
+
+
+def geodesic_length_wgs84(g: Column, iters: int = 4) -> Column:
+    """WGS84 ellipsoidal path length in meters over lon/lat vertices —
+    per-segment Vincenty inverse (:func:`vincenty_distance_m`) folded over
+    the geometry struct. The ellipsoidal upgrade of
+    :func:`geodesic_length` (which remains the documented sphere limit);
+    behavior target OGR_G_GeodesicLength. All-JVM HOF fold."""
+
+    def ring_len(ring):
+        n = F.size(ring)
+        a = F.slice(ring, 1, n - 1)
+        b = F.slice(ring, 2, n - 1)
+        return F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda p, q: vincenty_distance_m(
+                    p["x"], p["y"], q["x"], q["y"], iters=iters
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return F.aggregate(
+        g["parts"],
+        F.lit(0.0),
+        lambda acc, part: acc
+        + F.aggregate(part, F.lit(0.0), lambda a2, r: a2 + ring_len(r)),
+    )
+
+
+def sin_authalic(lat_deg) -> Column:
+    """sin of the authalic latitude for a WGS84 geodetic latitude (deg):
+    sin(phi_a) = q(phi)/q(90) with q the Snyder eq. 3-12 integral —
+    closed form in sin(phi). The authalic map preserves area elements
+    EXACTLY, so spherical-excess area on the authalic sphere equals true
+    ellipsoid surface area for the same boundary points."""
+    e, e2 = _WGS84_E, WGS84_E2
+    s = F.sin(F.radians(lat_deg))
+    q = (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * F.log((1.0 - e * s) / (1.0 + e * s))
+    )
+    return q / F.lit(_WGS84_QP)
+
+
+def _ring_cd_sum_authalic(ring: Column) -> Column:
+    """Chamberlain-Duquette partial sum on the AUTHALIC sphere: same edge
+    model as :func:`_ring_cd_sum` (wrap-safe longitude deltas) but with
+    each sin(lat) replaced by sin of the authalic latitude."""
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+
+    def term(p, q):
+        dl = q["x"] - p["x"]
+        dl = dl - F.lit(360.0) * F.round(dl / F.lit(360.0), 0)
+        return F.radians(dl) * (
+            F.lit(2.0) + sin_authalic(p["y"]) + sin_authalic(q["y"])
+        )
+
+    seg = F.aggregate(
+        F.zip_with(a, b, term), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return seg + term(F.element_at(ring, -1), F.element_at(ring, 1))
+
+
+def geodesic_area_wgs84(g: Column) -> Column:
+    """WGS84 ellipsoidal polygon area in SQUARE METERS — the ellipsoidal
+    upgrade of :func:`geodesic_area` (behavior target OGR_G_GeodesicArea,
+    public GDAL ogr/ogrsurface.cpp : get_GeodesicArea): the
+    Chamberlain-Duquette excess sum evaluated on the AUTHALIC sphere
+    (vertex latitudes mapped to authalic latitudes, radius = WGS84
+    authalic radius 6371007.181 m). Because the authalic map is exactly
+    area-preserving, this is the EXACT ellipsoid area for regions bounded
+    by meridians/parallels (every rect fixture), and differs from
+    GeographicLib's geodesic-edge integral only by the edge-path model —
+    O(edge_len^2) and zero for meridian/parallel edges, vs the ~0.5%
+    systematic error of the sphere-limit formula. Exterior minus holes
+    per part, 0 for non-surface kinds. All-JVM."""
+    half_r2 = F.lit(WGS84_AUTHALIC_R * WGS84_AUTHALIC_R / 2.0)
+
+    def part_area(part):
+        ext = F.abs(_ring_cd_sum_authalic(F.element_at(part, 1))) * half_r2
+        holes = F.aggregate(
+            F.slice(part, 2, F.greatest(F.size(part) - 1, F.lit(0))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.abs(_ring_cd_sum_authalic(r)) * half_r2,
         )
         return ext - holes
 

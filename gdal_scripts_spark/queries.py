@@ -3512,14 +3512,16 @@ FROM d WHERE dist_m <= 1.2e6
 
 
 def _q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic (spherical) length + area over lon/lat geometries — the
-    sphere limit of OGR_G_GeodesicLength / OGR_G_GeodesicArea (public GDAL
-    ogr/ogrcurve.cpp : get_GeodesicLength, ogr/ogrsurface.cpp :
-    get_GeodesicArea). A two-segment great-circle path and a geographic
-    rect per customer; pure-Column haversine + Chamberlain-Duquette sums
-    (formats.geodesic_length/geodesic_area — zero Python in the metric).
-    The oracle re-derives both from the same published formulas in DuckDB
-    SQL."""
+    """Geodesic length + area over lon/lat geometries, BOTH models: the
+    sphere limit (haversine + Chamberlain-Duquette) AND the round-5 WGS84
+    ellipsoid upgrade (unrolled Vincenty inverse + authalic-sphere CD) —
+    the behavior targets are OGR_G_GeodesicLength / OGR_G_GeodesicArea
+    (public GDAL ogr/ogrcurve.cpp : get_GeodesicLength, ogr/ogrsurface.cpp
+    : get_GeodesicArea, GeographicLib-backed). A two-segment path and a
+    geographic rect per customer; all four metrics are pure Column
+    (formats.geodesic_* — zero Python). The oracle re-derives every
+    formula independently in DuckDB SQL, including the full 4-step
+    Vincenty lambda iteration as chained CTEs."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     c = F.col("c_custkey")
     lon0 = (c % 120).cast("double") - 60.0
@@ -3550,10 +3552,66 @@ def _q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(formats.geodesic_area(F.col("poly")) / 1.0e6, 3).alias(
             "area_km2"
         ),
+        F.round(
+            formats.geodesic_length_wgs84(F.col("line")) / 1000.0, 3
+        ).alias("path_wgs84_km"),
+        F.round(
+            formats.geodesic_area_wgs84(F.col("poly")) / 1.0e6, 3
+        ).alias("area_wgs84_km2"),
     )
 
 
-_add("geodesic_measures", _q_geodesic_measures, """
+def _vincenty_oracle_sql() -> str:
+    """Generate the geodesic_measures oracle: sphere formulas (as before)
+    + WGS84 Vincenty inverse with the lambda iteration unrolled as 4
+    chained CTEs + the authalic-sphere CD area — an independent DuckDB
+    re-derivation of the same PUBLISHED formulas the Column kernels
+    implement (Vincenty 1975; Snyder authalic latitude eq. 3-12)."""
+    ff = "(1.0/298.257223563)"           # WGS84 flattening
+    bb = f"(6378137.0*(1.0 - {ff}))"     # semi-minor axis
+    e2 = f"({ff}*(2.0 - {ff}))"          # first eccentricity squared
+    e1 = f"sqrt({e2})"
+
+    def iter_cte(name: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT c_custkey, L, su1, cu1, su2, cu2,
+    L + (1.0 - C) * {ff} * sin_al *
+      (sig + C * sin_sig * (cos2sm + C * cos_sig *
+        (-1.0 + 2.0 * cos2sm * cos2sm))) AS lam
+  FROM (
+    SELECT *, ({ff}/16.0) * cos2a * (4.0 + {ff} * (4.0 - 3.0 * cos2a)) AS C,
+      CASE WHEN cos2a = 0 THEN 0.0
+           ELSE cos_sig - 2.0 * su1 * su2 / cos2a END AS cos2sm
+    FROM (
+      SELECT *, 1.0 - sin_al * sin_al AS cos2a
+      FROM (
+        SELECT *, atan2(sin_sig, cos_sig) AS sig,
+          CASE WHEN sin_sig = 0 THEN 0.0
+               ELSE cu1 * cu2 * sin(lam) / sin_sig END AS sin_al
+        FROM (
+          SELECT *,
+            sqrt((cu2*sin(lam))*(cu2*sin(lam))
+                 + (cu1*su2 - su1*cu2*cos(lam))
+                   *(cu1*su2 - su1*cu2*cos(lam))) AS sin_sig,
+            su1*su2 + cu1*cu2*cos(lam) AS cos_sig
+          FROM {prev}
+        )
+      )
+    )
+  )
+)"""
+
+    # sin of the authalic latitude as a SQL macro-expansion over sin(lat)
+    def sin_auth(lat: str) -> str:
+        s = f"sin(radians({lat}))"
+        q = (f"(1.0 - {e2}) * ({s}/(1.0 - {e2}*{s}*{s})"
+             f" - (1.0/(2.0*{e1})) * ln((1.0 - {e1}*{s})/(1.0 + {e1}*{s})))")
+        return f"({q} / qp)"
+
+    qp1 = (f"(1.0 - {e2}) * (1.0/(1.0 - {e2})"
+           f" - (1.0/(2.0*{e1})) * ln((1.0 - {e1})/(1.0 + {e1})))")
+
+    return f"""
 WITH src AS (
   SELECT c_custkey,
          CAST(c_custkey % 120 AS DOUBLE) - 60.0 AS lon0,
@@ -3574,12 +3632,76 @@ WITH src AS (
     radians(a) * (2.0 + 2.0 * sin(radians(lat0)))
       + radians(-a) * (2.0 + 2.0 * sin(radians(lat0 + b))) AS cd
   FROM src
+), segs AS (
+  SELECT c_custkey, lon0 AS o1, lat0 AS t1, lon0 + a AS o2, lat0 AS t2 FROM src
+  UNION ALL
+  SELECT c_custkey, lon0 + a, lat0, lon0 + a, lat0 + b FROM src
+), v0 AS (
+  SELECT c_custkey,
+    radians(o2 - o1) AS L,
+    sin(atan((1.0 - {ff}) * tan(radians(t1)))) AS su1,
+    cos(atan((1.0 - {ff}) * tan(radians(t1)))) AS cu1,
+    sin(atan((1.0 - {ff}) * tan(radians(t2)))) AS su2,
+    cos(atan((1.0 - {ff}) * tan(radians(t2)))) AS cu2,
+    radians(o2 - o1) AS lam
+  FROM segs
+), {iter_cte('it1', 'v0')}, {iter_cte('it2', 'it1')},
+{iter_cte('it3', 'it2')}, {iter_cte('it4', 'it3')},
+vfin AS (
+  SELECT c_custkey,
+    CASE WHEN sin_sig = 0 THEN 0.0
+         ELSE {bb} * (1.0 + u2/16384.0 * (4096.0 + u2 * (-768.0
+                + u2 * (320.0 - 175.0 * u2))))
+              * (sig - Bc * sin_sig * (cos2sm + Bc/4.0 *
+                  (cos_sig * (-1.0 + 2.0 * cos2sm * cos2sm)
+                   - Bc/6.0 * cos2sm * (-3.0 + 4.0 * sin_sig * sin_sig)
+                     * (-3.0 + 4.0 * cos2sm * cos2sm))))
+    END AS s
+  FROM (
+    SELECT *, u2/1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS Bc
+    FROM (
+      SELECT *, cos2a * (6378137.0*6378137.0 - {bb}*{bb}) / ({bb}*{bb}) AS u2,
+        CASE WHEN cos2a = 0 THEN 0.0
+             ELSE cos_sig - 2.0 * su1 * su2 / cos2a END AS cos2sm
+      FROM (
+        SELECT *, 1.0 - sin_al * sin_al AS cos2a
+        FROM (
+          SELECT *, atan2(sin_sig, cos_sig) AS sig,
+            CASE WHEN sin_sig = 0 THEN 0.0
+                 ELSE cu1 * cu2 * sin(lam) / sin_sig END AS sin_al
+          FROM (
+            SELECT *,
+              sqrt((cu2*sin(lam))*(cu2*sin(lam))
+                   + (cu1*su2 - su1*cu2*cos(lam))
+                     *(cu1*su2 - su1*cu2*cos(lam))) AS sin_sig,
+              su1*su2 + cu1*cu2*cos(lam) AS cos_sig
+            FROM it4
+          )
+        )
+      )
+    )
+  )
+), vsum AS (
+  SELECT c_custkey, SUM(s) AS path_m FROM vfin GROUP BY c_custkey
+), auth AS (
+  SELECT s.c_custkey,
+    abs(radians(a) * (2.0 + 2.0 * {sin_auth('lat0')})
+        + radians(-a) * (2.0 + 2.0 * {sin_auth('lat0 + b')}))
+      * (6378137.0*sqrt(qp/2.0)) * (6378137.0*sqrt(qp/2.0)) / 2.0 AS area_m2
+  FROM src s CROSS JOIN (SELECT {qp1} AS qp)
 )
-SELECT c_custkey,
+SELECT h.c_custkey,
   round((d1 + d2) / 1000.0, 3) AS path_km,
-  round(abs(cd) * 6371008.8 * 6371008.8 / 2.0 / 1.0e6, 3) AS area_km2
-FROM hav
-""")
+  round(abs(cd) * 6371008.8 * 6371008.8 / 2.0 / 1.0e6, 3) AS area_km2,
+  round(v.path_m / 1000.0, 3) AS path_wgs84_km,
+  round(au.area_m2 / 1.0e6, 3) AS area_wgs84_km2
+FROM hav h
+JOIN vsum v ON v.c_custkey = h.c_custkey
+JOIN auth au ON au.c_custkey = h.c_custkey
+"""
+
+
+_add("geodesic_measures", _q_geodesic_measures, _vincenty_oracle_sql())
 
 
 def _q_segmentize_path(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -575,6 +575,114 @@ def test_geodesic_area_band_closed_form(spark):
     assert r["al"] == 0.0
 
 
+def test_wgs84_geodesic_known_constants(spark):
+    # public anchors: WGS84 quarter meridian 10_001_965.729 m, equatorial
+    # quarter 10_018_754.171 m (a*pi/2), authalic radius 6_371_007.1810 m
+    assert abs(formats.WGS84_AUTHALIC_R - 6371007.1810) < 1e-3
+    r = spark.range(1).select(
+        formats.vincenty_distance_m(
+            F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(90.0)).alias("qm"),
+        formats.vincenty_distance_m(
+            F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0)).alias("qe"),
+        formats.vincenty_distance_m(
+            F.lit(5.0), F.lit(10.0), F.lit(5.0), F.lit(10.0)).alias("zero"),
+    ).collect()[0]
+    assert abs(r["qm"] - 10001965.729) < 1e-2
+    assert abs(r["qe"] - 6378137.0 * math.pi / 2.0) < 1e-4
+    assert r["zero"] == 0.0
+
+
+def test_wgs84_geodesic_length_vs_python_vincenty(spark):
+    # geometry-struct fold == a sequential converged-Vincenty oracle
+    def vin(lon1, lat1, lon2, lat2):
+        a, f = 6378137.0, 1 / 298.257223563
+        b = a * (1 - f)
+        L = math.radians(lon2 - lon1)
+        U1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+        U2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+        su1, cu1 = math.sin(U1), math.cos(U1)
+        su2, cu2 = math.sin(U2), math.cos(U2)
+        lam = L
+        for _ in range(50):
+            sl, cl = math.sin(lam), math.cos(lam)
+            ss = math.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+            cs = su1 * su2 + cu1 * cu2 * cl
+            sig = math.atan2(ss, cs)
+            sa = 0.0 if ss == 0 else cu1 * cu2 * sl / ss
+            c2a = 1 - sa * sa
+            c2m = 0.0 if c2a == 0 else cs - 2 * su1 * su2 / c2a
+            C = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+            lam = L + (1 - C) * f * sa * (
+                sig + C * ss * (c2m + C * cs * (-1 + 2 * c2m * c2m)))
+        sl, cl = math.sin(lam), math.cos(lam)
+        ss = math.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+        cs = su1 * su2 + cu1 * cu2 * cl
+        sig = math.atan2(ss, cs)
+        sa = 0.0 if ss == 0 else cu1 * cu2 * sl / ss
+        c2a = 1 - sa * sa
+        c2m = 0.0 if c2a == 0 else cs - 2 * su1 * su2 / c2a
+        u2 = c2a * (a * a - b * b) / (b * b)
+        A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+        B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+        ds = B * ss * (c2m + B / 4 * (cs * (-1 + 2 * c2m * c2m)
+                       - B / 6 * c2m * (-3 + 4 * ss * ss) * (-3 + 4 * c2m * c2m)))
+        return b * A * (sig - ds)
+
+    pts = [(13.4, 52.5), (2.35, 48.85), (-3.7, 40.4), (12.5, 41.9)]
+    wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    got = spark.range(1).select(
+        formats.geodesic_length_wgs84(formats.wkt_parse(F.lit(wkt))).alias("d")
+    ).collect()[0]["d"]
+    exp = sum(vin(*pts[i], *pts[i + 1]) for i in range(len(pts) - 1))
+    assert abs(got - exp) < 1e-4, (got, exp)
+
+
+def test_wgs84_vs_sphere_delta_pinned(spark):
+    # the sphere-limit formulas carry a known systematic error vs the
+    # ellipsoid: pin magnitude AND sign on both axes (meridian arcs are
+    # SHORTER on the ellipsoid than on the mean sphere, equatorial arcs
+    # LONGER; zonal-band areas differ by ~0.1-0.3%)
+    line_m = "LINESTRING (0 0, 0 90)"
+    line_e = "LINESTRING (0 0, 90 0)"
+    poly = "POLYGON ((10 20, 12 20, 12 50, 10 50, 10 20))"
+    r = spark.range(1).select(
+        formats.geodesic_length(formats.wkt_parse(F.lit(line_m))).alias("sm"),
+        formats.geodesic_length_wgs84(formats.wkt_parse(F.lit(line_m))).alias("em"),
+        formats.geodesic_length(formats.wkt_parse(F.lit(line_e))).alias("se"),
+        formats.geodesic_length_wgs84(formats.wkt_parse(F.lit(line_e))).alias("ee"),
+        formats.geodesic_area(formats.wkt_parse(F.lit(poly))).alias("sa"),
+        formats.geodesic_area_wgs84(formats.wkt_parse(F.lit(poly))).alias("ea"),
+    ).collect()[0]
+    assert r["em"] < r["sm"] and 0.0004 < (r["sm"] - r["em"]) / r["em"] < 0.0007
+    assert r["ee"] > r["se"] and 0.0008 < (r["ee"] - r["se"]) / r["ee"] < 0.0015
+    assert 0.0001 < abs(r["ea"] - r["sa"]) / r["ea"] < 0.006
+
+
+def test_wgs84_area_exact_for_zonal_band(spark):
+    # authalic mapping preserves areas exactly: for a meridian/parallel-
+    # bounded band the result IS the exact ellipsoid surface area
+    # Ra^2 * dlam * (sin(phi_a(lat1)) - sin(phi_a(lat0)))
+    e2 = formats.WGS84_E2
+    e = math.sqrt(e2)
+
+    def q(lat):
+        s = math.sin(math.radians(lat))
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - 1 / (2 * e) * math.log((1 - e * s) / (1 + e * s)))
+
+    qp = q(90.0)
+    Ra = formats.WGS84_AUTHALIC_R
+    got = spark.range(1).select(
+        formats.geodesic_area_wgs84(formats.wkt_parse(
+            F.lit("POLYGON ((10 20, 12 20, 12 50, 10 50, 10 20))"))).alias("a")
+    ).collect()[0]["a"]
+    exp = Ra * Ra * math.radians(2) * (q(50) / qp - q(20) / qp)
+    assert abs(got - exp) / exp < 1e-12
+    # full-globe sanity: 4*pi*Ra^2 equals the published WGS84 surface
+    # area 510_065_621.7 km^2 within 1 km^2
+    assert abs(4 * math.pi * Ra * Ra / 1e6 - 510065621.7) < 1.0
+
+
 def test_geodesic_area_dateline_crossing_ring(spark):
     # a 2-degree zonal band straddling the antimeridian (179 -> -179):
     # per-edge wrap normalization must read the delta as +/-2 deg, not
