@@ -160,22 +160,34 @@ def _cc_distributed(
     under the steps, so components (and their min ids) are unchanged. The
     late rounds are exactly the driver-synchronization-bound ones (a tiny
     star table, 2-4 barriers), so cutting them helps wall AND the N->4N
-    efficiency, which fixed per-round costs dilute."""
-    cur = e.localCheckpoint()
+    efficiency, which fixed per-round costs dilute.
+
+    Round-5 barrier fusion: each round's result is localCheckpoint-ed
+    NON-eagerly and materialized BY the convergence aggregate itself —
+    one driver-synchronized job per round instead of two (eager
+    checkpoint job + agg job), while still truncating lineage every
+    round (a pure persist() accumulates the whole iteration history in
+    the logical plan and OOMs the driver on long-diameter graphs).
+    Driver-sync fixed costs are exactly the core-count-invariant term
+    that was diluting N->4N efficiency (0.419 in
+    BENCH/cc_scaling_r4.json)."""
+    cur = e
+    prev = None
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
-        cur.unpersist()
-        cur = nxt
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # exact convergence check every round (a star forest: one parent
-        # per child, no node on both sides). Running it per round is the
-        # measured optimum: the agg rides the just-checkpointed result
-        # (1-2 s late-round), while any deferred-trigger scheme pays one
-        # EXTRA full large+small round (~15 s at 20M edges) to detect the
+        # per child, no node on both sides). This agg IS the round's
+        # materialization barrier — it fills the cache and returns the
+        # counts in one job; any deferred-trigger scheme pays one EXTRA
+        # full large+small round (~15 s at 20M edges) to detect the
         # fixpoint a round late.
         n, n_children = cur.agg(
             F.count("*").alias("n"),
             F.count_distinct("a").alias("d"),
         ).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
         # tail cutoff: the star steps shrank the graph under the hybrid
         # threshold (same symmetrized-row scale as the wrapper's routing
         # metric) — finish in one union-find task instead of 2-4 more

@@ -304,6 +304,40 @@ def test_spatial_join_s2_matches_broadcast(spark):
     assert a == b and len(a) > 0
 
 
+def test_spatial_join_s2_shuffled_regions_matches_broadcast(spark):
+    """broadcast_regions=False (the huge-polygon-set regime): the covering
+    join runs as a shuffled hash join — identical pairs, and the plan must
+    actually contain an Exchange on the regions side (no silent
+    re-broadcast)."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    df = joins.spatial_join_s2(pts, pack, max_level=8, cover="rings",
+                               broadcast_regions=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, "regions were silently broadcast"
+    a = set(map(tuple, df.collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_spatial_join_s2_coarse_prefilter_matches(spark):
+    """prefilter_z: the pure-Column coarse-tile semi-join ahead of the
+    Arrow leaf encode is conservative — identical pairs at several
+    coarse levels."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    for z in (4, 6, 8):
+        a = set(map(tuple, joins.spatial_join_s2(
+            pts, pack, max_level=8, prefilter_z=z).collect()))
+        assert a == b, z
+    assert len(b) > 0
+
+
 def test_cover_polygon_complete_and_tighter_than_bbox():
     """Shape covering of a thin diagonal triangle: complete (every interior
     point lands in a cell) and strictly smaller than the bbox covering."""
