@@ -55,7 +55,12 @@ walls, ctrls = [], []
 for _ in range(trials):
     ctrls.append(control())
     t0 = time.time()
-    cc = graph.connected_components(e)
+    # pure distributed star loop (threshold=0): isolates the scaling of
+    # the shuffle rounds themselves. The ENGINE DEFAULT at this size
+    # additionally fires the tail cutoff into ONE union-find task, which
+    # wins wall but serializes the tail (see cc_cutoff_ab_r4) - its 8/32
+    # ratio measures the single task, not the loop.
+    cc = graph.connected_components(e, local_edges_threshold=0)
     res = cc.agg(F.count("*").alias("n"), F.countDistinct("comp").alias("k")).collect()
     walls.append(round(time.time() - t0, 2))
 print(json.dumps({"cpus": cpus, "m": m, "walls": walls, "controls": ctrls,
