@@ -3470,6 +3470,25 @@ def _q_pip_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("pip_s2_cover", _q_pip_s2, _pip_native_oracle())
 
 
+def _q_pip_s2_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via the round-5 at-scale S2 plan shape: shape-aware rings
+    covering, regions NOT broadcast (shuffled hash containment join —
+    the region-set-too-large-to-broadcast regime), and the pure-Column
+    lon/lat-grid prefilter ahead of the Arrow leaf encode. Measured the
+    fastest plan in its regime (BENCH/s2_regime_ab_r5.json); same pairs
+    as every other PiP path — the oracle is the SAME independent
+    plain-SQL parity fold, no S2 math on the oracle side."""
+    pts = _pts_events(spark, sf_dir)
+    pack = fixtures.polygons_pack(p=48)
+    return joins.spatial_join_s2(
+        pts, pack, max_level=9, id_col="event_id", cover="rings",
+        broadcast_regions=False, prefilter_z=6,
+    )
+
+
+_add("pip_s2_shuffle", _q_pip_s2_shuffle, _pip_native_oracle())
+
+
 def _q_s2_cap_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius query as covering-join + exact refine: spherical-cap S2
     covering (s2.np_s2_cover_cap, broadcast) -> parent-snap equi-joins ->
