@@ -352,9 +352,58 @@ def s2_cover_regions(
         rows, schema="poly_id long, cell long, interior boolean")
 
 
+def s2_cover_regions_from_table(
+    polygons: DataFrame,
+    max_level: int = 9,
+    poly_id: str = "poly_id",
+    rings: str = "rings",
+) -> DataFrame:
+    """DISTRIBUTED S2 covering build: ``(poly_id, cell, interior)`` from a
+    polygons TABLE (rings as ``array<array<struct<x,y>>>``, the engine's
+    standard layer schema) — the at-scale replacement for the driver-side
+    :func:`s2_cover_regions`.
+
+    The driver-side builder costs 5-60 ms/polygon of single-core Python;
+    at 1M polygons that is HOURS on the driver and does not survive a
+    100x scale-up. Here the covering runs as one ``mapInPandas`` pass
+    over the polygon table (each Arrow batch covers its polygons with
+    the same exact ``np_s2_cover_polygon_flags`` kernel), so the build
+    parallelizes with the cluster and the resulting regions table is a
+    persistable ingest artifact. Output is row-for-row identical to the
+    driver-side rings covering (pinned by test)."""
+    from . import s2 as s2mod
+
+    ml = int(max_level)
+
+    def kern(batches):
+        for pdf in batches:
+            out_pid: list[int] = []
+            out_cell: list[int] = []
+            out_int: list[bool] = []
+            for pid, rr in zip(pdf[poly_id], pdf[rings]):
+                arrs = [
+                    np.array([[pt["x"], pt["y"]] for pt in ring],
+                             dtype=np.float64)
+                    for ring in rr
+                ]
+                edges = geom.polygon_edges(arrs)
+                cov, flags = s2mod.np_s2_cover_polygon_flags(
+                    edges, max_level=ml)
+                out_pid.extend([int(pid)] * len(cov))
+                out_cell.extend(int(c) for c in cov)
+                out_int.extend(bool(f) for f in flags)
+            yield pd.DataFrame(
+                {"poly_id": out_pid, "cell": out_cell, "interior": out_int}
+            )
+
+    return polygons.select(poly_id, rings).mapInPandas(
+        kern, schema="poly_id long, cell long, interior boolean"
+    )
+
+
 def spatial_join_s2(
     points: DataFrame,
-    pack: geom.PolygonPack,
+    pack: geom.PolygonPack | None,
     max_level: int = 9,
     id_col: str = "image_id",
     lon: str = "lon",
@@ -365,6 +414,8 @@ def spatial_join_s2(
     broadcast_regions: bool = True,
     prefilter_z: int | None = None,
     prefilter_tiles: DataFrame | None = None,
+    refine: str = "arrow",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, poly_id) via S2 mixed-level covering join + exact refine —
     the sphere-uniform alternative to the z-tile cover of
@@ -435,9 +486,43 @@ def spatial_join_s2(
       dense overlap (candidates >> points), where the measured Arrow copy
       floor is the dominant cost. Caller owns the persisted probe's
       lifetime (it unpersists with the session/GC).
+
+    ``refine="native"`` (round 5) swaps the Arrow even-odd kernel for the
+    pure-Column :func:`refine_pip_native` parity fold (interior-flagged
+    candidates bypass it via OR short-circuit) — with
+    ``broadcast_regions=False`` BOTH joins run shuffled, so the whole
+    plan is JVM-codegen with no Python stage and no broadcast.
+
+    ``pack=None`` is the fully TABLE-DRIVEN regime — the shape that
+    survives a 1M-polygon dim side, where no driver-side PolygonPack can
+    exist: pass ``regions`` from :func:`s2_cover_regions_from_table`
+    (cluster-built covering), ``edges`` from
+    :func:`polygon_edges_df_from_table` (pure-Column edge build) with
+    ``refine="native"``, and (if prefiltering) ``prefilter_tiles``.
+    Nothing in that plan is bounded by driver memory or driver CPU;
+    missing artifacts raise eagerly.
     """
     from . import s2 as s2mod
 
+    if refine not in ("arrow", "native"):
+        raise ValueError(f"refine must be 'arrow' or 'native', got {refine!r}")
+    if pack is None:
+        # fully table-driven regime: every polygon-side artifact must
+        # arrive as a DataFrame (s2_cover_regions_from_table /
+        # polygon_edges_df_from_table / _grid_cover_keys tiles)
+        missing = [
+            n for n, ok in (
+                ("regions", regions is not None),
+                ("edges + refine='native'",
+                 refine == "native" and edges is not None),
+                ("prefilter_tiles",
+                 prefilter_z is None or prefilter_tiles is not None),
+            ) if not ok
+        ]
+        if missing:
+            raise ValueError(
+                "pack=None (table-driven S2 join) requires: "
+                + ", ".join(missing))
     spark = points.sparkSession
     if regions is None:
         regions = s2_cover_regions(spark, pack, max_level=max_level,
@@ -470,6 +555,11 @@ def spatial_join_s2(
     ).select(id_col, lon, lat, "poly_id", "interior")
     # no dedupe needed: each polygon's covering is a DISJOINT partition, so
     # a point matches at most one covering cell per polygon
+    if refine == "native":
+        e_df = edges if edges is not None else pack_edges_df(spark, pack)
+        return refine_pip_native(
+            cand, e_df, id_col, lon, lat,
+            broadcast=broadcast_regions, interior_col="interior")
     if split_interior:
         sure = cand.filter(F.col("interior")).select(id_col, "poly_id")
         maybe = cand.filter(~F.col("interior")).drop("interior")
@@ -554,21 +644,90 @@ def pip_parity_expr(edges_col, lon_col, lat_col):
 
 
 def refine_pip_native(candidates: DataFrame, edges_df: DataFrame,
-                      id_col: str, lon: str, lat: str) -> DataFrame:
+                      id_col: str, lon: str, lat: str, *,
+                      broadcast: bool = True,
+                      interior_col: str | None = None) -> DataFrame:
     """Exact refine of (point, poly_id) candidates with no Python stage.
 
-    Broadcast-joins the per-polygon edge arrays onto the candidates, applies
-    the codegen bbox pretest (the reference's FilterGeometry bbox step,
-    ``ogrlayer.cpp ≈L800``) and keeps rows with odd crossing parity."""
+    Joins the per-polygon edge arrays onto the candidates, applies the
+    codegen bbox pretest (the reference's FilterGeometry bbox step,
+    ``ogrlayer.cpp ≈L800``) and keeps rows with odd crossing parity.
+
+    ``broadcast=False`` is the huge-polygon-set regime: the edges table
+    joins as a SHUFFLED hash join on poly_id (``hint("shuffle_hash")`` so
+    Catalyst cannot silently re-broadcast a small test table) — the plan
+    shape that survives edge tables too large for a per-executor
+    broadcast. ``interior_col`` names a boolean candidate column of
+    PROVEN matches (S2 rings-covering interior cells); those rows bypass
+    the parity fold via Java OR short-circuit — one plan branch, no
+    second scan of the upstream."""
     lon_c, lat_c = F.col(lon), F.col(lat)
+    e = F.broadcast(edges_df) if broadcast else edges_df.hint("shuffle_hash")
+    keep = (
+        (lon_c >= F.col("bxmin")) & (lon_c <= F.col("bxmax"))
+        & (lat_c >= F.col("bymin")) & (lat_c <= F.col("bymax"))
+        & pip_parity_expr(F.col("edges"), lon_c, lat_c)
+    )
+    if interior_col is not None:
+        keep = F.col(interior_col) | keep
     return (
-        candidates.join(F.broadcast(edges_df), "poly_id")
-        .where(
-            (lon_c >= F.col("bxmin")) & (lon_c <= F.col("bxmax"))
-            & (lat_c >= F.col("bymin")) & (lat_c <= F.col("bymax"))
-        )
-        .where(pip_parity_expr(F.col("edges"), lon_c, lat_c))
+        candidates.join(e, "poly_id")
+        .where(keep)
         .select(id_col, "poly_id")
+    )
+
+
+def polygon_edges_df_from_table(
+    polygons: DataFrame,
+    poly_id: str = "poly_id",
+    rings: str = "rings",
+) -> DataFrame:
+    """DISTRIBUTED edges-table build: same schema as :func:`pack_edges_df`
+    (poly_id, bbox, flattened edge structs) but computed as PURE Column
+    HOFs over a polygons TABLE — no driver-side pack, no Python workers.
+
+    With :func:`s2_cover_regions_from_table` this closes the at-scale S2
+    join loop: polygon sets of any size live as tables, both dim-side
+    artifacts (covering + edges) are built by the cluster in one codegen
+    pass each, and the join itself can run fully shuffled
+    (``spatial_join_s2(..., refine="native", broadcast_regions=False)``)
+    — nothing in the plan is bounded by driver memory or driver CPU.
+    Row-identical to ``pack_edges_df`` on the same polygons (pinned by
+    test): closed rings are un-closed the same way and each ring's last
+    edge wraps back to its first vertex."""
+    pid_c = F.col(poly_id).cast("long").alias("poly_id")
+    ropen = F.transform(
+        F.col(rings),
+        lambda r: F.when(
+            (F.size(r) > F.lit(1))
+            & (F.element_at(r, 1) == F.element_at(r, -1)),
+            F.slice(r, 1, F.size(r) - 1),
+        ).otherwise(r),
+    )
+    edges = F.flatten(F.transform(
+        ropen,
+        lambda r: F.transform(
+            r,
+            lambda p, i: F.struct(
+                p["x"].alias("x1"),
+                p["y"].alias("y1"),
+                F.element_at(r, F.pmod(i + 1, F.size(r)) + 1)["x"].alias("x2"),
+                F.element_at(r, F.pmod(i + 1, F.size(r)) + 1)["y"].alias("y2"),
+            ),
+        ),
+    ))
+    # bbox over ALL ring vertices (closing vertex included or not — the
+    # min/max are unchanged), matching PolygonPack.from_rings
+    pts = F.flatten(F.col(rings))
+    xs = F.transform(pts, lambda p: p["x"])
+    ys = F.transform(pts, lambda p: p["y"])
+    return polygons.select(
+        pid_c,
+        F.array_min(xs).alias("bxmin"),
+        F.array_min(ys).alias("bymin"),
+        F.array_max(xs).alias("bxmax"),
+        F.array_max(ys).alias("bymax"),
+        edges.alias("edges"),
     )
 
 

@@ -521,3 +521,100 @@ def test_bad_inputs():
         s2.s2_parent(F.lit(1), -1)
     with pytest.raises(ValueError):
         s2.hex_cell(F.lit(0.0), F.lit(0.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# round 5: fully table-driven S2 join (no driver-side PolygonPack anywhere)
+# ---------------------------------------------------------------------------
+
+def test_s2_cover_regions_from_table_matches_driver(spark):
+    """The distributed (mapInPandas) covering build over a polygons TABLE
+    is row-for-row identical to the driver-side rings covering — same
+    kernel, cluster-parallel."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pack = fixtures.polygons_pack(p=40)
+    polys = fixtures.polygons_spark(spark, p=40).repartition(8)
+    a = set(map(tuple, joins.s2_cover_regions_from_table(
+        polys, max_level=8).collect()))
+    b = set(map(tuple, joins.s2_cover_regions(
+        spark, pack, max_level=8, cover="rings").collect()))
+    assert a == b and len(a) > 0
+    assert any(t[2] for t in a), "no interior cells — covering degenerate"
+
+
+def test_polygon_edges_df_from_table_matches_pack(spark):
+    """The pure-Column edges-table build over a polygons TABLE matches the
+    driver-side pack_edges_df exactly: same bboxes, same edge list in the
+    same order (closed rings un-closed identically, wrap edge last)."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pack = fixtures.polygons_pack(p=40)
+    polys = fixtures.polygons_spark(spark, p=40)
+
+    def canon(df):
+        return {
+            r["poly_id"]: (
+                r["bxmin"], r["bymin"], r["bxmax"], r["bymax"],
+                tuple(map(tuple, r["edges"])),
+            )
+            for r in df.collect()
+        }
+
+    a = canon(joins.polygon_edges_df_from_table(polys))
+    b = canon(joins.pack_edges_df(spark, pack))
+    assert a == b and len(a) == 40
+
+
+def test_spatial_join_s2_native_refine_matches_arrow(spark):
+    """refine="native" (pure-Column parity fold + interior OR-bypass) is
+    pair-identical to the Arrow refine, broadcast and shuffled."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    for bc in (True, False):
+        a = set(map(tuple, joins.spatial_join_s2(
+            pts, pack, max_level=8, cover="rings", refine="native",
+            broadcast_regions=bc).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_spatial_join_s2_fully_table_driven(spark):
+    """pack=None: covering + edges both built BY THE CLUSTER from the
+    polygons table, containment join and refine both shuffled — nothing
+    driver-bounded — and the pairs still match the broadcast oracle."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    polys = fixtures.polygons_spark(spark, p=60).repartition(8)
+    regions = joins.s2_cover_regions_from_table(polys, max_level=8)
+    edges = joins.polygon_edges_df_from_table(polys)
+    df = joins.spatial_join_s2(
+        pts, None, id_col="image_id", regions=regions, refine="native",
+        edges=edges, broadcast_regions=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, "dim side silently broadcast"
+    a = set(map(tuple, df.collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_spatial_join_s2_pack_none_requires_artifacts(spark):
+    """pack=None without the table-side artifacts fails eagerly, naming
+    every missing piece."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 100, partitions=2)
+    with pytest.raises(ValueError, match="regions"):
+        joins.spatial_join_s2(pts, None)
+    polys = fixtures.polygons_spark(spark, p=5)
+    regions = joins.s2_cover_regions_from_table(polys, max_level=8)
+    with pytest.raises(ValueError, match="edges"):
+        joins.spatial_join_s2(pts, None, regions=regions, refine="native")
+    with pytest.raises(ValueError, match="prefilter_tiles"):
+        joins.spatial_join_s2(pts, None, regions=regions, prefilter_z=6)
+    with pytest.raises(ValueError, match="refine"):
+        joins.spatial_join_s2(pts, None, regions=regions, refine="bogus")
