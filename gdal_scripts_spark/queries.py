@@ -3489,6 +3489,30 @@ def _q_pip_s2_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _add("pip_s2_shuffle", _q_pip_s2_shuffle, _pip_native_oracle())
 
 
+def _q_pip_s2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 via the fully TABLE-DRIVEN S2 plan (round 5): the polygon set
+    lives as a TABLE (standard layer schema) — its rings covering is
+    built BY THE CLUSTER (s2_cover_regions_from_table, one mapInPandas
+    pass) and its edge arrays as pure Column HOFs
+    (polygon_edges_df_from_table); the containment join and the parity
+    refine both run as SHUFFLED hash joins (refine='native',
+    broadcast_regions=False). No PolygonPack, no broadcast, nothing in
+    the plan bounded by driver memory or driver CPU — the shape that
+    survives a 1M-polygon dim side. Oracle: the same independent
+    plain-SQL parity fold as every other PiP path."""
+    pts = _pts_events(spark, sf_dir)
+    polys = fixtures.polygons_spark(spark, p=48).repartition(8)
+    regions = joins.s2_cover_regions_from_table(polys, max_level=9)
+    edges = joins.polygon_edges_df_from_table(polys)
+    return joins.spatial_join_s2(
+        pts, None, id_col="event_id", regions=regions,
+        refine="native", edges=edges, broadcast_regions=False,
+    )
+
+
+_add("pip_s2_table", _q_pip_s2_table, _pip_native_oracle())
+
+
 def _q_s2_cap_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius query as covering-join + exact refine: spherical-cap S2
     covering (s2.np_s2_cover_cap, broadcast) -> parent-snap equi-joins ->
