@@ -99,22 +99,30 @@ def _large_star(e: DataFrame) -> DataFrame:
     in MapReduce and Beyond", Alg. 2): every node connects its
     strictly-LARGER neighbors to the minimum of its closed neighborhood.
 
-    Input/output edges are (a, b) pairs; output rows are always oriented
-    child > parent (``m <= a < b``). Implemented as groupBy + equi-join
-    rather than a window so the giant component's star center — the one
-    pathologically hot key — is absorbed by map-side partial aggregation
-    and AQE skew-join, never a single sorted window partition."""
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mn = sym.groupBy("a").agg(
-        F.least(F.min("b"), F.col("a")).alias("m")
-    )
+    Specialized (round 5) to strictly child>parent-ORIENTED input —
+    ``a > b`` on every row, which holds for the canonical undirected
+    orientation the loop starts from and for every small-star output, so
+    it holds on every round. The textbook step symmetrizes the edge table
+    first; under the orientation invariant that is redundant: a row
+    (a, b) is the only place node b sees its larger neighbor a, so the
+    whole step reduces to the per-row rewrite (a, b) -> (a, m(b)) with
+    ``m(b) = min(b, min of b's children)`` — b's parents are all > b and
+    can never move its closed-neighborhood min. The output multiset is
+    IDENTICAL to the symmetrized form (pinned by
+    tests/test_graph.py::test_oriented_large_star_matches_symmetrized)
+    while the round's shuffle volume HALVES: one edge-width exchange (the
+    join on b) instead of two double-width ones, and the groupBy ships
+    node-sized after map-side partial aggregation. The giant component's
+    star center is a hot join key either way; AQE skew-join splits it
+    (same defense as before — the old form's symmetrized join carried the
+    identical hot key on its stream side)."""
+    mn = e.groupBy("a").agg(F.min("b").alias("m"))
     # NO trailing distinct: the algorithm is multiset-safe (small-star's
     # groupBy-min ignores duplicates and its own output IS deduped), and
-    # dropping it removes one full-width shuffle per iteration
+    # a distinct here would be a full-width shuffle per iteration
     return (
-        sym.join(mn, "a")
-        .filter(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        e.join(mn.select(F.col("a").alias("b"), "m"), "b", "left")
+        .select("a", F.least(F.col("b"), F.col("m")).alias("b"))
     )
 
 
@@ -122,7 +130,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     """One small-star step: every node links its smaller-or-equal
     neighborhood (and itself) to the neighborhood minimum. Input edges
     must be oriented child > parent (large-star output); so is the
-    output."""
+    output — STRICTLY (m = min(b) < a, and linked rows have b > m by the
+    != filter), which is the invariant the oriented large-star relies
+    on."""
     mn = e.groupBy("a").agg(F.min("b").alias("m"))
     linked = (
         e.join(mn, "a")

@@ -115,3 +115,34 @@ def test_distributed_tail_cutoff(spark):
     # one large+small star round the ~150-node graph is near-stars, so the
     # per-round count drops under 500 -> _cc_local tail
     _run(spark, edges, local_edges_threshold=500)
+
+
+def test_oriented_large_star_matches_symmetrized(spark):
+    """The round-5 oriented large-star (no symmetrization, half the
+    shuffle volume) emits the EXACT output multiset of the textbook
+    symmetrized form, on strictly child>parent-oriented inputs —
+    including nodes with no children (left-join null -> m(b)=b) and
+    duplicate rows."""
+    from collections import Counter
+
+    rng = random.Random(99)
+    edges = set()
+    while len(edges) < 400:
+        u, v = rng.randrange(1000), rng.randrange(1000)
+        if u != v:
+            edges.add((max(u, v), min(u, v)))
+    rows = list(edges) + list(edges)[:50]  # duplicates are in-contract
+
+    def sym_reference(rows):
+        """Textbook large-star (the pre-round-5 implementation)."""
+        sym = rows + [(b, a) for a, b in rows]
+        mn = {}
+        for a, b in sym:
+            mn[a] = min(mn.get(a, a), b, a)
+        return Counter((b, mn[a]) for a, b in sym if b > a)
+
+    e = spark.createDataFrame(rows, schema="a long, b long")
+    got = Counter((r["a"], r["b"]) for r in graph._large_star(e).collect())
+    assert got == sym_reference(rows)
+    # output stays strictly oriented (the loop invariant)
+    assert all(a > b for a, b in got)
