@@ -145,7 +145,10 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _cc_distributed(
-    e: DataFrame, max_rounds: int, local_edges_threshold: int = 0
+    e: DataFrame,
+    max_rounds: int,
+    local_edges_threshold: int = 0,
+    rounds_per_sync: int = 2,
 ) -> DataFrame:
     """Alternating large-star / small-star over a monotonically shrinking
     edge set -> (id, comp) star edges for every NON-isolated node.
@@ -180,13 +183,32 @@ def _cc_distributed(
     the logical plan and OOMs the driver on long-diameter graphs).
     Driver-sync fixed costs are exactly the core-count-invariant term
     that was diluting N->4N efficiency (0.419 in
-    BENCH/cc_scaling_r4.json)."""
+    BENCH/cc_scaling_r4.json).
+
+    Round-5 round fusion (``rounds_per_sync``, default 2): both star
+    steps are IDENTITIES on a star forest (a root never appears as a
+    child, so large-star's left join finds no min to lower; each child
+    already holds its single minimal parent, so small-star re-emits the
+    same rows), which makes running the alternation PAST the fixpoint
+    harmless — so two full large+small rounds are chained inside one
+    lineage before each checkpoint+convergence barrier. Worst case is
+    one extra fused pass over an already-node-sized star table (tiny,
+    map-side-combined); in exchange the number of driver-synchronized
+    jobs — the core-count-invariant term — halves again. Output equality
+    vs rounds_per_sync=1 is pinned by
+    tests/test_graph.py::test_round_fusion_matches_unfused."""
+    if rounds_per_sync < 1:
+        raise ValueError("rounds_per_sync must be >= 1")
     cur = e
     prev = None
-    for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        # exact convergence check every round (a star forest: one parent
-        # per child, no node on both sides). This agg IS the round's
+    done = 0
+    while done < max_rounds:
+        for _ in range(min(rounds_per_sync, max_rounds - done)):
+            cur = _small_star(_large_star(cur))
+            done += 1
+        cur = cur.localCheckpoint(eager=False)
+        # exact convergence check every sync (a star forest: one parent
+        # per child, no node on both sides). This agg IS the block's
         # materialization barrier — it fills the cache and returns the
         # counts in one job; any deferred-trigger scheme pays one EXTRA
         # full large+small round (~15 s at 20M edges) to detect the

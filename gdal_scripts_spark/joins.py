@@ -128,6 +128,45 @@ def _grid_key_col(lon: str, lat: str, z: int):
     )
 
 
+def grid_cover_tiles_from_table(
+    polygons: DataFrame, z: int, rings: str = "rings"
+) -> DataFrame:
+    """DISTRIBUTED prefilter-tile build: the distinct ``_ctile long`` grid
+    keys (step 360/2^z deg, same packing as :func:`_grid_key_col`)
+    covering every polygon's bbox, computed as pure Column ops over a
+    polygons TABLE — the at-scale replacement for the driver-side
+    :func:`_grid_cover_keys`, completing the ``pack=None`` regime of
+    :func:`spatial_join_s2`: with :func:`s2_cover_regions_from_table` and
+    :func:`polygon_edges_df_from_table`, ALL three dim-side artifacts
+    (covering, edges, prefilter tiles) are cluster-built, so nothing in
+    the prefiltered shuffled S2 join is bounded by driver memory or CPU.
+    Key-set parity with ``_grid_cover_keys`` on the same polygons is
+    pinned by test. The result is small by construction (one key per
+    bbox-grid cell, deduped) — persist it and pass as
+    ``prefilter_tiles``, amortized like ``regions``."""
+    step = 360.0 / (1 << int(z))
+    pts = F.flatten(F.col(rings))
+    xs = F.transform(pts, lambda p: p["x"])
+    ys = F.transform(pts, lambda p: p["y"])
+    spans = polygons.select(
+        F.floor((F.array_min(xs) + 180.0) / step).cast("long").alias("gx0"),
+        F.floor((F.array_max(xs) + 180.0) / step).cast("long").alias("gx1"),
+        F.floor((F.array_min(ys) + 90.0) / step).cast("long").alias("gy0"),
+        F.floor((F.array_max(ys) + 90.0) / step).cast("long").alias("gy1"),
+    )
+    return (
+        spans.select(
+            F.explode(F.sequence("gx0", "gx1")).alias("gx"), "gy0", "gy1"
+        )
+        .select("gx", F.explode(F.sequence("gy0", "gy1")).alias("gy"))
+        .select(
+            (F.col("gx") * F.lit(1 << (int(z) + 1)) + F.col("gy"))
+            .alias("_ctile")
+        )
+        .distinct()
+    )
+
+
 def spatial_join_broadcast(
     points: DataFrame,
     pack: geom.PolygonPack,

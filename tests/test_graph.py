@@ -146,3 +146,34 @@ def test_oriented_large_star_matches_symmetrized(spark):
     assert got == sym_reference(rows)
     # output stays strictly oriented (the loop invariant)
     assert all(a > b for a, b in got)
+
+
+def test_round_fusion_matches_unfused(spark):
+    """rounds_per_sync=2 (the default) and =1/=3 reach the identical
+    (id, comp) star forest: both star steps are identities on a star
+    forest, so a fused block overshooting the fixpoint cannot change
+    it. Covers a long-diameter chain (forces several sync blocks) and a
+    random multi-component graph with duplicate rows."""
+    rng = random.Random(7)
+    rows = [(i + 1, i) for i in range(200)]  # 201-node chain
+    for _ in range(500):
+        u, v = rng.randrange(300, 1300), rng.randrange(300, 1300)
+        if u != v:
+            rows.append((max(u, v), min(u, v)))
+    rows += rows[:40]  # duplicates are in-contract
+    e = spark.createDataFrame(rows, "a long, b long")
+    # the raw distributed loop emits star EDGES: component roots never
+    # appear as children (connected_components re-adds them via its
+    # nodes left-join), so compare against the oracle's non-root rows
+    expected = {
+        n: c for n, c in _uf_oracle([(a, b) for a, b in rows]).items()
+        if n != c
+    }
+    for rps in (1, 2, 3):
+        got = {
+            r["id"]: r["comp"]
+            for r in graph._cc_distributed(
+                e, 50, rounds_per_sync=rps
+            ).collect()
+        }
+        assert got == expected, f"rounds_per_sync={rps} diverged"

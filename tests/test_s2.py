@@ -618,3 +618,40 @@ def test_spatial_join_s2_pack_none_requires_artifacts(spark):
         joins.spatial_join_s2(pts, None, regions=regions, prefilter_z=6)
     with pytest.raises(ValueError, match="refine"):
         joins.spatial_join_s2(pts, None, regions=regions, refine="bogus")
+
+
+def test_grid_cover_tiles_from_table_matches_driver(spark):
+    """The pure-Column prefilter-tile build over a polygons TABLE emits
+    the exact key set of the driver-side _grid_cover_keys — the third
+    and last dim-side artifact of the pack=None regime goes
+    cluster-built."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pack = fixtures.polygons_pack(p=40)
+    polys = fixtures.polygons_spark(spark, p=40).repartition(8)
+    for z in (5, 8):
+        a = {
+            r["_ctile"]
+            for r in joins.grid_cover_tiles_from_table(polys, z).collect()
+        }
+        b = set(map(int, joins._grid_cover_keys(pack.bbox, z)))
+        assert a == b and len(a) > 0
+
+
+def test_spatial_join_s2_table_driven_prefiltered(spark):
+    """pack=None + prefilter_z with cluster-built tiles: the coarse prune
+    is conservative, so pairs match the broadcast oracle exactly."""
+    from gdal_scripts_spark import fixtures, joins
+
+    pts = fixtures.points_spark(spark, 4000, partitions=8)
+    pack = fixtures.polygons_pack(p=60)
+    polys = fixtures.polygons_spark(spark, p=60).repartition(8)
+    regions = joins.s2_cover_regions_from_table(polys, max_level=8)
+    edges = joins.polygon_edges_df_from_table(polys)
+    tiles = joins.grid_cover_tiles_from_table(polys, 8)
+    df = joins.spatial_join_s2(
+        pts, None, regions=regions, refine="native", edges=edges,
+        broadcast_regions=False, prefilter_z=8, prefilter_tiles=tiles)
+    a = set(map(tuple, df.collect()))
+    b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
+    assert a == b and len(a) > 0
