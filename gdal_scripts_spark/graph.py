@@ -148,7 +148,7 @@ def _cc_distributed(
     e: DataFrame,
     max_rounds: int,
     local_edges_threshold: int = 0,
-    rounds_per_sync: int = 2,
+    rounds_per_sync: int = 1,
 ) -> DataFrame:
     """Alternating large-star / small-star over a monotonically shrinking
     edge set -> (id, comp) star edges for every NON-isolated node.
@@ -185,18 +185,20 @@ def _cc_distributed(
     that was diluting N->4N efficiency (0.419 in
     BENCH/cc_scaling_r4.json).
 
-    Round-5 round fusion (``rounds_per_sync``, default 2): both star
-    steps are IDENTITIES on a star forest (a root never appears as a
-    child, so large-star's left join finds no min to lower; each child
-    already holds its single minimal parent, so small-star re-emits the
-    same rows), which makes running the alternation PAST the fixpoint
-    harmless — so two full large+small rounds are chained inside one
-    lineage before each checkpoint+convergence barrier. Worst case is
-    one extra fused pass over an already-node-sized star table (tiny,
-    map-side-combined); in exchange the number of driver-synchronized
-    jobs — the core-count-invariant term — halves again. Output equality
-    vs rounds_per_sync=1 is pinned by
-    tests/test_graph.py::test_round_fusion_matches_unfused."""
+    Round-5 round fusion (``rounds_per_sync``, default 1 — MEASURED
+    SLOWER above 1, knob kept for the record): both star steps are
+    IDENTITIES on a star forest, so chaining two large+small rounds per
+    barrier is semantically safe (equality for rps=1/2/3 pinned by
+    tests/test_graph.py::test_round_fusion_matches_unfused). But each
+    star step SELF-JOINS its input (the edge rows probe a min-per-node
+    aggregate of the same rows), so an unmaterialized previous round is
+    recomputed by BOTH branches of the next round's join — fusion trades
+    one driver sync for a full re-execution of the fused round.
+    Interleaved same-JVM A/B at 40M sym edges
+    (BENCH/cc_rps_ab_r5.json): rps=2 is 3.7x SLOWER (min 141.1 s vs
+    38.0 s). The per-round barrier is load-bearing; the cheap sync cut
+    was the eager->non-eager localCheckpoint fusion above, already
+    landed."""
     if rounds_per_sync < 1:
         raise ValueError("rounds_per_sync must be >= 1")
     cur = e
