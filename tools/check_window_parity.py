@@ -48,8 +48,10 @@ def canon(df: pd.DataFrame) -> str:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 13
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    names = entry._ordered_names()[:n]
     qs, osql = entry.queries(), entry.oracle_sql()
+    # queries() is built in _ordered_names() order (least-verified first),
+    # which IS the driver's verification-window order
+    names = list(qs)[:n]
     spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
