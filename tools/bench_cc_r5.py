@@ -19,6 +19,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_EDGES = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+OUT = sys.argv[2] if len(sys.argv) > 2 else "cc_scaling_r5.json"
 
 WORKER = r"""
 import json, os, sys, time
@@ -95,7 +96,11 @@ def main() -> None:
         "algorithm": "Kiveris et al. SoCC'14; groupBy+equi-join steps, exact star-forest convergence",
         "n_edges_raw": N_EDGES,
         "n_edges_symmetrized": 2 * N_EDGES,
-        "threshold_note": "40M symmetrized > LOCAL_EDGES_THRESHOLD=25M -> distributed path exercised",
+        "threshold_note": (
+            f"{2 * N_EDGES / 1e6:.0f}M symmetrized > LOCAL_EDGES_THRESHOLD="
+            "25M -> distributed path exercised (threshold forced to 0 in the "
+            "worker to time the pure star loop)"
+        ),
         "n_nodes": blocks[0]["n_nodes"], "k_comps": blocks[0]["k_comps"],
         "wall8": min(w8), "wall32": min(w32),
         "walls8": w8, "walls32": w32,
@@ -104,7 +109,7 @@ def main() -> None:
         "efficiency": round((min(w8) / min(w32)) / 4.0, 3),
         "prior_round": "r4 star loop (two driver jobs/round): efficiency 0.419 at 40M sym edges (BENCH/cc_scaling_r4.json); r3 label-propagation fixpoint: 435 s same input",
     }
-    with open(os.path.join(REPO, "BENCH", "cc_scaling_r5.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", OUT), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
