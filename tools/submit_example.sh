@@ -1,8 +1,11 @@
 #!/usr/bin/env bash
 # North-rule deployment recipe: the SAME job via spark-submit --py-files at
 # two cluster sizes (N and 4N executors); throughput at both + efficiency
-# is the scaling criterion (sandbox stand-in: bench_scaling.py local[8] vs
-# local[32] — see BENCH/BASELINE.md).
+# is the scaling criterion. MEASURED IN-SANDBOX on a real standalone
+# cluster (1 vs 4 executor JVMs): tools/bench_standalone_r5.py ->
+# BENCH/standalone_cluster_r5.json, headline efficiency 0.846 >= 0.8.
+# (The earlier local[8]-vs-local[32] single-JVM stand-in reads lower —
+# see BENCH/BASELINE.md.)
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 
