@@ -435,6 +435,42 @@ _add_shared("doc_fingerprint", """
 SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id <= 100
 """)
 
+def _q_doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.winnow_fingerprints(
+        docs.filter(F.col("doc_id") <= 200), k=5, w=4
+    )
+
+# Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03): the
+# oracle re-derives the full pipeline — normalize, polynomial k-gram
+# hashes (k=5, base 257, mod 2^31-1), min of each w=4 gram window,
+# distinct — as DuckDB list HOFs, independently of the Spark Column code.
+_add("doc_winnow_fp", _q_doc_winnow_fp, """
+WITH nt AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS t
+  FROM documents WHERE doc_id <= 200
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - 5 + 2),
+           i -> ((((CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT) * 257
+                 + ascii(substr(t, CAST(i AS INTEGER) + 1, 1))) * 257
+                 + ascii(substr(t, CAST(i AS INTEGER) + 2, 1))) * 257
+                 + ascii(substr(t, CAST(i AS INTEGER) + 3, 1))) * 257
+                 + ascii(substr(t, CAST(i AS INTEGER) + 4, 1))) % 2147483647) AS hs
+  FROM nt WHERE length(t) >= 5
+),
+wm AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+           s -> list_min(list_slice(hs, CAST(s AS INTEGER), CAST(s AS INTEGER) + 3)))) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wm
+""")
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = textops.quality_columns("text")

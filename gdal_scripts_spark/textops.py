@@ -347,6 +347,85 @@ def fingerprint_md5(text_col: str = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash) — Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003.
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = 2147483647  # 2^31 - 1 (Mersenne); poly value fits a long
+
+
+def _winnow_norm(text_col: str) -> Column:
+    """Fingerprint-canonical text: lowercase, strip everything outside
+    [a-z0-9 ], collapse space runs, trim. Both regex classes are chosen to
+    mean the same thing under Java regex (Spark) and the oracle engine."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
+def _kgram_hashes(t: Column, k: int) -> Column:
+    """array<long> of polynomial k-gram hashes over every character
+    position of ``t`` (Rabin-Karp rolling-hash family, evaluated directly:
+    Horner's rule unrolled k times inside one codegen'd HOF lambda — the
+    rolling update form saves nothing under columnar evaluation and the
+    direct form is branch-free and oracle-reproducible)."""
+    def poly(i: Column) -> Column:
+        h = F.ascii(t.substr(i, F.lit(1))).cast("long")
+        for j in range(1, k):
+            h = h * F.lit(_WINNOW_BASE) + F.ascii(
+                t.substr(i + F.lit(j), F.lit(1))).cast("long")
+        return h % F.lit(_WINNOW_MOD)
+
+    return F.transform(F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)), poly)
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 5, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (MOSS; Schleimer et
+    al. SIGMOD'03 §2): hash every character k-gram of the normalized text,
+    slide a window of ``w`` consecutive gram hashes, keep the minimum of
+    each window, and emit the distinct selected hashes as the document's
+    fingerprint set — one ``(id, fp)`` row per selected hash.
+
+    Guarantees (from the paper): any shared substring of length
+    >= w + k - 1 between two documents yields at least one shared
+    fingerprint, and expected density is 2/(w+1) — position-shift-robust
+    where whole-document hashes (fingerprint_md5) are not.
+
+    Scale shape: per-document map-side Column HOFs (no Python, no shuffle
+    until the final distinct explode), so at 100 TB the cost is one codegen
+    pass over the text bytes plus a partial-agg distinct on (id, fp) —
+    fingerprints (~8 bytes each at 2/(w+1) density) shuffle, text never
+    does. Documents whose normalized text is shorter than ``k`` have no
+    k-gram and drop out, same as the oracle.
+    """
+    if k < 2 or w < 1:
+        raise ValueError(f"winnow_fingerprints: need k >= 2, w >= 1 (got {k}, {w})")
+    t = _winnow_norm(text_col)
+    base = (
+        df.select(F.col(id_col), t.alias("_wt"))
+        .filter(F.length("_wt") >= F.lit(k))
+        .select(F.col(id_col), _kgram_hashes(F.col("_wt"), k).alias("_hs"))
+    )
+    hs = F.col("_hs")
+    # windows: s in 1 .. max(ngrams - w + 1, 1); slice() truncates at the
+    # array end, so ngrams < w degenerates to one min-of-all window.
+    n_win = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda s: F.array_min(F.slice(hs, s, w)),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling + normalization (training-pipeline ops)
 # ---------------------------------------------------------------------------
 

@@ -526,3 +526,67 @@ def test_pq_codes_packed_binary_and_legacy_parity(spark):
     # ksub > 256 cannot pack into uint8 — rejected eagerly
     with pytest.raises(ValueError, match="256"):
         vectorops.pq_encode(F.col("embedding"), np.zeros((8, 257, 8)))
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints — rolling-hash winnowing (Schleimer et al. SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+def _winnow_ref(text, k=5, w=4):
+    """Independent pure-Python reference of the same spec."""
+    import re
+    t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    if len(t) < k:
+        return set()
+    hs = []
+    for i in range(len(t) - k + 1):
+        h = 0
+        for ch in t[i:i + k]:
+            h = h * 257 + ord(ch)
+        hs.append(h % 2147483647)
+    n_win = max(len(hs) - w + 1, 1)
+    return {min(hs[s:s + w]) for s in range(n_win)}
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog!",
+        "pack my box with five dozen liquor jugs",
+        "aaaaaaaaaaaaaaa",
+        "ab",                      # shorter than k -> drops out
+        "Mixed CASE and   runs\tof ws, plus punct... 123",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in textops.winnow_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        want = _winnow_ref(t, 5, 4)
+        assert got.get(i, set()) == want, (i, t)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # SIGMOD'03 guarantee: a shared substring of length >= w + k - 1
+    # (here 8) produces at least one shared fingerprint.
+    common = "distinctive shared phrase carried verbatim"
+    df = spark.createDataFrame(
+        [(1, "lead-in words then " + common),
+         (2, common + " with a completely different tail here")],
+        "doc_id long, text string")
+    rows = textops.winnow_fingerprints(df, k=5, w=4).collect()
+    fps1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    fps2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    assert fps1 & fps2, "no shared fingerprint for a long shared substring"
+
+
+def test_winnow_density_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "word " * 60)], "doc_id long, text string")
+    n = textops.winnow_fingerprints(df, k=5, w=4).count()
+    t = ("word " * 60).strip()
+    n_grams = len(t) - 5 + 1
+    # selected set is nonempty and no bigger than the window count
+    assert 1 <= n <= max(n_grams - 4 + 1, 1)
+    with pytest.raises(ValueError, match="k >= 2"):
+        textops.winnow_fingerprints(df, k=1, w=4)
