@@ -23,7 +23,9 @@ Module map (SURVEY.md §7):
               mosaic/rasterize over the images table
   polygonize  tile-local CCL + cross-tile label fixpoint + ring tracing
   sqlops      OGR-SQL-equivalent relational surface over the driver testdata
-  textops     dedup (exact/minhash/simhash/jaccard), langid, quality, tokens
+  textops     dedup (exact/minhash/simhash/jaccard), langid, quality, tokens,
+              winnowing rolling-hash fingerprints
+  sketches    KMV distinct-count sketch (mergeable Arrow partial combine)
   vectorops   embedding similarity: brute-force cosine top-k + LSH buckets
   multimodal  binary-column decode plumbing (codec-gated stubs)
   checkpoint  per-partition lineage manifest + exact resume

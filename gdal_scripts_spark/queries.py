@@ -36,6 +36,7 @@ from . import (
     multimodal,
     polygonize,
     raster,
+    sketches,
     textops,
     vectorops,
 )
@@ -292,6 +293,44 @@ SELECT event_type,
        CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""")
+
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = sketches.kmv_distinct(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return sk.join(exact, "event_type")
+
+# KMV (k-minimum-values) distinct sketch — unlike HLL, the estimate is
+# engine-portable arithmetic (md5 + row_number + fixed-width hex), so the
+# oracle re-derives the EXACT estimate independently; n_exact rides along
+# to make the accuracy visible in the result itself.
+_add("kmv_distinct_users", _q_kmv_distinct_users, """
+WITH dh AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM dh
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+  FROM r WHERE rn <= 64 GROUP BY event_type
+),
+x AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(CASE WHEN a.n_kept < 64 THEN CAST(a.n_kept AS DOUBLE)
+                 ELSE round(6.3e1 * 2.81474976710656e14
+                            / CAST('0x' || substr(kth, 1, 12) AS BIGINT))
+            END AS BIGINT) AS est_distinct,
+       a.n_kept, x.n_exact
+FROM a JOIN x USING (event_type)
 """)
 
 _add_shared("events_user_lag", """
