@@ -333,6 +333,101 @@ SELECT a.event_type,
 FROM a JOIN x USING (event_type)
 """)
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value >= 90 differentiates the per-type user populations (the raw
+    # fixture has every user in every type, which would make union ==
+    # intersection and hide the estimator's behavior)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value") >= 90)
+    sk = sketches.kmv_set_ops(ev, "event_type", "user_id", k=64)
+    du = ev.select("event_type", "user_id").distinct()
+    x, y = du.alias("x"), du.alias("y")
+    exact = (
+        x.join(y, (F.col("x.user_id") == F.col("y.user_id"))
+               & (F.col("x.event_type") < F.col("y.event_type")))
+        .groupBy(F.col("x.event_type").alias("set_a"),
+                 F.col("y.event_type").alias("set_b"))
+        .agg(F.count("*").cast("long").alias("n_exact_inter"))
+    )
+    return sk.join(exact, ["set_a", "set_b"], "left").select(
+        "set_a", "set_b", "est_a", "est_b", "est_union", "est_inter",
+        F.coalesce(F.col("n_exact_inter"), F.lit(0).cast("long"))
+        .alias("n_exact_inter"),
+    )
+
+# Theta-sketch set operations over per-set KMV sketches: union by sketch
+# merge, intersection by theta = min(theta_a, theta_b) over the common
+# retained hashes. Engine-portable arithmetic again, so the oracle
+# re-derives the exact estimates; the exact distinct-intersection rides
+# along so the sketch accuracy is visible in the result.
+_add("kmv_set_ops", _q_kmv_set_ops, """
+WITH dh AS (
+  SELECT DISTINCT event_type AS s, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE value >= 90
+),
+sk AS (
+  SELECT s, h, CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT) AS DOUBLE) AS hv
+  FROM (SELECT s, h,
+               row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM dh) r
+  WHERE rn <= 64
+),
+st AS (
+  SELECT s,
+         CASE WHEN count(*) < 64 THEN 2.81474976710656e14
+              ELSE max(hv) END AS theta,
+         CAST(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(6.3e1 * 2.81474976710656e14 / max(hv)) END
+              AS BIGINT) AS est
+  FROM sk GROUP BY s
+),
+pairs AS (
+  SELECT a.s AS set_a, b.s AS set_b, a.est AS est_a, b.est AS est_b,
+         least(a.theta, b.theta) AS theta
+  FROM st a JOIN st b ON a.s < b.s
+),
+inter AS (
+  SELECT p.set_a, p.set_b,
+         CAST(round(sum(CASE WHEN x.hv < p.theta THEN 1 ELSE 0 END)
+                    * 2.81474976710656e14 / p.theta) AS BIGINT) AS est_inter
+  FROM pairs p
+  JOIN sk x ON x.s = p.set_a
+  JOIN sk y ON y.s = p.set_b AND y.h = x.h
+  GROUP BY p.set_a, p.set_b, p.theta
+),
+uh AS (
+  SELECT DISTINCT p.set_a, p.set_b, k.h
+  FROM pairs p JOIN sk k ON k.s = p.set_a OR k.s = p.set_b
+),
+uest AS (
+  SELECT set_a, set_b,
+         CAST(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+              ELSE round(6.3e1 * 2.81474976710656e14
+                         / CAST(CAST('0x' || substr(max(h), 1, 12) AS BIGINT)
+                                AS DOUBLE)) END AS BIGINT) AS est_union
+  FROM (SELECT set_a, set_b, h,
+               row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn
+        FROM uh) u
+  WHERE rn <= 64 GROUP BY set_a, set_b
+),
+ex AS (
+  SELECT x.s AS set_a, y.s AS set_b, CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM (SELECT DISTINCT event_type AS s, user_id AS u FROM events
+        WHERE value >= 90) x
+  JOIN (SELECT DISTINCT event_type AS s, user_id AS u FROM events
+        WHERE value >= 90) y
+    ON x.u = y.u AND x.s < y.s
+  GROUP BY x.s, y.s
+)
+SELECT p.set_a, p.set_b, p.est_a, p.est_b, u.est_union,
+       coalesce(i.est_inter, 0) AS est_inter,
+       coalesce(e.n_exact_inter, 0) AS n_exact_inter
+FROM pairs p
+JOIN uest u ON u.set_a = p.set_a AND u.set_b = p.set_b
+LEFT JOIN inter i ON i.set_a = p.set_a AND i.set_b = p.set_b
+LEFT JOIN ex e ON e.set_a = p.set_a AND e.set_b = p.set_b
+""")
+
 _add_shared("events_user_lag", """
 SELECT user_id, event_id,
        lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
@@ -2980,6 +3075,68 @@ FROM events GROUP BY event_type
 """)
 
 
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-histogram quantiles (sketches.binned_quantiles) —
+    the AT-SCALE counterpart of percentiles_exact: exact `percentile`
+    buffers every value per group, the histogram shuffles <= nbins count
+    rows per group per partition. The exact quantile rides along so the
+    one-bin-width error bound is visible in the result."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = sketches.binned_quantiles(
+        ev, ["event_type"], "value", qs=(0.5, 0.95), lo=0.0, width=5.0,
+        nbins=128)
+    ex = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.95))).alias("_pp"))
+    exl = ex.select(
+        "event_type", F.posexplode("_pp").alias("_i", "_ex")
+    ).select(
+        "event_type",
+        F.when(F.col("_i") == 0, F.lit(0.5)).otherwise(F.lit(0.95)).alias("q"),
+        F.round(F.col("_ex"), 6).alias("exact"),
+    )
+    return est.join(exl, ["event_type", "q"]).select(
+        "event_type", "q", "n", "est", "exact")
+
+# Equi-width-histogram quantile sketch: bin counts are mergeable summaries
+# (PODS'12), the pick + interpolation is deterministic IEEE arithmetic the
+# oracle re-derives exactly (q cast to DOUBLE in SQL so ceil(q*n) uses the
+# same binary floats as Spark, not DECIMAL exact math).
+_add("hist_quantiles", _q_hist_quantiles, """
+WITH hist AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 5.0), 0), 127) AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, b
+),
+c AS (
+  SELECT event_type, b, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+),
+qq AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+pick AS (
+  SELECT event_type, q, n,
+         round(5.0 * (b + (CAST(ceil(q * n) AS DOUBLE) - (cum - cnt)) / cnt),
+               6) AS est
+  FROM c CROSS JOIN qq
+  WHERE cum >= ceil(q * n) AND cum - cnt < ceil(q * n)
+),
+ex AS (
+  SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+         round(quantile_cont(value, 0.5), 6) AS exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT event_type, CAST(0.95 AS DOUBLE) AS q,
+         round(quantile_cont(value, 0.95), 6) AS exact
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.q, p.n, p.est, e.exact
+FROM pick p JOIN ex e ON e.event_type = p.event_type AND e.q = p.q
+""")
+
+
 def _q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_viewshed analog (alg/viewshed.cpp), exact R3 line-of-sight:
     25 flat DEMs with one wall column at c=20 of per-image height, observer
@@ -3086,6 +3243,88 @@ SELECT lang, token, n, rk FROM (
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
   FROM counts
 ) WHERE rk <= 5
+""")
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (sklearn smooth-idf form:
+    idf = ln((1+N)/(1+df)) + 1), the per-document keyword extraction a
+    training-data pipeline runs before topic bucketing. Plan shape: one
+    token explode -> (doc, token) counts (map-side partial agg) -> the
+    token document-frequency table joined back BROADCAST (vocabulary <<
+    corpus) -> window top-k per doc. N is computed in-plan (no driver
+    collect). Ranking uses the ROUNDED score so cross-engine libm-ulp
+    differences in ln() can never reorder ties."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") <= 100)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(textops.normalize_text("text"), " ")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_td"))
+    dfreq = (
+        toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("df_t"))
+    )
+    # N attaches to the vocab-sized dim table, not the fact table, via a
+    # non-foldable constant bucket (pmod(xxhash64(col), 1) == 0 everywhere)
+    # so the scalar join plans as a single-key BroadcastHashJoin instead of
+    # a nested-loop cross join — one join on the token-count path, not two.
+    n_docs = docs.groupBy(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1)).alias("_kb")
+    ).agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    dfreq = dfreq.withColumn(
+        "_kb", F.pmod(F.xxhash64(F.col("token")), F.lit(1))
+    ).join(F.broadcast(n_docs), "_kb")
+    idf = F.log((F.lit(1.0) + F.col("n_docs"))
+                / (F.lit(1.0) + F.col("df_t"))) + F.lit(1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            "doc_id", "token", "n_td",
+            F.col("df_t").cast("long").alias("df_t"),
+            F.round(F.col("n_td") * idf, 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "n_td", "df_t", "score", "rk")
+    )
+
+
+_add("tfidf_top_terms", _q_tfidf_top_terms, r"""
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS t
+  FROM documents WHERE doc_id <= 100
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM d
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_td
+  FROM toks WHERE length(token) >= 3 GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+  FROM toks WHERE length(token) >= 3 GROUP BY token
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM d),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.n_td, dfreq.df_t,
+         round(tf.n_td * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df_t)) + 1.0),
+               4) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, n_td, df_t, score, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
 """)
 
 

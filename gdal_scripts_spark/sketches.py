@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches as DataFrame plans.
+"""Mergeable sketches (distinct-count, set ops, quantiles) as DataFrame plans.
 
 KMV (k-minimum-values) distinct-count estimation — Bar-Yossef et al.,
 "Counting distinct elements in a data stream" (RANDOM 2002); the
@@ -101,3 +101,207 @@ def _kmv_estimate(n_kept: Column, kth_hex: Column, k: int) -> Column:
     kth_val = F.conv(F.substring(kth_hex, 1, _HEX_PREFIX), 16, 10).cast("double")
     full = F.round(F.lit(float(k - 1)) * F.lit(_HEX_SCALE) / kth_val, 0)
     return F.when(n_kept < F.lit(k), n_kept.cast("double")).otherwise(full).cast("long")
+
+
+def _hval(h: Column) -> Column:
+    """Normalizable numeric value of a hash: the 12-hex prefix as an exact
+    double integer in [0, 16^12)."""
+    return F.conv(F.substring(h, 1, _HEX_PREFIX), 16, 10).cast("double")
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch style set operations over per-set KMV sketches
+    (Dasgupta et al., "Theta-Sketch Framework: Practice and Theory", 2016;
+    the a-priori-theta form specialized to KMV, theta = h_(k)).
+
+    For every unordered pair of values of ``set_col`` (``set_a < set_b``),
+    estimate from the two k-minimum-values sketches alone:
+
+    - ``est_a`` / ``est_b`` — per-set distinct counts ((k-1)/h_(k));
+    - ``est_union`` — KMV over the combined sketch contents. The k smallest
+      hashes of A ∪ B are each within the k smallest of their own set, so
+      the merged-sketch estimate EQUALS the estimate a single sketch built
+      over the concatenated input would give — the mergeability property
+      that lets 1000 executors sketch independently and combine at k rows
+      per set per partition;
+    - ``est_inter`` — theta intersection: theta = min(theta_a, theta_b),
+      retained = sketch hashes present in BOTH sketches with value < theta,
+      estimate = |retained| / theta. When both sketches are exact
+      (fewer than k distinct keys) theta = 1 and the estimate degrades to
+      the exact distinct-intersection count.
+
+    All arithmetic is engine-portable (md5 + row_number + fixed-width hex +
+    IEEE double divide/round), so a DuckDB oracle re-derives the exact same
+    numbers — the same doctrine as :func:`kmv_distinct`.
+
+    Scale shape: one scan -> distinct(set, hash) (map-side partial) -> one
+    per-set window over <= distinct rows; everything pairwise downstream
+    operates on <= k rows per set — broadcast-sized no matter how hot the
+    sets are. The exact pairwise-intersection alternative is a self-join of
+    the full key sets (quadratic in hot-set overlap); the sketch path never
+    shuffles more than k * n_sets hash rows.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_set_ops: need k >= 2 (got {k})")
+    h = F.md5(F.col(key_col).cast("string"))
+    dh = df.select(F.col(set_col).alias("s"), h.alias("_h")).distinct()
+    w = Window.partitionBy("s").orderBy("_h")
+    sk = (
+        dh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(k))
+        .select("s", "_h", _hval(F.col("_h")).alias("_hv"))
+    )
+    agg = sk.groupBy("s").agg(
+        F.count("*").alias("n_kept"), F.max("_hv").alias("_kth")
+    )
+    st = agg.select(
+        "s",
+        F.when(F.col("n_kept") < F.lit(k), F.lit(_HEX_SCALE))
+        .otherwise(F.col("_kth")).alias("theta"),
+        F.when(F.col("n_kept") < F.lit(k), F.col("n_kept").cast("double"))
+        .otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(_HEX_SCALE) / F.col("_kth"), 0)
+        ).cast("long").alias("est"),
+    )
+    # All-pairs over the per-set sketch summaries (one row per set — group
+    # cardinality, not data cardinality). A bare `a.s < b.s` join would plan
+    # as BroadcastNestedLoopJoin; joining on a NON-FOLDABLE constant bucket
+    # (pmod(xxhash64(s), 1) == 0 for every row, but Catalyst cannot fold an
+    # expression over a real column) gives ExtractEquiJoinKeys a key, so the
+    # plan is a single-key BroadcastHashJoin with the `<` as its residual
+    # condition — same O(n_sets^2) semantics, hash-join machinery.
+    kb = F.pmod(F.xxhash64(F.col("s")), F.lit(1)).alias("_kb")
+    a = st.select("*", kb).alias("a")
+    b = st.select("*", kb).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._kb") == F.col("b._kb")) & (F.col("a.s") < F.col("b.s")),
+    ).select(
+        F.col("a.s").alias("set_a"), F.col("b.s").alias("set_b"),
+        F.col("a.est").alias("est_a"), F.col("b.est").alias("est_b"),
+        F.least(F.col("a.theta"), F.col("b.theta")).alias("_theta"),
+    )
+    # intersection: hashes in both sketches, below the pair theta
+    x, y = sk.alias("x"), sk.alias("y")
+    common = x.join(
+        y, (F.col("x._h") == F.col("y._h")) & (F.col("x.s") < F.col("y.s"))
+    ).select(
+        F.col("x.s").alias("set_a"), F.col("y.s").alias("set_b"),
+        F.col("x._hv").alias("_hv"),
+    )
+    inter = (
+        common.join(F.broadcast(pairs.select("set_a", "set_b", "_theta")),
+                    ["set_a", "set_b"])
+        .groupBy("set_a", "set_b", "_theta")
+        .agg(F.sum(F.when(F.col("_hv") < F.col("_theta"), 1).otherwise(0))
+             .alias("_n_ret"))
+        .select(
+            "set_a", "set_b",
+            F.round(F.col("_n_ret").cast("double") * F.lit(_HEX_SCALE)
+                    / F.col("_theta"), 0).cast("long").alias("est_inter"),
+        )
+    )
+    # union: KMV over the combined sketch contents per pair. The pair list
+    # unpivots to one row per (pair, member set) so the sketch lookup is a
+    # plain equi join on the set id (an OR-condition join would fall back
+    # to a nested loop).
+    uh = (
+        pairs.select("set_a", "set_b")
+        .withColumn("s", F.explode(F.array(F.col("set_a"), F.col("set_b"))))
+        .join(sk.select("s", "_h"), "s")
+        .select("set_a", "set_b", "_h").distinct()
+    )
+    wu = Window.partitionBy("set_a", "set_b").orderBy("_h")
+    uest = (
+        uh.withColumn("_rn", F.row_number().over(wu))
+        .filter(F.col("_rn") <= F.lit(k))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("*").alias("_n_u"), F.max("_h").alias("_kth_u"))
+        .select(
+            "set_a", "set_b",
+            _kmv_estimate(F.col("_n_u"), F.col("_kth_u"), k).alias("est_union"),
+        )
+    )
+    return (
+        pairs.join(uest, ["set_a", "set_b"])
+        .join(inter, ["set_a", "set_b"], "left")
+        .select(
+            "set_a", "set_b", "est_a", "est_b", "est_union",
+            F.coalesce(F.col("est_inter"), F.lit(0).cast("long"))
+            .alias("est_inter"),
+        )
+    )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.95),
+    lo: float = 0.0,
+    width: float = 5.0,
+    nbins: int = 128,
+) -> DataFrame:
+    """Approximate per-group quantiles from a MERGEABLE equi-width
+    histogram — the fixed-bin special case of the mergeable-summary
+    quantile family (Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Why not Spark's ``percentile`` (exact: buffers every value per group)
+    or ``approx_percentile`` (GK sketch whose summary depends on encounter
+    order, so no second engine reproduces it): the histogram shuffles at
+    most ``nbins`` (group, bin, count) rows per group per partition —
+    map-side partial aggregation makes a hot group cost the same as a cold
+    one — and every step after the count is deterministic IEEE arithmetic
+    that a DuckDB oracle re-derives exactly.
+
+    Estimator: bin b = clamp(floor((v - lo)/width), 0, nbins-1); target
+    rank t = ceil(q*n); the answer lies in the first bin whose cumulative
+    count reaches t, uniform-within-bin interpolated:
+    est = lo + width * (b + (t - cum_prev)/cnt). Error is bounded by one
+    bin width. Values outside [lo, lo + nbins*width) clamp into the edge
+    bins (their estimates saturate, as with any fixed-range histogram).
+
+    Returns one row per (group, q): ``n`` (long), ``q``, ``est``
+    (double, 1e-6 rounded).
+    """
+    if nbins < 2 or width <= 0:
+        raise ValueError(f"binned_quantiles: need nbins >= 2 and width > 0 "
+                         f"(got nbins={nbins}, width={width})")
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"binned_quantiles: each q must be in (0, 1] (got {qs!r})")
+    group_cols = list(group_cols)
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                   F.lit(0).cast("long")),
+        F.lit(nbins - 1).cast("long"),
+    ).cast("int")
+    hist = df.groupBy(*group_cols, b.alias("_b")).agg(F.count("*").alias("_cnt"))
+    w_ord = (
+        Window.partitionBy(*group_cols).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    h = (
+        hist.withColumn("_cum", F.sum("_cnt").over(w_ord))
+        .withColumn("n", F.sum("_cnt").over(w_all))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    )
+    t = F.ceil(F.col("q") * F.col("n"))
+    est = F.round(
+        F.lit(lo) + F.lit(width) * (
+            F.col("_b")
+            + (t.cast("double") - (F.col("_cum") - F.col("_cnt")))
+            / F.col("_cnt")
+        ),
+        6,
+    )
+    return (
+        h.filter((F.col("_cum") >= t) & (F.col("_cum") - F.col("_cnt") < t))
+        .select(*group_cols, F.col("n").cast("long").alias("n"), "q",
+                est.alias("est"))
+    )

@@ -59,6 +59,84 @@ def test_kmv_partial_combine_is_invariant(spark):
         assert got == full, parts
 
 
+def _sets_df(spark, sets):
+    rows = [(s, k) for s, keys in sets.items() for k in keys]
+    return spark.createDataFrame(rows, "s string, key long")
+
+
+def test_kmv_set_ops_exact_regime(spark):
+    # every set below k -> theta = 1 -> union/intersection are EXACT
+    sets = {
+        "a": range(0, 30),
+        "b": range(20, 50),           # |a&b|=10, |a|b|=50
+        "c": range(100, 110),         # disjoint from a and b
+    }
+    out = {
+        (r["set_a"], r["set_b"]): r
+        for r in sketches.kmv_set_ops(_sets_df(spark, sets), "s", "key", k=64).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["est_a"], ab["est_b"]) == (30, 30)
+    assert ab["est_union"] == 50 and ab["est_inter"] == 10
+    ac = out[("a", "c")]
+    assert ac["est_union"] == 40 and ac["est_inter"] == 0
+    bc = out[("b", "c")]
+    assert bc["est_union"] == 40 and bc["est_inter"] == 0
+
+
+def test_kmv_set_ops_sketch_regime_accuracy(spark):
+    # 4000/4000 keys with 2000 shared at k=256: theta intersection std err
+    # ~ 1/sqrt(k_retained); assert a generous 4-sigma band plus the exact
+    # consistency identities est >= 0 and union <= est_a + est_b
+    n, k = 4000, 256
+    sets = {"a": range(0, n), "b": range(n // 2, n + n // 2)}
+    row = sketches.kmv_set_ops(_sets_df(spark, sets), "s", "key", k=k).collect()[0]
+    union, inter = 2 * n - n // 2, n // 2
+    assert abs(row["est_union"] - union) / union < 4 / (k - 2) ** 0.5
+    # intersection retains ~k * inter/union hashes -> wider band
+    kr = k * inter / union
+    assert abs(row["est_inter"] - inter) / inter < 4 / kr**0.5
+    assert row["est_inter"] <= min(row["est_a"], row["est_b"]) * 1.25
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+
+
+def test_kmv_set_ops_matches_python_reference(spark):
+    # deterministic md5 stream -> assert the exact estimates against an
+    # independent pure-Python theta-sketch reference
+    n, k = 1000, 64
+    sets = {"a": range(0, n), "b": range(n // 3, n + n // 3)}
+    row = sketches.kmv_set_ops(_sets_df(spark, sets), "s", "key", k=k).collect()[0]
+
+    scale = float(16**12)
+    hs = {
+        s: sorted(hashlib.md5(str(i).encode()).hexdigest() for i in keys)
+        for s, keys in sets.items()
+    }
+    sk = {s: h[:k] for s, h in hs.items()}
+    theta = {s: int(h[k - 1][:12], 16) if len(h) >= k else scale
+             for s, h in hs.items()}
+    t = min(theta["a"], theta["b"])
+    common = set(sk["a"]) & set(sk["b"])
+    n_ret = sum(1 for h in common if int(h[:12], 16) < t)
+    want_inter = int(round(n_ret * scale / t))
+    uh = sorted(set(sk["a"]) | set(sk["b"]))[:k]
+    want_union = int(round((k - 1) * scale / int(uh[k - 1][:12], 16)))
+    assert row["est_inter"] == want_inter
+    assert row["est_union"] == want_union
+
+
+def test_kmv_set_ops_validation_and_plan(spark):
+    df = _sets_df(spark, {"a": [1]})
+    with pytest.raises(ValueError, match="k >= 2"):
+        sketches.kmv_set_ops(df, "s", "key", k=1)
+    plan = (
+        sketches.kmv_set_ops(df, "s", "key", k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_kmv_validation_and_plan(spark):
     df = _df(spark, [("a", 1)])
     with pytest.raises(ValueError, match="k >= 2"):
@@ -67,3 +145,67 @@ def test_kmv_validation_and_plan(spark):
     # Arrow-batched partial combine (MapInPandas), never row-Python
     plan = sketches.kmv_distinct(df, ["grp"], "key", k=8)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def _vals_df(spark, vals):
+    return spark.createDataFrame([("g", float(v)) for v in vals],
+                                 "grp string, v double")
+
+
+def test_binned_quantiles_hand_computed(spark):
+    # 10 values 0.5..9.5, width=1 bins -> one per bin, cnt=1 each.
+    # q=0.5: t=5, bin b=4 (cum 5, cum_prev 4) -> est = 1*(4 + (5-4)/1) = 5.0
+    df = _vals_df(spark, [i + 0.5 for i in range(10)])
+    out = {
+        r["q"]: r
+        for r in sketches.binned_quantiles(
+            df, ["grp"], "v", qs=(0.5, 0.9), lo=0.0, width=1.0, nbins=16
+        ).collect()
+    }
+    assert out[0.5]["n"] == 10 and out[0.5]["est"] == 5.0
+    assert out[0.9]["est"] == 9.0
+
+
+def test_binned_quantiles_interpolation_and_clamp(spark):
+    # 8 values in one bin [0,5) -> q=0.5 t=4: est = 5 * 4/8 = 2.5;
+    # out-of-range values clamp into the edge bins instead of erroring
+    df = _vals_df(spark, [1.0] * 8)
+    row = sketches.binned_quantiles(df, ["grp"], "v", qs=(0.5,),
+                                    lo=0.0, width=5.0, nbins=4).collect()[0]
+    assert row["est"] == 2.5
+    df2 = _vals_df(spark, [-10.0, 1000.0])
+    rows = sketches.binned_quantiles(df2, ["grp"], "v", qs=(0.5, 1.0),
+                                     lo=0.0, width=5.0, nbins=4).collect()
+    ests = {r["q"]: r["est"] for r in rows}
+    assert 0.0 <= ests[0.5] <= 5.0      # clamped low bin
+    assert 15.0 <= ests[1.0] <= 20.0    # clamped high bin
+
+
+def test_binned_quantiles_partition_invariant_and_bounded_error(spark):
+    # estimate within one bin width of the exact quantile, identical for
+    # any input partitioning (mergeable-histogram property)
+    vals = [((i * 37) % 200) + 0.25 for i in range(500)]
+    df = _vals_df(spark, vals)
+    base = sorted(
+        sketches.binned_quantiles(df, ["grp"], "v", qs=(0.5, 0.95),
+                                  lo=0.0, width=5.0, nbins=64).collect())
+    for parts in (1, 13):
+        got = sorted(
+            sketches.binned_quantiles(df.repartition(parts), ["grp"], "v",
+                                      qs=(0.5, 0.95), lo=0.0, width=5.0,
+                                      nbins=64).collect())
+        assert got == base
+    sv = sorted(vals)
+    for r in base:
+        exact = sv[int(r["q"] * len(sv)) - 1]
+        assert abs(r["est"] - exact) <= 5.0 + 1e-9
+
+
+def test_binned_quantiles_validation(spark):
+    df = _vals_df(spark, [1.0])
+    with pytest.raises(ValueError, match="nbins"):
+        sketches.binned_quantiles(df, ["grp"], "v", nbins=1)
+    with pytest.raises(ValueError, match="width"):
+        sketches.binned_quantiles(df, ["grp"], "v", width=0.0)
+    with pytest.raises(ValueError, match="q must be"):
+        sketches.binned_quantiles(df, ["grp"], "v", qs=(0.0,))

@@ -590,3 +590,39 @@ def test_winnow_density_and_validation(spark):
     assert 1 <= n <= max(n_grams - 4 + 1, 1)
     with pytest.raises(ValueError, match="k >= 2"):
         textops.winnow_fingerprints(df, k=1, w=4)
+
+
+def test_tfidf_top_terms_hand_computed(spark, tmp_path):
+    # tiny corpus with hand-computed sklearn smooth-idf scores:
+    # idf = ln((1+N)/(1+df)) + 1, N=3
+    import math
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry apple dates dates"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf.text.str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    from gdal_scripts_spark.queries import QUERIES
+
+    out = {
+        (r["doc_id"], r["rk"]): r
+        for r in QUERIES["tfidf_top_terms"][0](spark, str(tmp_path)).collect()
+    }
+    idf2 = math.log(4 / 3) + 1          # df = 2
+    idf1 = math.log(4 / 2) + 1          # df = 1
+    r = out[(1, 1)]
+    assert r["token"] == "apple" and r["n_td"] == 2 and r["df_t"] == 2
+    assert r["score"] == round(2 * idf2, 4)
+    assert out[(1, 2)]["token"] == "banana"
+    d3 = out[(3, 1)]
+    assert d3["token"] == "dates" and d3["score"] == round(2 * idf1, 4)
+    # equal-score tie (apple vs cherry, both 1*idf2) breaks by token asc
+    assert out[(3, 2)]["token"] == "apple"
+    assert out[(3, 3)]["token"] == "cherry"
