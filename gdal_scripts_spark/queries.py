@@ -428,6 +428,51 @@ LEFT JOIN inter i ON i.set_a = p.set_a AND i.set_b = p.set_b
 LEFT JOIN ex e ON e.set_a = p.set_a AND e.set_b = p.set_b
 """)
 
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    samp = sketches.priority_sample(
+        ev, ["event_type"], "event_id", "value", k=16)
+    # exact group totals ride along so the estimator's target is visible;
+    # summed in DECIMAL(18,2) (events.value has 2dp) so the total is
+    # order-independent and bit-identical cross-engine
+    tot = ev.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                4).alias("w_total_exact"))
+    return samp.join(F.broadcast(tot), "event_type").select(
+        "event_type", "id", "w", "q", "w_hat", "w_total_exact")
+
+# Priority sampling (Duffield-Lund-Thorup JACM'07): weighted sample
+# without replacement, k highest priorities w/u per group with the
+# (k+1)-th as the subset-sum threshold. Arithmetic is md5 + exact IEEE
+# divide only (no pow/ln), so the oracle reproduces the SAME sample and
+# the SAME w_hat estimates bit-for-bit.
+_add("priority_sample_events", _q_priority_sample, """
+WITH pri AS (
+  SELECT event_type AS g, event_id AS id, value AS w,
+         value / ((CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) AS DOUBLE) + 1.0)
+                  / 2.81474976710656e14) AS q
+  FROM events
+),
+r AS (
+  SELECT g, id, w, q,
+         row_number() OVER (PARTITION BY g ORDER BY q DESC, id ASC) AS rn
+  FROM pri
+),
+tau AS (SELECT g, q AS tau FROM r WHERE rn = 17),
+tot AS (
+  SELECT event_type AS g,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS w_total_exact
+  FROM events GROUP BY event_type
+)
+SELECT r.g AS event_type, r.id AS id, r.w AS w, round(r.q, 6) AS q,
+       CASE WHEN t.tau IS NULL THEN r.w ELSE greatest(r.w, t.tau) END AS w_hat,
+       tot.w_total_exact
+FROM r LEFT JOIN tau t ON t.g = r.g JOIN tot ON tot.g = r.g
+WHERE r.rn <= 16
+""")
+
 _add_shared("events_user_lag", """
 SELECT user_id, event_id,
        lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
@@ -3325,6 +3370,91 @@ SELECT doc_id, token, n_td, df_t, score, rk FROM (
             ORDER BY score DESC, token ASC) AS BIGINT) AS rk
   FROM scored
 ) WHERE rk <= 3
+""")
+
+
+def _q_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.bm25_scores(
+        docs, ["spark", "join", "window"], topn=20)
+
+# Okapi BM25 retrieval (Robertson & Zaragoza FnTIR'09) over the corpus
+# for a fixed 3-term query. Per-doc score is a FIXED-ORDER chain of one
+# exact per-term sum each (sorted term order), rounded to 4dp before the
+# rank cut, so neither float-summation order nor libm ln() ulps can flip
+# the top-20 across engines.
+_add("bm25_topdocs", _q_bm25_topdocs, r"""
+WITH d AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS t
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks WHERE tok <> '' GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ('join', 'spark', 'window')
+  GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+parts AS (
+  SELECT tf.doc_id,
+         tf.tok,
+         ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS contrib
+  FROM tf
+  JOIN dft USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         round(coalesce(sum(CASE WHEN tok = 'join' THEN contrib END), 0)
+               + coalesce(sum(CASE WHEN tok = 'spark' THEN contrib END), 0)
+               + coalesce(sum(CASE WHEN tok = 'window' THEN contrib END), 0),
+               4) AS score
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score
+FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
+""")
+
+
+def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn(
+            "split", textops.split_assign(F.col("doc_id"), (0.8, 0.1)))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+# Deterministic 80/10/10 train/val/test split keyed on the stable doc id
+# (md5 16-bit bucket < cumulative-fraction thresholds: 0.8 -> 'cccd',
+# 0.9 -> 'e666'): reproducible on any engine, stable under corpus growth,
+# immune to partitioning — unlike random()-based splits.
+_add("split_counts", _q_split_counts, """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+            THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY split, lang
 """)
 
 

@@ -305,3 +305,79 @@ def binned_quantiles(
         .select(*group_cols, F.col("n").cast("long").alias("n"), "q",
                 est.alias("est"))
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund, Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007) — the one-pass weighted sample a
+    training pipeline draws per stratum when rows carry importance
+    weights (quality scores, dedup multiplicities).
+
+    Each row gets a uniform u_i in (0, 1] derived from md5(id) (the
+    12-hex prefix + 1, scaled — an exact 48-bit integer, exactly
+    representable in an IEEE double) and priority q_i = w_i / u_i. The
+    sample is the k highest-priority rows per group; with threshold
+    tau = q_(k+1), the estimator w_hat_i = max(w_i, tau) makes
+    sum(w_hat) an (near-)unbiased estimate of the group's total weight —
+    off by at most one effective sample (JACM 2007, Thm 1). Groups with
+    n <= k keep every row with w_hat = w exactly.
+
+    Every step is hash + IEEE divide/compare — no ln(), no pow() — so a
+    DuckDB oracle reproduces the SAME sample and the SAME estimates
+    bit-for-bit: the cross-engine-determinism doctrine of
+    :func:`kmv_distinct`, which ordinary exponential-key weighted
+    reservoirs (Efraimidis-Spirakis u^(1/w)) cannot satisfy because
+    pow() is libm-dependent in its last ulp.
+
+    Scale shape: priorities are embarrassingly parallel column math; the
+    per-group top-(k+1) is a mergeable summary (the k+1 largest of a
+    union are within the union of per-part k+1 largest). Implemented as
+    one rank window per group — the same shuffle unit as every
+    window_topk in the registry; rows never widen.
+
+    Returns the sampled rows: group cols, ``id``, ``w``, ``q`` (priority,
+    1e-6 rounded for canon), ``w_hat`` (subset-sum estimator weight).
+    Weights must be > 0; non-positive weights raise at plan-build time
+    via a runtime guard on the column.
+    """
+    if k < 1:
+        raise ValueError(f"priority_sample: need k >= 1 (got {k})")
+    group_cols = list(group_cols)
+    w = F.col(weight_col).cast("double")
+    wchk = F.when(w > 0, w).otherwise(
+        F.raise_error(F.concat(
+            F.lit("priority_sample: weight must be > 0, got "),
+            w.cast("string"),
+        ))
+    )
+    u = (_hval(F.md5(F.col(id_col).cast("string"))) + F.lit(1.0)) \
+        / F.lit(_HEX_SCALE)
+    pri = df.select(
+        *group_cols,
+        F.col(id_col).alias("id"),
+        wchk.alias("w"),
+        (wchk / u).alias("_q"),
+    )
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_q"), F.asc("id"))
+    ranked = pri.withColumn("_rn", F.row_number().over(win))
+    tau = ranked.filter(F.col("_rn") == k + 1).select(
+        *group_cols, F.col("_q").alias("_tau"))
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .join(tau, group_cols, "left")
+        .select(
+            *group_cols, "id", "w",
+            F.round(F.col("_q"), 6).alias("q"),
+            F.when(F.col("_tau").isNull(), F.col("w"))
+            .otherwise(F.greatest(F.col("w"), F.col("_tau")))
+            .alias("w_hat"),
+        )
+    )

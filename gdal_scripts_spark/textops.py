@@ -24,6 +24,8 @@ Operators:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -513,3 +515,124 @@ def repetition_signals(
         (F.max("c") / F.sum("c")).alias("top_token_frac"),
         F.sum("c").alias("n_tokens"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 10,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query-term set (Robertson &
+    Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+    FnTIR 2009) — the retrieval scorer a training pipeline uses to mine
+    topic-targeted documents from a web corpus.
+
+    score(d) = sum_t idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*|d|/avgdl))
+    with idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)).
+
+    Plan shape: one token explode feeds BOTH the per-doc length table and
+    the (doc, term) counts filtered to the query terms (a literal IN list
+    — Catalyst pushes it into the scan side of the aggregate); document
+    frequencies are a query-sized table joined back BROADCAST; the corpus
+    scalars (N, avgdl) attach to that same broadcast dim via a
+    non-foldable constant bucket so no nested-loop join appears anywhere.
+    The final top-n sorts on the ROUNDED (4dp) score with the doc id as
+    tiebreak, so cross-engine libm-ulp differences in ln() can never
+    reorder the cut.
+
+    Returns ``topn`` rows: id col, ``n_terms`` matched, ``score``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("_t"),
+    ).filter(F.col("_t") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    # corpus scalars on a non-foldable all-zero bucket -> BroadcastHashJoin
+    kb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).alias("_kb")
+    corpus = dl.groupBy(kb).agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("_t").isin([str(t) for t in query_terms]))
+        .groupBy(id_col, "_t").agg(F.count("*").alias("_tf"))
+    )
+    dft = (
+        tf.groupBy("_t").agg(F.count("*").cast("double").alias("_df"))
+        .withColumn("_kb", F.pmod(F.xxhash64(F.col("_t")), F.lit(1)))
+        .join(F.broadcast(corpus), "_kb")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("_tf") * F.lit(k1 + 1.0) / denom
+    # Each (doc, term) holds exactly ONE row after the tf aggregate, so a
+    # per-term conditional sum is a sum over a single element (exact), and
+    # the total is a FIXED-ORDER chain of adds over the sorted term list —
+    # bit-identical in any IEEE engine, unlike sum() over floats whose
+    # result depends on row arrival order.
+    terms = sorted({str(t) for t in query_terms})
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("_t") == t, contrib)), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = (
+        tf.join(F.broadcast(dft), "_t")
+        .join(dl, id_col)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_terms"), *per_term)
+    )
+    total = F.col("_s0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"_s{i}")
+    scored = scored.select(
+        id_col, "n_terms", F.round(total, 4).alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(topn))
+
+
+def split_assign(
+    key: Column,
+    fracs: Sequence[float] = (0.8, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+) -> Column:
+    """Deterministic train/val/test split assignment: the md5 16-bit
+    bucket of the row key (same portable rule as
+    :func:`deterministic_sample`) cut at cumulative-fraction thresholds.
+    ``fracs`` gives the first ``len(names)-1`` shares; the last split
+    takes the remainder. Keyed on a stable id, the assignment is
+    reproducible on any engine, immune to partitioning/row order, and
+    stable as the corpus grows — the property random() splits lack.
+    Pure Column exprs: one codegen'd CASE, no shuffle."""
+    if len(names) != len(fracs) + 1:
+        raise ValueError(
+            f"split_assign: need len(names) == len(fracs) + 1 "
+            f"(got {len(names)} names, {len(fracs)} fracs)")
+    if any(f <= 0 for f in fracs) or sum(fracs) >= 1.0:
+        raise ValueError(
+            f"split_assign: fracs must be > 0 and sum < 1 (got {fracs!r})")
+    bucket = _sample_bucket(key, salt)
+    out: Column = F.lit(names[-1])
+    cum = 0.0
+    # build the CASE from the last boundary backwards so earlier
+    # (smaller-threshold) branches take precedence
+    bounds = []
+    for name, f in zip(names[:-1], fracs):
+        cum += f
+        bounds.append((name, _rate_hex(cum)))
+    for name, hexthr in reversed(bounds):
+        out = F.when(bucket < F.lit(hexthr), F.lit(name)).otherwise(out)
+    return out

@@ -209,3 +209,66 @@ def test_binned_quantiles_validation(spark):
         sketches.binned_quantiles(df, ["grp"], "v", width=0.0)
     with pytest.raises(ValueError, match="q must be"):
         sketches.binned_quantiles(df, ["grp"], "v", qs=(0.0,))
+
+
+def _ps_expected(rows, k):
+    """Pure-Python priority-sampling reference: md5 12-hex-prefix uniform,
+    q = w/u, top-k per group by (q desc, id asc), w_hat = max(w, tau)."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, w in rows:
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = (float(hv) + 1.0) / 16**12
+        by_g[g].append((w / u, i, w))
+    out = {}
+    for g, lst in by_g.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        tau = lst[k][0] if len(lst) > k else None
+        for q, i, w in lst[:k]:
+            out[(g, i)] = (round(q, 6), w if tau is None else max(w, tau))
+    return out
+
+
+def test_priority_sample_matches_pure_python_reference(spark):
+    rows = [("a", i, 1.0 + (i * 7) % 13) for i in range(40)] + [
+        ("b", 100 + i, 0.5 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    got = sketches.priority_sample(df, ["g"], "id", "w", k=8).collect()
+    exp = _ps_expected(rows, 8)
+    assert {(r["g"], r["id"]) for r in got} == set(exp)
+    for r in got:
+        eq, ew = exp[(r["g"], r["id"])]
+        assert r["q"] == eq and r["w_hat"] == ew
+    # group b has n=5 <= k: every row kept, w_hat exactly w
+    assert sorted(r["id"] for r in got if r["g"] == "b") == list(
+        range(100, 105))
+    assert all(r["w_hat"] == r["w"] for r in got if r["g"] == "b")
+
+
+def test_priority_sample_partition_invariant_and_estimator(spark):
+    rows = [("g", i, float(1 + (i * 31) % 97)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    base = sorted(
+        sketches.priority_sample(df, ["g"], "id", "w", k=64).collect())
+    for parts in (1, 17):
+        got = sorted(
+            sketches.priority_sample(
+                df.repartition(parts), ["g"], "id", "w", k=64).collect())
+        assert got == base
+    # subset-sum estimator: sum(w_hat) approximates the true total
+    # (JACM'07 unbiasedness; at k=64/600 deterministic fixture, loose band)
+    total = sum(w for _, _, w in rows)
+    est = sum(r["w_hat"] for r in base)
+    assert 0.5 * total <= est <= 2.0 * total
+
+
+def test_priority_sample_validation(spark):
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, id long, w double")
+    with pytest.raises(ValueError, match="k >= 1"):
+        sketches.priority_sample(df, ["g"], "id", "w", k=0)
+    bad = spark.createDataFrame(
+        [("g", 1, 0.0)], "g string, id long, w double")
+    with pytest.raises(Exception, match="weight must be > 0"):
+        sketches.priority_sample(bad, ["g"], "id", "w", k=2).collect()

@@ -626,3 +626,69 @@ def test_tfidf_top_terms_hand_computed(spark, tmp_path):
     # equal-score tie (apple vs cherry, both 1*idf2) breaks by token asc
     assert out[(3, 2)]["token"] == "apple"
     assert out[(3, 3)]["token"] == "cherry"
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    # 3 docs, query {apple, dates}; k1=1.2, b=0.75, hand-derived BM25
+    import math
+
+    rows = [
+        (1, "apple banana apple"),       # dl=3
+        (2, "banana cherry"),            # dl=2
+        (3, "cherry apple dates dates"),  # dl=4
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r for r in textops.bm25_scores(
+        df, ["apple", "dates"], topn=10).collect()}
+    avgdl = 3.0
+    idf_apple = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))   # df=2
+    idf_dates = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))   # df=1
+
+    def term(tf, dl, idf):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[1]["n_terms"] == 1
+    assert out[1]["score"] == round(term(2, 3, idf_apple), 4)
+    assert out[3]["n_terms"] == 2
+    assert out[3]["score"] == round(
+        term(1, 4, idf_apple) + term(2, 4, idf_dates), 4)
+    assert 2 not in out  # no query term -> no row
+    with pytest.raises(ValueError, match="non-empty"):
+        textops.bm25_scores(df, [])
+
+
+def test_bm25_topn_cut_and_tiebreak(spark):
+    # identical docs score equally; the cut keeps the lowest doc ids
+    rows = [(i, "apple pie") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.bm25_scores(df, ["apple"], topn=3).collect()
+    assert [r["doc_id"] for r in got] == [1, 2, 3]
+    assert len({r["score"] for r in got}) == 1
+
+
+def test_split_assign_matches_md5_rule_and_proportions(spark):
+    import hashlib
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        textops.split_assign(F.col("id"), (0.8, 0.1)).alias("split"),
+    )
+    got = {r["id"]: r["split"] for r in df.collect()}
+    counts = {"train": 0, "val": 0, "test": 0}
+    for i in range(2000):
+        b = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        exp = "train" if b < "cccd" else ("val" if b < "e666" else "test")
+        assert got[i] == exp
+        counts[exp] += 1
+    assert abs(counts["train"] / 2000 - 0.8) < 0.03
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+
+
+def test_split_assign_validation():
+    with pytest.raises(ValueError, match="len\\(names\\)"):
+        textops.split_assign(F.lit("x"), (0.5,), names=("a",))
+    with pytest.raises(ValueError, match="sum < 1"):
+        textops.split_assign(F.lit("x"), (0.8, 0.3))
+    with pytest.raises(ValueError, match="sum < 1"):
+        textops.split_assign(F.lit("x"), (0.8, -0.1))
