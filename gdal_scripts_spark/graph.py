@@ -322,3 +322,142 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("is_keeper"),
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORIENTED wedge counting (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW 2011; Cohen, "Graph Twiddling in a MapReduce World", CiSE 2009).
+
+    The naive wedge join keys on every node and the hottest vertex owns
+    deg^2 wedges — the "last reducer" that stalls a 1000-executor job.
+    Orienting each undirected edge from the LOWER (degree, id) endpoint to
+    the higher makes every triangle a wedge at its lowest-ranked vertex
+    plus one closing edge, and caps any vertex's out-degree at O(sqrt(m)):
+    the wedge join's worst key shrinks from deg_max^2 to m, with plain
+    equi-joins all the way (no skew salting needed by construction).
+
+    Input may contain duplicates, self-loops, or both orientations; it is
+    canonicalized to distinct undirected edges first. All arithmetic is
+    integer (degrees, ids), so any engine reproduces the counts exactly.
+
+    Returns (node long, n_tri long) for nodes in at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    # total order for orientation: rank = (degree, id) packed into one long
+    # (id < 2^32 by contract of the callers; assert cheaply via the pack)
+    rk = (F.col("d").cast("long") * F.lit(2**32) + F.col("n")).alias("rk")
+    dega = deg.select(F.col("n").alias("a"), rk.alias("rka"))
+    degb = deg.select(F.col("n").alias("b"), rk.alias("rkb"))
+    ranked = e.join(dega, "a").join(degb, "b")
+    oriented = ranked.select(
+        F.when(F.col("rka") < F.col("rkb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("rkv").alias("rkx"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("rkv").alias("rky"))
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("rkx") < F.col("rky"))
+        .select("u", "x", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with a FIXED iteration count in FIXED-POINT integer
+    arithmetic (Page, Brin, Motwani, Winograd 1999; the synchronous power
+    iteration every Pregel-style engine runs).
+
+    Ranks are carried as integers r_scaled = r * scale. Each round:
+
+        r'(v) = (100-damping_pct)% * scale / N
+                + damping_pct% * sum over in-edges of floor(r(u) / outdeg(u))
+
+    with every product/divide in integer floor arithmetic. Why fixed
+    point: float PageRank sums an unordered stream of per-edge
+    contributions, so its low bits depend on aggregation order — no two
+    engines (or two RUNS on the same engine) agree bit-for-bit. Integer
+    sums are associative-commutative EXACTLY, so a 1000-executor Spark
+    job, a single DuckDB recursive CTE, and a numpy loop all produce the
+    identical table, while staying within 1/scale per edge per round of
+    the real-valued iteration.
+
+    Nodes = every distinct endpoint; dangling nodes (no out-edges)
+    contribute nothing (their mass exits, the standard "remove dangling"
+    variant). Plan per round: one equi-join of the rank table against the
+    static out-degree-annotated edge table, one groupBy sum — the rank
+    table is ids+longs only; localCheckpoint every round bounds lineage.
+
+    Returns (node long, r_scaled long) — r_scaled / scale is the rank.
+    """
+    if n_iters < 1:
+        raise ValueError(f"pagerank_fixed: need n_iters >= 1 (got {n_iters})")
+    if not 0 < damping_pct < 100:
+        raise ValueError(
+            f"pagerank_fixed: damping_pct in (0,100) (got {damping_pct})")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).filter(F.col("s") != F.col("d")).distinct()
+    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
+    ed = e.join(outdeg, "s").persist()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct().persist()
+    )
+    n_nodes = nodes.count()  # one scalar to the driver: the base rank
+    base = scale // n_nodes
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("r_scaled"))
+    ranks = ranks.localCheckpoint()
+    for _ in range(n_iters):
+        contrib = (
+            ed.join(ranks, ed["s"] == ranks["node"])
+            .select(
+                F.col("d").alias("node"),
+                # `div` is INTEGER division on longs; `/` would route
+                # through an IEEE double whose rounding can cross the
+                # floor boundary when od approaches 1/ulp(r_scaled)
+                F.expr("r_scaled div od").alias("c"),
+            )
+            .groupBy("node").agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((100 - damping_pct) * scale // (100 * n_nodes))
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_mass, 0L)) div 100")
+                ).cast("long").alias("r_scaled"),
+            )
+            .localCheckpoint()
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -835,6 +835,99 @@ FROM reach GROUP BY id
 """)
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a deterministic synthetic graph
+    derived from events (an affine map mixing event_id's quotient and
+    residue, plus a connectivity ring), via graph.triangle_counts —
+    degree-oriented wedge counting (Suri & Vassilvitskii WWW'11)."""
+    from . import graph as _graph
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    aff = ev.select(
+        F.expr("event_id % 1000").alias("src"),
+        F.expr("(event_id * 37 + (event_id div 250) * 101) % 1000")
+        .alias("dst"),
+    )
+    ring = ev.select(
+        F.expr("event_id % 1000").alias("src"),
+        F.expr("(event_id % 1000 + 1) % 1000").alias("dst"),
+    )
+    return _graph.triangle_counts(aff.unionAll(ring))
+
+# Exact integer arithmetic end-to-end (degrees, ids, counts), so the
+# naive a<b<c triple-join oracle reproduces the degree-oriented
+# distributed plan's output bit-for-bit.
+_add("triangle_counts", _q_triangle_counts, """
+WITH e0 AS (
+  SELECT event_id % 1000 AS s,
+         (event_id * 37 + (event_id // 250) * 101) % 1000 AS d
+  FROM events
+  UNION
+  SELECT event_id % 1000, (event_id % 1000 + 1) % 1000 FROM events
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM e0 WHERE s <> d
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+""")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (graph.pagerank_fixed, 6 synchronous
+    rounds) over a deterministic irregular graph from events (dst mixes
+    event_id with user_id so in/out degrees genuinely vary, plus a
+    connectivity ring guaranteeing every node an in-edge)."""
+    from . import graph as _graph
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    aff = ev.select(
+        F.expr("event_id % 500").alias("src"),
+        F.expr("(event_id + user_id * 97) % 500").alias("dst"),
+    )
+    ring = ev.select(
+        F.expr("event_id % 500").alias("src"),
+        F.expr("(event_id % 500 + 1) % 500").alias("dst"),
+    )
+    return _graph.pagerank_fixed(aff.unionAll(ring), n_iters=6)
+
+# The fixed-point arithmetic (integer div/sum only — float PageRank's
+# low bits depend on aggregation order) lets a DuckDB RECURSIVE CTE
+# replay the same 6 power-iteration rounds to bit-identical ranks.
+_add("pagerank_fixed", _q_pagerank, """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT event_id % 500 AS s, (event_id + user_id * 97) % 500 AS d
+  FROM events
+  WHERE event_id % 500 <> (event_id + user_id * 97) % 500
+  UNION
+  SELECT DISTINCT event_id % 500, (event_id % 500 + 1) % 500 FROM events
+),
+od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY s),
+e AS (SELECT e0.s, e0.d, od.od FROM e0 JOIN od USING (s)),
+nodes AS (SELECT DISTINCT s AS node FROM e0),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS i, node, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes
+  UNION ALL
+  SELECT i + 1, d AS node,
+         (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+         + (85 * sum(r // od)) // 100 AS r
+  FROM pr JOIN e ON e.s = pr.node
+  WHERE i < 6
+  GROUP BY i + 1, d
+)
+SELECT node, CAST(r AS BIGINT) AS r_scaled FROM pr WHERE i = 6
+""")
+
+
 # ===========================================================================
 # embeddings: similarity search + dedup
 # ===========================================================================
@@ -3117,6 +3210,58 @@ SELECT event_type, COUNT(*) AS n,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
+""")
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION
+    (Hampel identifier: flag |v - median| > 3 * MAD) — the
+    quality-filtering rule a training pipeline prefers over z-scores
+    because one giant outlier cannot inflate its own threshold. Both
+    medians are rounded to 6dp BEFORE downstream arithmetic so the
+    deviation and the comparison are bit-identical cross-engine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+_add("mad_outliers", _q_mad_outliers, """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       min(d.med) AS med, min(x.mad) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * x.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad x USING (event_type)
+GROUP BY d.event_type
 """)
 
 

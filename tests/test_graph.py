@@ -177,3 +177,88 @@ def test_round_fusion_matches_unfused(spark):
             ).collect()
         }
         assert got == expected, f"rounds_per_sync={rps} diverged"
+
+
+def _tri_oracle(edges):
+    """Brute-force per-node triangle counts over undirected edges."""
+    from itertools import combinations
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle once as a<b<c (und has a<b)
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    random.seed(7)
+    edges = [(random.randrange(30), random.randrange(30)) for _ in range(120)]
+    # include duplicates and both orientations deliberately
+    edges += [(b, a) for a, b in edges[:20]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"]
+           for r in graph.triangle_counts(df).collect()}
+    assert got == _tri_oracle(edges)
+
+
+def test_triangle_counts_known_shapes(spark):
+    # K4 has 4 triangles, each node in 3; a pendant node is in none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["n_tri"]
+           for r in graph.triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _pr_oracle(edges, n_iters, scale=10**12, damping_pct=85):
+    """Pure-Python fixed-point PageRank replaying the exact integer rule."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({n for p in e for n in p})
+    od = {}
+    for s, _ in e:
+        od[s] = od.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    tele = (100 - damping_pct) * scale // (100 * n)
+    for _ in range(n_iters):
+        mass = {v: 0 for v in nodes}
+        for s, d in e:
+            mass[d] += r[s] // od[s]
+        r = {v: tele + damping_pct * mass[v] // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_fixed_matches_integer_oracle_and_partitioning(spark):
+    random.seed(11)
+    edges = [(random.randrange(25), random.randrange(25)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exp = _pr_oracle(edges, 4)
+    for parts in (1, 9):
+        got = {r["node"]: r["r_scaled"]
+               for r in graph.pagerank_fixed(
+                   df.repartition(parts), n_iters=4).collect()}
+        assert got == exp
+
+
+def test_pagerank_fixed_sink_and_validation(spark):
+    # star into a sink: the sink accumulates, spokes keep teleport-only
+    edges = [(i, 9) for i in range(9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["r_scaled"]
+           for r in graph.pagerank_fixed(df, n_iters=3).collect()}
+    assert got == _pr_oracle(edges, 3)
+    assert got[9] > got[0] and len({got[i] for i in range(9)}) == 1
+    with pytest.raises(ValueError, match="n_iters"):
+        graph.pagerank_fixed(df, n_iters=0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        graph.pagerank_fixed(df, damping_pct=100)
