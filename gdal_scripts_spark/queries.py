@@ -2217,6 +2217,94 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
 FROM orders GROUP BY 1
 """)
 
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts
+    for step k only with a step-k event STRICTLY AFTER their step-(k-1)
+    entry time (classic funnel semantics, not mere set intersection).
+    Plan: one filtered min-aggregate per step, each joined to the previous
+    step's entry times on user_id — three equi-joins on the same key, no
+    window over raw events, so the per-user event volume never shuffles
+    more than once per step."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id").filter(F.col("ts") > F.col("ts1"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id").filter(F.col("ts") > F.col("ts2"))
+          .groupBy("user_id").agg(F.min("ts").alias("ts3")))
+    def cnt(df, step):
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users")
+    return (cnt(t1, "1_view")
+            .unionAll(cnt(t2, "2_view_click"))
+            .unionAll(cnt(t3, "3_view_click_purchase")))
+
+_add("funnel_steps", _q_funnel_steps, """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT '2_view_click', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT '3_view_click_purchase', CAST(count(*) AS BIGINT) FROM t3
+""")
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday week of their
+    FIRST event; n_users active per (cohort, week_offset). The activity
+    table is distinct (user, week) BEFORE the cohort join, so the join and
+    final aggregate see at most users x weeks rows, not raw events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("datediff(wk, cohort) div 7").cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+_add("cohort_retention", _q_cohort_retention, """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY f.cohort, week_offset
+""")
+
 _add_shared("grouping_sets_mix", """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders
