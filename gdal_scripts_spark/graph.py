@@ -424,17 +424,25 @@ def pagerank_fixed(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).filter(F.col("s") != F.col("d")).distinct()
     outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
-    ed = e.join(outdeg, "s").persist()
+    # The edge table is STATIC across rounds but each round is a separate
+    # query, so ReusedExchange never applies — without pre-partitioning,
+    # every round re-shuffles all m edge rows. Caching the table ALREADY
+    # hash-partitioned on the join key (InMemoryRelation preserves
+    # outputPartitioning) makes each round shuffle only the n-row rank
+    # table; same for the nodes table and its `node` key.
+    nparts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ed = e.join(outdeg, "s").repartition(int(nparts), "s").persist()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
-        .distinct().persist()
+        .distinct()
+        .repartition(int(nparts), "node").persist()
     )
     n_nodes = nodes.count()  # one scalar to the driver: the base rank
     base = scale // n_nodes
     ranks = nodes.select("node", F.lit(base).cast("long").alias("r_scaled"))
     ranks = ranks.localCheckpoint()
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contrib = (
             ed.join(ranks, ed["s"] == ranks["node"])
             .select(
@@ -456,8 +464,12 @@ def pagerank_fixed(
                         f"({damping_pct} * coalesce(in_mass, 0L)) div 100")
                 ).cast("long").alias("r_scaled"),
             )
-            .localCheckpoint()
         )
+        # truncate lineage every few rounds (and always on the last): each
+        # eager localCheckpoint is a driver barrier, and 6-deep join plans
+        # are well within Catalyst's comfort zone
+        if it % 3 == 2 or it == n_iters - 1:
+            ranks = ranks.localCheckpoint()
     ed.unpersist()
     nodes.unpersist()
     return ranks
