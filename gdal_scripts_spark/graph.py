@@ -355,9 +355,19 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n").agg(F.count("*").alias("d"))
     )
-    # total order for orientation: rank = (degree, id) packed into one long
-    # (id < 2^32 by contract of the callers; assert cheaply via the pack)
-    rk = (F.col("d").cast("long") * F.lit(2**32) + F.col("n")).alias("rk")
+    # total order for orientation: rank = (degree, id) packed into one
+    # long; ids >= 2^32 would corrupt the pack, so the expression guards
+    # the contract with a per-row raise instead of silently mis-orienting
+    rk = F.when(
+        F.col("n") < F.lit(2**32),
+        F.col("d").cast("long") * F.lit(2**32) + F.col("n"),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("triangle_counts: node id >= 2^32 breaks the "
+                  "(degree,id) rank pack, got "),
+            F.col("n").cast("string"),
+        ))
+    ).alias("rk")
     dega = deg.select(F.col("n").alias("a"), rk.alias("rka"))
     degb = deg.select(F.col("n").alias("b"), rk.alias("rkb"))
     ranked = e.join(dega, "a").join(degb, "b")

@@ -344,8 +344,8 @@ def priority_sample(
 
     Returns the sampled rows: group cols, ``id``, ``w``, ``q`` (priority,
     1e-6 rounded for canon), ``w_hat`` (subset-sum estimator weight).
-    Weights must be > 0; non-positive weights raise at plan-build time
-    via a runtime guard on the column.
+    Weights must be > 0, enforced by a per-row runtime guard that
+    raises on the first offending row.
     """
     if k < 1:
         raise ValueError(f"priority_sample: need k >= 1 (got {k})")

@@ -262,3 +262,10 @@ def test_pagerank_fixed_sink_and_validation(spark):
         graph.pagerank_fixed(df, n_iters=0)
     with pytest.raises(ValueError, match="damping_pct"):
         graph.pagerank_fixed(df, damping_pct=100)
+
+
+def test_triangle_counts_id_pack_guard(spark):
+    big = spark.createDataFrame(
+        [(2**32 + 1, 1), (1, 2), (2, 2**32 + 1)], "src long, dst long")
+    with pytest.raises(Exception, match="rank pack"):
+        graph.triangle_counts(big).collect()
