@@ -857,3 +857,32 @@ def np_hex_cell(x, y, size: float):
     q = np.where(pick_q, -rr - rs, rq)
     r = np.where(pick_r, -rq - rs, rr)
     return ((q + _HEX_OFF) * (1 << 21) + (r + _HEX_OFF)).astype(np.int64)
+
+
+def hilbert_sort(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 16,
+) -> DataFrame:
+    """Order rows along the S2 Hilbert curve — the write-side layout that
+    makes parquet/Iceberg row-group min/max stats prune 2-D bbox scans
+    (the same locality property Iceberg exposes as Z-ordering; S2 ids ARE
+    a Hilbert order, which preserves locality strictly better than
+    Z/Morton interleaving).
+
+    Use before ``.write.parquet(...)`` / ``writeTo(...).using("iceberg")``:
+    a range-partitioned global sort (one skew-sampled shuffle, Spark's
+    ORDER BY machinery) whose one-time cost buys every later bbox scan
+    O(boundary) row groups instead of O(all). Measured on this engine:
+    47/47 row groups scanned on a hash-random layout vs 3/46 on this
+    layout for a 2x2-degree bbox over 10M points
+    (BENCH/layout_prune_r5.json). The sort key is dropped from the output
+    so the written schema is unchanged.
+    """
+    return (
+        df.withColumn("__s2sort", s2_cell_id(
+            F.col(lon_col), F.col(lat_col), level))
+        .orderBy("__s2sort")
+        .drop("__s2sort")
+    )

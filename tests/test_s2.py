@@ -655,3 +655,21 @@ def test_spatial_join_s2_table_driven_prefiltered(spark):
     a = set(map(tuple, df.collect()))
     b = set(map(tuple, joins.spatial_join_broadcast(pts, pack).collect()))
     assert a == b and len(a) > 0
+
+
+def test_hilbert_sort_orders_by_cell_and_preserves_rows(spark):
+    import numpy as np
+    from gdal_scripts_spark.s2 import hilbert_sort, np_s2_cell_id
+
+    rows = [(i, -170.0 + (i * 37 % 340), -80.0 + (i * 53 % 160))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = hilbert_sort(df, "lon", "lat", level=16)
+    assert out.columns == ["id", "lon", "lat"]  # sort key dropped
+    got = out.collect()
+    assert sorted(r["id"] for r in got) == [r[0] for r in rows]
+    lon = np.array([r["lon"] for r in got])
+    lat = np.array([r["lat"] for r in got])
+    # face <= 5 keeps the top bits clear, so int64 order == uint64 order
+    cells = np_s2_cell_id(lon, lat, 16)
+    assert (np.diff(cells) >= 0).all()

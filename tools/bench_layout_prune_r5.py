@@ -76,9 +76,9 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     # (a) hash-random order, same file count
     base.orderBy(F.xxhash64("id", F.lit(17))).write.parquet(rand_dir)
-    # (b) global sort by exact S2 leaf id (Hilbert locality)
-    base.withColumn("cell", s2.s2_cell_id(F.col("lon"), F.col("lat"), 16)) \
-        .orderBy("cell").drop("cell").write.parquet(sort_dir)
+    # (b) global sort by exact S2 cell id (Hilbert locality) — the
+    # engine's write-side layout helper
+    s2.hilbert_sort(base, "lon", "lat", 16).write.parquet(sort_dir)
 
     lo_x, lo_y, hi_x, hi_y = BBOX
     cond = ((F.col("lon") >= lo_x) & (F.col("lon") <= hi_x)
