@@ -2116,6 +2116,40 @@ FROM per GROUP BY user_id
 """)
 
 
+def _q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) time windows in BATCH via F.window — 14-day
+    windows sliding every 7 days, so each event lands in exactly two
+    windows. The window struct is flattened to its start's epoch seconds
+    (engine-neutral: no timezone or calendar enters the comparison). At
+    scale this is one explode-by-2 + one hash aggregate — map-side
+    partial agg keeps hot types cheap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "14 days", "7 days").alias("_w"),
+                   "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("wstart_epoch"),
+            "event_type", "n_events",
+        )
+    )
+
+# Spark aligns fixed-duration windows to epoch 0, so window starts are
+# exactly (floor(epoch/slide) - k) * slide for k in {0, 1}: integer
+# arithmetic DuckDB replays verbatim.
+_add("hopping_window_counts", _q_hopping_window_counts, """
+WITH x AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk,
+         unnest([0, 1]) AS k
+  FROM events
+)
+SELECT (wk - k) * 604800 AS wstart_epoch, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM x GROUP BY 1, 2
+""")
+
+
 # ===========================================================================
 # remaining raster/vector utility surface (rows-only: image fixtures have no
 # DuckDB-side twin) — gdal_calc, gdal2xyz, gdal_retile, gdal_rasterize,
