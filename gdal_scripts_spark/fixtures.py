@@ -348,6 +348,43 @@ def labels_spark(spark, n: int = 8, seed: int = SEED + 3):
     return spark.createDataFrame(make_labels_pdf(n, seed), schema=IMAGES_SCHEMA)
 
 
+def make_formula_images_pdf(n: int = 12) -> pd.DataFrame:
+    """Closed-form grayscale PGM images: ``v(x,y,i) = (x*x + 3*y*y + i*37)
+    % 97 + 40``, w = 24+4*(i%3), h = 18+6*(i%2).
+
+    The pixel law is pure integer arithmetic reproducible in ANSI SQL, so a
+    DuckDB oracle can regenerate the exact pixels with ``range()`` — giving
+    raster entries a TRUE cross-engine oracle (not a committed golden) while
+    the Spark side still exercises the real PGM encode/decode path. Values
+    span 40..136 (a low-contrast image), which makes histogram equalization
+    a non-trivial stretch rather than a near-identity remap.
+    """
+    rows = []
+    for i in range(n):
+        w = 24 + 4 * (i % 3)
+        h = 18 + 6 * (i % 2)
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = ((xs * xs + 3 * ys * ys + i * 37) % 97 + 40).astype(np.uint8)
+        rows.append(
+            {
+                "image_id": f"fim{i:04d}",
+                "bytes": codecs.encode(img, "pgm"),
+                "w": w,
+                "h": h,
+                "fmt": "pgm",
+                "caption": f"formula {i}",
+                "phash": codecs.ahash64(img),
+                "lon": 0.0,
+                "lat": 0.0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def formula_images_spark(spark, n: int = 12):
+    return spark.createDataFrame(make_formula_images_pdf(n), schema=IMAGES_SCHEMA)
+
+
 def make_audio_pdf(n: int = 16, seed: int = SEED + 4) -> pd.DataFrame:
     """Deterministic WAV clips: sine mixtures + noise at varied rates/
     channels — exercises the real RIFF/PCM decode path (no external data)."""

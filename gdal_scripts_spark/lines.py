@@ -42,6 +42,38 @@ def _seg_len(s: Column) -> Column:
     )
 
 
+def dda_burn_cols(pts: Column) -> Column:
+    """Pixels burned by rasterizing the polyline with an integer DDA —
+    ``array<struct<px:int, py:int>>`` (with joint/step duplicates; wrap in
+    ``array_distinct`` for the per-feature burn set).
+
+    Semantics mirror gdal_rasterize's line burn (``alg/llrasterize.cpp :
+    GDALdllImageLine``): snap each vertex to its containing cell with
+    ``floor``, then step ``n = max(|dpx|, |dpy|)`` times along the segment,
+    rounding the interpolated cell via ``floor(v + 0.5)`` — spelled that way
+    (not ``round``) so DuckDB oracles reproduce the exact half-step ties.
+    PURE Column (sequence/transform/flatten HOFs, whole-stage codegen): the
+    burn explodes ~n rows per segment with no shuffle and no Python.
+    """
+    def seg_pixels(s: Column) -> Column:
+        px0, py0 = F.floor(s["x1"]), F.floor(s["y1"])
+        px1, py1 = F.floor(s["x2"]), F.floor(s["y2"])
+        dx, dy = px1 - px0, py1 - py0
+        n = F.greatest(F.abs(dx), F.abs(dy))
+        nd = F.greatest(n, F.lit(1)).cast("double")
+        return F.transform(
+            F.sequence(F.lit(0), n.cast("int")),
+            lambda t: F.struct(
+                (px0 + F.floor(t.cast("double") * dx.cast("double") / nd
+                               + F.lit(0.5))).cast("int").alias("px"),
+                (py0 + F.floor(t.cast("double") * dy.cast("double") / nd
+                               + F.lit(0.5))).cast("int").alias("py"),
+            ),
+        )
+
+    return F.flatten(F.transform(_segments(pts), seg_pixels))
+
+
 def length_col(pts: Column) -> Column:
     """Polyline length (OGRLineString::get_Length)."""
     return F.aggregate(

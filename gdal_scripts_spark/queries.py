@@ -1951,6 +1951,133 @@ FROM c WHERE round(clip, 6) > 0
 """)
 
 
+def _q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize over LINESTRING features (R2 line burn — integer DDA
+    per alg/llrasterize.cpp : GDALdllImageLine): pure-Column burn, then the
+    per-pixel covering-line count. The oracle replays the identical DDA in
+    DuckDB via range()."""
+    from . import lines as _lines
+
+    df = _lines_df(spark, sf_dir)
+    burned = df.select(
+        "line_id",
+        F.explode(F.array_distinct(_lines.dda_burn_cols(F.col("pts")))).alias("p"),
+    )
+    return burned.groupBy(
+        F.col("p.px").alias("px"), F.col("p.py").alias("py")
+    ).agg(F.count("*").alias("n_lines"))
+
+# segment endpoints snapped to cells with floor(), exactly as dda_burn_cols
+_DDA_SEGS = [
+    ("floor(x0)", "floor(y0)", "floor(x0 + d1x)", "floor(y0 + d1y)"),
+    ("floor(x0 + d1x)", "floor(y0 + d1y)",
+     "floor(x0 + d1x + d2x)", "floor(y0 + d1y + d2y)"),
+    ("floor(x0 + d1x + d2x)", "floor(y0 + d1y + d2y)",
+     "floor(x0 + d1x + d2x + d3x)", "floor(y0 + d1y + d2y + d3y)"),
+]
+_DDA_SEG_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT line_id, {xa} AS pxa, {ya} AS pya, {xb} AS pxb, {yb} AS pyb FROM l"
+    for xa, ya, xb, yb in _DDA_SEGS
+)
+# per-segment deltas are in [-4, 4] (the fixture's d*x/d*y), so cell spans
+# never exceed 5 and range(0, 16) safely covers every step index
+_add("rasterize_lines", _q_rasterize_lines, f"""
+WITH l AS ({_LINES_SQL}),
+seg AS (
+{_DDA_SEG_SQL}
+),
+dd AS (
+  SELECT line_id,
+         CAST(pxa + floor(t * (pxb - pxa)
+              / greatest(greatest(abs(pxb - pxa), abs(pyb - pya)), 1)
+              + 5.0e-1) AS INT) AS px,
+         CAST(pya + floor(t * (pyb - pya)
+              / greatest(greatest(abs(pxb - pxa), abs(pyb - pya)), 1)
+              + 5.0e-1) AS INT) AS py
+  FROM seg, range(0, 16) r(t)
+  WHERE t <= greatest(abs(pxb - pxa), abs(pyb - pya))
+)
+SELECT px, py, CAST(count(*) AS BIGINT) AS n_lines
+FROM (SELECT DISTINCT line_id, px, py FROM dd) u
+GROUP BY px, py
+""")
+
+
+# ===========================================================================
+# closed-form raster entries: the pixel law of fixtures.formula_images is
+# pure integer arithmetic, so DuckDB REGENERATES the exact pixels via
+# range() — true cross-engine oracles for whole-raster transforms while the
+# Spark side still decodes real PGM bytes through the codec
+# ===========================================================================
+
+_FIM_DIMS_SQL = """
+  SELECT i, 24 + 4 * (i % 3) AS w, 18 + 6 * (i % 2) AS h FROM range(0, 12) t(i)
+"""
+
+
+def _q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.hist_equalize(imgs)
+
+_add("hist_equalize", _q_hist_equalize, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, w, h, CAST((x * x + 3 * y * y + i * 37) % 97 + 40 AS INT) AS v
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x < w AND y < h
+),
+hist AS (SELECT i, w, h, v, count(*) AS c FROM px GROUP BY i, w, h, v),
+cdf AS (
+  SELECT i, v, c, SUM(c) OVER (PARTITION BY i ORDER BY v) AS cum,
+         w * h AS npix
+  FROM hist
+),
+m AS (
+  SELECT i, c,
+         CAST(floor((cum - cdf_min) * 2.55e2 / (npix - cdf_min) + 5.0e-1)
+              AS INT) AS v_out
+  FROM (SELECT i, v, c, cum, npix,
+               MIN(cum) OVER (PARTITION BY i) AS cdf_min
+        FROM cdf) s
+)
+SELECT printf('fim%04d', i) AS image_id, v_out, CAST(SUM(c) AS BIGINT) AS n
+FROM m GROUP BY 1, 2
+""")
+
+
+_MORPH_9 = ", ".join(
+    f"(({xe}) * ({xe}) + 3 * (({ye}) * ({ye})) + i * 37) % 97 + 40"
+    for xe in ("x - 1", "x", "x + 1")
+    for ye in ("y - 1", "y", "y + 1")
+)
+
+
+def _q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.morphology3(imgs)
+
+_add("morph_erode_dilate", _q_morphology, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, least({_MORPH_9}) AS ero, greatest({_MORPH_9}) AS dil
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x >= 1 AND x < w - 1 AND y >= 1 AND y < h - 1
+),
+u AS (
+  SELECT i, 'erode' AS op, ero AS val FROM px
+  UNION ALL
+  SELECT i, 'dilate' AS op, dil AS val FROM px
+)
+SELECT printf('fim%04d', i) AS image_id, op, CAST(val AS INT) AS val,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1, 2, 3
+""")
+
+
 # ===========================================================================
 # gdal_grid family (R8/J4): IDW + radius data metrics over event-derived
 # points (value = events.value), queries derived from customer keys

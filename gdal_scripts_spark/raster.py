@@ -138,6 +138,98 @@ def histogram(images: DataFrame, band: int = 0) -> DataFrame:
     )
 
 
+def hist_equalize(images: DataFrame, band: int = 0) -> DataFrame:
+    """Per-image 8-bit histogram equalization (the classic contrast stretch
+    GDAL users run via gdal_translate -scale / custom band math; formula per
+    OpenCV/Wikipedia "histogram equalization"): remap each level v to
+
+        out(v) = floor((cdf(v) - cdf_min) * 255 / (npix - cdf_min) + 0.5)
+
+    where cdf is the cumulative pixel count and cdf_min its value at the
+    lowest occupied level. Returns the EQUALIZED histogram — one row per
+    (image_id, v_out) with the pixel count — which pins the whole remap
+    while keeping output cardinality <= 256 rows per image.
+
+    Scale shape: decode + bincount + 256-entry remap per image inside ONE
+    ``mapInPandas`` pass (pixels never shuffle; partial results are final —
+    each image is independent), Arrow-batched. Constant images (npix ==
+    cdf_min) map to 0, matching the convention that a flat image has no
+    contrast to stretch.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                flat = _decode_row(byts, fmt)[:, :, band].ravel().astype(np.int64)
+                hist = np.bincount(flat, minlength=256)
+                cdf = hist.cumsum()
+                npix = int(flat.size)
+                cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+                denom = npix - cdf_min
+                if denom > 0:
+                    # integer-valued doubles well below 2^53: exact, and the
+                    # (a - b) * 255.0 / c evaluation order matches the SQL
+                    # oracle literally, so the floor is cross-engine stable
+                    out_map = np.floor(
+                        (cdf - cdf_min) * 255.0 / denom + 0.5
+                    ).astype(np.int64)
+                else:
+                    out_map = np.zeros(256, np.int64)
+                vout = out_map[flat]
+                vals, counts = np.unique(vout, return_counts=True)
+                rows.extend(
+                    (iid, int(v), int(c)) for v, c in zip(vals, counts)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "v_out", "n"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, v_out int, n long"
+    )
+
+
+def morphology3(images: DataFrame, band: int = 0) -> DataFrame:
+    """Grayscale 3x3 morphological erosion + dilation (focal min / focal
+    max — the flat-structuring-element greyscale morphology of Serra 1982;
+    companion to the gdaldem 3x3 focal family in dem.py): INTERIOR pixels
+    only (x in 1..w-2, y in 1..h-2), so every 3x3 window is fully in
+    bounds and no edge-padding convention leaks into the contract.
+
+    Returns the value histogram of each result — (image_id, op, val, n)
+    with op in ('erode', 'dilate') — pinning every output pixel's value
+    while keeping cardinality <= 512 rows per image. Same no-shuffle MiP
+    shape as hist_equalize: windows never cross image boundaries, so the
+    whole operator is embarrassingly parallel over images.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)[:, :, band]
+                win = sliding_window_view(img, (3, 3))
+                for op, res in (
+                    ("erode", win.min(axis=(2, 3))),
+                    ("dilate", win.max(axis=(2, 3))),
+                ):
+                    vals, counts = np.unique(res.astype(np.int64),
+                                             return_counts=True)
+                    rows.extend(
+                        (iid, op, int(v), int(c)) for v, c in zip(vals, counts)
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "op", "val", "n"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, op string, val int, n long"
+    )
+
+
 def checksums(images: DataFrame) -> DataFrame:
     """GDAL-style per-image checksum (golden-test workhorse)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -4,6 +4,7 @@ plan check that every kernel stays JVM-side (pure Column, no Python UDF)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -124,3 +125,46 @@ def test_bbox_join_matches_bruteforce(spark):
             if lx0 <= r.rx1 and r.rx0 <= lx1 and ly0 <= r.ry1 and r.ry0 <= ly1:
                 want.add((i, r.id_a))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dda_burn_cols — integer-DDA line rasterization (gdal_rasterize line burn)
+# ---------------------------------------------------------------------------
+
+def _burn(spark, pts):
+    row = spark.createDataFrame(
+        pd.DataFrame({"pts": [pts]}),
+        schema="pts array<struct<x double, y double>>",
+    ).select(
+        F.array_distinct(lines.dda_burn_cols(F.col("pts"))).alias("px")
+    ).collect()[0]
+    return sorted((p["px"], p["py"]) for p in row["px"])
+
+
+def test_dda_horizontal_segment(spark):
+    got = _burn(spark, [(0.2, 0.2), (3.8, 0.2)])
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0)]
+
+
+def test_dda_steep_segment_rounds_half_up(spark):
+    # p0=(0,0), p1=(2,5): n=5, px(t) = floor(2t/5 + 0.5) -> 0,0,1,1,2,2
+    got = _burn(spark, [(0.0, 0.0), (2.5, 5.5)])
+    assert got == [(0, 0), (0, 1), (1, 2), (1, 3), (2, 4), (2, 5)]
+
+
+def test_dda_degenerate_segment_single_pixel(spark):
+    got = _burn(spark, [(4.1, 7.9), (4.9, 7.2)])
+    assert got == [(4, 7)]
+
+
+def test_dda_polyline_joint_deduplicated(spark):
+    # two segments sharing vertex (2.5, 0.5): joint pixel (2, 0) appears in
+    # both segment burns; array_distinct keeps one
+    got = _burn(spark, [(0.5, 0.5), (2.5, 0.5), (4.5, 0.5)])
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)]
+
+
+def test_dda_negative_coords(spark):
+    got = _burn(spark, [(-2.5, -0.5), (0.5, 0.5)])
+    # p0 = (-3, -1), p1 = (0, 0): n=3, px=-3..0, py=floor(t/3+.5): -1,-1,0,0
+    assert got == [(-3, -1), (-2, -1), (-1, 0), (0, 0)]

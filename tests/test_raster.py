@@ -436,3 +436,84 @@ def test_nearblack_spark_matches_numpy(spark):
         assert r.n_collar_px == int(mask.sum())
         band0 = out[:, :, 0] if out.ndim == 3 else out
         assert r.checksum == codecs.gdal_style_checksum(band0)
+
+
+# ---------------------------------------------------------------------------
+# hist_equalize / morphology3 — hand-computed twins on tiny images, plus the
+# closed-form fixture law (the DuckDB-regenerable contract)
+# ---------------------------------------------------------------------------
+
+def _tiny_images_df(spark, arrays):
+    rows = []
+    for i, a in enumerate(arrays):
+        a = np.asarray(a, dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"t{i:02d}", "bytes": codecs.encode(a, "pgm"),
+                "w": a.shape[1], "h": a.shape[0], "fmt": "pgm",
+                "caption": "", "phash": 0, "lon": 0.0, "lat": 0.0,
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=fixtures.IMAGES_SCHEMA)
+
+
+def test_hist_equalize_two_level_hand_case(spark):
+    # pixels [0,0,1,1]: cdf = (2,4), cdf_min=2, denom=2
+    # out(0) = floor(0*255/2+0.5) = 0 ; out(1) = floor(2*255/2+0.5) = 255
+    df = _tiny_images_df(spark, [np.array([[0, 0], [1, 1]])])
+    got = {r["v_out"]: r["n"] for r in raster.hist_equalize(df).collect()}
+    assert got == {0: 2, 255: 2}
+
+
+def test_hist_equalize_constant_image_maps_to_zero(spark):
+    df = _tiny_images_df(spark, [np.full((3, 5), 77)])
+    got = raster.hist_equalize(df).collect()
+    assert len(got) == 1 and got[0]["v_out"] == 0 and got[0]["n"] == 15
+
+
+def test_hist_equalize_matches_sequential_numpy(spark):
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    got = {(r["image_id"], r["v_out"]): r["n"]
+           for r in raster.hist_equalize(imgs).collect()}
+    want = {}
+    for _, r in fixtures.make_formula_images_pdf(12).iterrows():
+        img = codecs.decode(r["bytes"], r["fmt"])
+        flat = img.ravel().astype(np.int64)
+        hist = np.bincount(flat, minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+        out = np.floor((cdf - cdf_min) * 255.0 / (flat.size - cdf_min) + 0.5)
+        for v, c in zip(*np.unique(out[flat].astype(np.int64),
+                                   return_counts=True)):
+            want[(r["image_id"], int(v))] = int(c)
+    assert got == want
+
+
+def test_morphology3_hand_case(spark):
+    img = np.array([[1, 2, 3, 4], [5, 6, 7, 8], [9, 10, 11, 12]])
+    df = _tiny_images_df(spark, [img])
+    got = {(r["op"], r["val"]): r["n"] for r in raster.morphology3(df).collect()}
+    # interior centers (1,1) and (1,2): erode = min of each full 3x3 window,
+    # dilate = max — windows are cols 0..2 and 1..3 of the whole image
+    assert got == {("erode", 1): 1, ("erode", 2): 1,
+                   ("dilate", 11): 1, ("dilate", 12): 1}
+
+
+def test_morphology3_matches_closed_form(spark):
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    got = {(r["image_id"], r["op"], r["val"]): r["n"]
+           for r in raster.morphology3(imgs).collect()}
+    want = {}
+    for i in range(12):
+        w, h = 24 + 4 * (i % 3), 18 + 6 * (i % 2)
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = (xs * xs + 3 * ys * ys + i * 37) % 97 + 40
+        for op, red in (("erode", np.min), ("dilate", np.max)):
+            res = np.array([
+                [red(img[y - 1:y + 2, x - 1:x + 2])
+                 for x in range(1, w - 1)]
+                for y in range(1, h - 1)
+            ])
+            for v, c in zip(*np.unique(res, return_counts=True)):
+                want[(f"fim{i:04d}", op, int(v))] = int(c)
+    assert got == want
