@@ -2047,8 +2047,12 @@ FROM m GROUP BY 1, 2
 """)
 
 
+# closed-form source pixel law, parameterized on the sample coordinates
+def _fim_val(xe: str, ye: str) -> str:
+    return f"(({xe}) * ({xe}) + 3 * (({ye}) * ({ye})) + i * 37) % 97 + 40"
+
 _MORPH_9 = ", ".join(
-    f"(({xe}) * ({xe}) + 3 * (({ye}) * ({ye})) + i * 37) % 97 + 40"
+    _fim_val(xe, ye)
     for xe in ("x - 1", "x", "x + 1")
     for ye in ("y - 1", "y", "y + 1")
 )
@@ -2075,6 +2079,58 @@ u AS (
 SELECT printf('fim%04d', i) AS image_id, op, CAST(val AS INT) AS val,
        CAST(count(*) AS BIGINT) AS n
 FROM u GROUP BY 1, 2, 3
+""")
+
+
+def _q_warp_bilinear_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 warp with a TRUE cross-engine oracle (the other warp entries pin
+    committed goldens): 2x bilinear upscale of the closed-form images
+    through the REAL warp path (np_warp_resize pixel-center inverse map,
+    edge clamp, rint-to-uint8), pinned as the per-image value histogram.
+    At scale factor 2 every interpolation weight is a dyadic rational, so
+    numpy and the SQL replay are bit-exact — including GDAL's half-to-even
+    rint, spelled out in the oracle as an explicit CASE."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.value_hist(
+        _raster.warp_resize(imgs, scale=2.0, method="bilinear", out_fmt="pgm")
+    )
+
+_add("warp_bilinear_x2", _q_warp_bilinear_x2, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+o AS (
+  SELECT i, w, h,
+         least(greatest((X + 5.0e-1) * 5.0e-1 - 5.0e-1, 0.0e0), w - 1.0e0) AS ufc,
+         least(greatest((Y + 5.0e-1) * 5.0e-1 - 5.0e-1, 0.0e0), h - 1.0e0) AS vfc
+  FROM dims, range(0, 64) rx(X), range(0, 64) ry(Y)
+  WHERE X < 2 * w AND Y < 2 * h
+),
+q AS (
+  SELECT i, ufc - u0 AS du, vfc - v0 AS dv, u0, v0,
+         least(u0 + 1, w - 1) AS u1, least(v0 + 1, h - 1) AS v1
+  FROM (SELECT i, w, h, ufc, vfc,
+               CAST(least(floor(ufc), w - 2) AS BIGINT) AS u0,
+               CAST(least(floor(vfc), h - 2) AS BIGINT) AS v0
+        FROM o) t
+),
+b AS (
+  SELECT i,
+         ( ({_fim_val('u0', 'v0')}) * (1 - du) * (1 - dv)
+         + ({_fim_val('u1', 'v0')}) * du * (1 - dv)
+         + ({_fim_val('u0', 'v1')}) * (1 - du) * dv
+         + ({_fim_val('u1', 'v1')}) * du * dv ) AS v
+  FROM q
+),
+r AS (
+  -- numpy rint: round half to even (exact here - every v is a dyadic k/16)
+  SELECT i, CAST(CASE WHEN v - floor(v) = 5.0e-1
+                      THEN floor(v) + CAST(floor(v) AS BIGINT) % 2
+                      ELSE floor(v + 5.0e-1) END AS INT) AS val
+  FROM b
+)
+SELECT printf('fim%04d', i) AS image_id, val, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
 """)
 
 
@@ -2240,6 +2296,51 @@ per AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(max(n_ev) AS BIGINT) AS max_session_events
 FROM per GROUP BY user_id
+""")
+
+
+def _q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``F.session_window`` (the
+    SessionWindowing rule: one hash-partition on user_id + sort, sessions
+    merged by interval overlap — no self-window/lag chain). Merge rule
+    (pinned by test_session_window_inclusive_gap_boundary): an event joins
+    the session iff its ts is AT OR before previous ts + gap — adjacent
+    windows merge, so the break condition is strictly-greater — evaluated
+    at full microsecond precision; the oracle replays that with integer
+    epoch_us so the boundary semantics are exact, and pins session bounds
+    the way Spark reports them (end = last ts + gap, epochs
+    floor-truncated to seconds like unix_timestamp)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("_sw"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("_sw.start")).alias("sess_start_epoch"),
+            F.unix_timestamp(F.col("_sw.end")).alias("sess_end_epoch"),
+            "n_events",
+        )
+    )
+
+_add("session_window_native", _q_session_window_native, """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS sess_start_epoch,
+       CAST(epoch_us(max(ts)) // 1000000 + 3600 AS BIGINT) AS sess_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sid GROUP BY user_id, sid
 """)
 
 

@@ -190,6 +190,28 @@ def hist_equalize(images: DataFrame, band: int = 0) -> DataFrame:
     )
 
 
+def value_hist(images: DataFrame, band: int = 0) -> DataFrame:
+    """Per-image value histogram of one band — (image_id, val, n). The
+    compact whole-raster pin used by the closed-form cross-engine entries:
+    <= 256 rows per image regardless of raster size, and any single-pixel
+    difference shows up as a count shift. Single MiP pass, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                a = _decode_row(byts, fmt)[:, :, band]
+                vals, counts = np.unique(a.astype(np.int64), return_counts=True)
+                rows.extend((iid, int(v), int(c)) for v, c in zip(vals, counts))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "val", "n"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, val int, n long"
+    )
+
+
 def morphology3(images: DataFrame, band: int = 0) -> DataFrame:
     """Grayscale 3x3 morphological erosion + dilation (focal min / focal
     max — the flat-structuring-element greyscale morphology of Serra 1982;

@@ -96,3 +96,32 @@ def test_translate_layer_schema_map(spark):
     rows = {r["uid"]: r for r in out.collect()}
     assert rows[1]["label"] == "ANN" and rows[1]["cents"] == 350
     assert rows[2]["cents"] == -125 and rows[2]["missing"] is None
+
+
+def test_session_window_inclusive_gap_boundary(spark):
+    """Spark's session_window merge is INCLUSIVE at the boundary: an event
+    exactly gap seconds after the previous one MERGES (adjacent windows
+    coalesce); only a strictly larger gap starts a new session. Pins the
+    boundary the session_window_native oracle replays with
+    epoch_us > 3600000000 (strictly-greater break)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(seconds=3600)),          # exactly gap: merges
+        ("u1", t0 + dt.timedelta(seconds=3600 + 3601)),   # gap + 1s: new
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "1 hour").alias("sw"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("sw.start").alias("s"), "n")
+        .collect()
+    )
+    assert sorted((r["s"], r["n"]) for r in got) == [
+        (int(t0.timestamp()), 2),
+        (int(t0.timestamp()) + 7201, 1),
+    ]

@@ -517,3 +517,21 @@ def test_morphology3_matches_closed_form(spark):
             for v, c in zip(*np.unique(res, return_counts=True)):
                 want[(f"fim{i:04d}", op, int(v))] = int(c)
     assert got == want
+
+
+def test_value_hist_counts_every_pixel(spark):
+    df = _tiny_images_df(spark, [np.array([[5, 5, 9], [9, 9, 0]])])
+    got = {r["val"]: r["n"] for r in raster.value_hist(df).collect()}
+    assert got == {0: 1, 5: 2, 9: 3}
+
+
+def test_warp_bilinear_x2_rint_half_even(spark):
+    # 1x2 image [10, 11] at 2x -> out u = (X+0.5)/2 - 0.5 for X=0..3:
+    # clamped samples 10, 10.25, 10.75, 11 -> rint: 10, 10, 11, 11
+    # (10.25 -> 10 and 10.75 -> 11 by nearest; no .5 tie in this row)
+    # and [10, 13]: samples 10, 10.75, 12.25, 13 -> 10, 11, 12, 13
+    # tie case [9, 11]: 9, 9.5, 10.5, 11 -> half-to-even: 9, 10, 10, 11
+    df = _tiny_images_df(spark, [np.array([[9, 11]])])
+    out = raster.warp_resize(df, scale=2.0, method="bilinear", out_fmt="pgm")
+    got = {r["val"]: r["n"] for r in raster.value_hist(out).collect()}
+    assert got == {9: 2, 10: 4, 11: 2}
