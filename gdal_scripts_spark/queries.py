@@ -2134,6 +2134,83 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _keys_w_sql(d: str, tap: int) -> str:
+    """Keys 1981 cubic-convolution weight (a = -0.5, GDAL GWKCubic) for the
+    tap at source offset ``tap`` around floor(u), as SQL in the fractional
+    part ``d`` — the same expanded polynomials as raster._keys_weights."""
+    d2 = f"(({d}) * ({d}))"
+    d3 = f"(({d}) * ({d}) * ({d}))"
+    return {
+        -1: f"(-5.0e-1 * ({d3} - 2 * {d2} + ({d})))",
+        0: f"(1.5e0 * {d3} - 2.5e0 * {d2} + 1)",
+        1: f"(-1.5e0 * {d3} + 2 * {d2} + 5.0e-1 * ({d}))",
+        2: f"(5.0e-1 * {d3} - 5.0e-1 * {d2})",
+    }[tap]
+
+
+def _q_warp_cubic_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic-convolution warp (R5, GWKCubic a=-0.5) with a TRUE cross-engine
+    oracle: at scale 2 the fractional parts are 0/0.25/0.75, so all 16 tap
+    weights are exact dyadic rationals and the SQL replay of the 4x4
+    gather (edge-clamped taps, half-to-even rint) is bit-exact against the
+    real numpy warp path — negative lobes, overshoot and all."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.value_hist(
+        _raster.warp_resize(imgs, scale=2.0, method="cubic", out_fmt="pgm")
+    )
+
+_CUBIC_TAPS = (-1, 0, 1, 2)
+_CUBIC_COLS = ",\n         ".join(
+    [f"least(greatest(u0 + {t}, 0), w - 1) AS cx{t + 1}" for t in _CUBIC_TAPS]
+    + [f"least(greatest(v0 + {t}, 0), h - 1) AS cy{t + 1}" for t in _CUBIC_TAPS]
+    + [f"{_keys_w_sql('du', t)} AS wu{t + 1}" for t in _CUBIC_TAPS]
+    + [f"{_keys_w_sql('dv', t)} AS wv{t + 1}" for t in _CUBIC_TAPS]
+)
+_CUBIC_SUM = "\n         + ".join(
+    f"({_fim_val(f'cx{tj + 1}', f'cy{ti + 1}')}) * (wv{ti + 1} * wu{tj + 1})"
+    for ti in _CUBIC_TAPS for tj in _CUBIC_TAPS
+)
+_add("warp_cubic_x2", _q_warp_cubic_x2, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+o AS (
+  SELECT i, w, h,
+         least(greatest((X + 5.0e-1) * 5.0e-1 - 5.0e-1, 0.0e0), w - 1.0e0) AS ufc,
+         least(greatest((Y + 5.0e-1) * 5.0e-1 - 5.0e-1, 0.0e0), h - 1.0e0) AS vfc
+  FROM dims, range(0, 64) rx(X), range(0, 64) ry(Y)
+  WHERE X < 2 * w AND Y < 2 * h
+),
+q AS (
+  SELECT i, w, h, ufc - u0 AS du, vfc - v0 AS dv, u0, v0
+  FROM (SELECT i, w, h, ufc, vfc,
+               CAST(floor(ufc) AS BIGINT) AS u0,
+               CAST(floor(vfc) AS BIGINT) AS v0
+        FROM o) t
+),
+taps AS (
+  SELECT i,
+         {_CUBIC_COLS}
+  FROM q
+),
+b AS (
+  SELECT i,
+         ( {_CUBIC_SUM} ) AS v
+  FROM taps
+),
+r AS (
+  -- numpy rint half-to-even + uint8 clip (all v exact dyadic)
+  SELECT i, CAST(least(greatest(
+               CASE WHEN v - floor(v) = 5.0e-1
+                    THEN floor(v) + CAST(floor(v) AS BIGINT) % 2
+                    ELSE floor(v + 5.0e-1) END, 0), 255) AS INT) AS val
+  FROM b
+)
+SELECT printf('fim%04d', i) AS image_id, val, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""")
+
+
 # ===========================================================================
 # gdal_grid family (R8/J4): IDW + radius data metrics over event-derived
 # points (value = events.value), queries derived from customer keys
