@@ -535,3 +535,19 @@ def test_warp_bilinear_x2_rint_half_even(spark):
     out = raster.warp_resize(df, scale=2.0, method="bilinear", out_fmt="pgm")
     got = {r["val"]: r["n"] for r in raster.value_hist(out).collect()}
     assert got == {9: 2, 10: 4, 11: 2}
+
+
+def test_formula_images_fixture_pinned():
+    """The formula_images pixel law is load-bearing for four cross-engine
+    oracles (hist_equalize, morph_erode_dilate, warp_bilinear_x2,
+    warp_cubic_x2): any change to the law or the PGM encoder shows up here
+    before it breaks oracle parity."""
+    import hashlib
+
+    pdf = fixtures.make_formula_images_pdf(12)
+    assert list(pdf["w"][:3]) == [24, 28, 32]
+    assert list(pdf["h"][:2]) == [18, 24]
+    img0 = codecs.decode(pdf["bytes"][0], "pgm")
+    assert img0[0, 0] == 40 and img0[2, 3] == (9 + 12) % 97 + 40
+    digest = hashlib.md5(b"".join(pdf["bytes"])).hexdigest()
+    assert digest == "8f03095e0ae35833e006f1c216227253"
