@@ -2134,6 +2134,63 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_warp_reduce_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint-reduce warp modes (R5, GWKAverageOrModeThread) at an exact
+    2x shrink, each with a TRUE cross-engine oracle: per 2x2 block the
+    order statistics have closed forms (q1 = min; med = min of pairwise
+    maxima, i.e. the pinned LOWER order statistic floor(q*(n-1)); q3 = max
+    of pairwise minima) and the average is exact dyadic, so the DuckDB
+    replay is bit-identical including the half-to-even rint."""
+    import functools
+
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    parts = [
+        _raster.value_hist(
+            _raster.warp_resize(imgs, scale=0.5, method=op, out_fmt="pgm")
+        ).withColumn("op", F.lit(op))
+        for op in ("average", "min", "max", "med", "q1", "q3")
+    ]
+    return functools.reduce(DataFrame.unionByName, parts).select(
+        "image_id", "op", "val", "n"
+    )
+
+_RED_PAIR_MAX = ", ".join(
+    f"greatest({x}, {y})"
+    for x, y in (("a", "b"), ("a", "c"), ("a", "d"),
+                 ("b", "c"), ("b", "d"), ("c", "d"))
+)
+_RED_PAIR_MIN = _RED_PAIR_MAX.replace("greatest", "least")
+_add("warp_reduce_2x_modes", _q_warp_reduce_2x, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, {_fim_val('2 * X', '2 * Y')} AS a,
+            {_fim_val('2 * X + 1', '2 * Y')} AS b,
+            {_fim_val('2 * X', '2 * Y + 1')} AS c,
+            {_fim_val('2 * X + 1', '2 * Y + 1')} AS d
+  FROM dims, range(0, 16) rx(X), range(0, 16) ry(Y)
+  WHERE X < w // 2 AND Y < h // 2
+),
+u AS (
+  SELECT i, 'average' AS op,
+         CASE WHEN (a + b + c + d) % 4 = 2
+              THEN (a + b + c + d) // 4 + ((a + b + c + d) // 4) % 2
+              ELSE CAST(floor((a + b + c + d) / 4.0e0 + 5.0e-1) AS BIGINT)
+         END AS val
+  FROM px
+  UNION ALL SELECT i, 'min' AS op, least(a, b, c, d) AS val FROM px
+  UNION ALL SELECT i, 'q1' AS op, least(a, b, c, d) AS val FROM px
+  UNION ALL SELECT i, 'max' AS op, greatest(a, b, c, d) AS val FROM px
+  UNION ALL SELECT i, 'med' AS op, least({_RED_PAIR_MAX}) AS val FROM px
+  UNION ALL SELECT i, 'q3' AS op, greatest({_RED_PAIR_MIN}) AS val FROM px
+)
+SELECT printf('fim%04d', i) AS image_id, op, CAST(val AS INT) AS val,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1, 2, 3
+""")
+
+
 def _keys_w_sql(d: str, tap: int) -> str:
     """Keys 1981 cubic-convolution weight (a = -0.5, GDAL GWKCubic) for the
     tap at source offset ``tap`` around floor(u), as SQL in the fractional
