@@ -2191,6 +2191,40 @@ FROM u GROUP BY 1, 2, 3
 """)
 
 
+def _q_proximity_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeProximity (R8) with a TRUE cross-engine oracle: exact
+    Euclidean pixel distance to the nearest v=40 pixel of the closed-form
+    images, quantized to uint8 through the real proximity path. sqrt of an
+    integer can never be an exact .5, so the round is tie-free and the
+    DuckDB replay (min d^2 via self-join, floor(sqrt + 0.5)) is exact."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.value_hist(
+        _raster.proximity(imgs, targets=(40,), out_fmt="pgm")
+    )
+
+_add("proximity_formula", _q_proximity_formula, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, x, y, {_fim_val('x', 'y')} AS v
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x < w AND y < h
+),
+t AS (SELECT i, x AS tx, y AS ty FROM px WHERE v = 40),
+d AS (
+  SELECT p.i, p.x, p.y,
+         min((p.x - t.tx) * (p.x - t.tx) + (p.y - t.ty) * (p.y - t.ty)) AS d2
+  FROM px p JOIN t ON p.i = t.i
+  GROUP BY p.i, p.x, p.y
+)
+SELECT printf('fim%04d', i) AS image_id,
+       CAST(floor(sqrt(CAST(d2 AS DOUBLE)) + 5.0e-1) AS INT) AS val,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2
+""")
+
+
 def _keys_w_sql(d: str, tap: int) -> str:
     """Keys 1981 cubic-convolution weight (a = -0.5, GDAL GWKCubic) for the
     tap at source offset ``tap`` around floor(u), as SQL in the fractional
