@@ -2191,6 +2191,51 @@ FROM u GROUP BY 1, 2, 3
 """)
 
 
+def _q_scale_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -scale (auto bounds) over the closed-form images —
+    the linear contrast stretch, cross-engine: the oracle regenerates
+    pixels, takes per-image min/max with windows, and replays the exact
+    (v - vmin) * 255.0 / (vmax - vmin) double arithmetic + half-to-even
+    rint."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _raster.scale_stretch(imgs)
+
+_add("translate_scale_stretch", _q_scale_stretch, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, CAST({_fim_val('x', 'y')} AS BIGINT) AS v
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x < w AND y < h
+),
+m AS (
+  SELECT i, v,
+         MIN(v) OVER (PARTITION BY i) AS vmin,
+         MAX(v) OVER (PARTITION BY i) AS vmax
+  FROM px
+),
+-- exact rational rounding of N/den in integers: PROVABLY equal to the
+-- numpy rint((v-vmin)*255.0/den) double path, because a non-tie rational
+-- with den <= 255 sits >= 1/(2*255) from any half-integer - far beyond
+-- one ulp - and an exact tie divides to exactly x.5 in binary
+r AS (
+  SELECT i, CAST(CASE WHEN vmax = vmin THEN 0 ELSE
+                 (v - vmin) * 255 // (vmax - vmin)
+                 + CASE WHEN 2 * ((v - vmin) * 255 % (vmax - vmin))
+                             > vmax - vmin THEN 1
+                        WHEN 2 * ((v - vmin) * 255 % (vmax - vmin))
+                             = vmax - vmin
+                        THEN ((v - vmin) * 255 // (vmax - vmin)) % 2
+                        ELSE 0 END
+                 END AS INT) AS v_out
+  FROM m
+)
+SELECT printf('fim%04d', i) AS image_id, v_out, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""")
+
+
 def _q_proximity_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALComputeProximity (R8) with a TRUE cross-engine oracle: exact
     Euclidean pixel distance to the nearest v=40 pixel of the closed-form

@@ -190,6 +190,43 @@ def hist_equalize(images: DataFrame, band: int = 0) -> DataFrame:
     )
 
 
+def scale_stretch(images: DataFrame, band: int = 0) -> DataFrame:
+    """``gdal_translate -scale`` with auto source bounds (the
+    ``apps/gdal_translate_lib.cpp`` linear stretch): per-image remap
+
+        out(v) = rint((v - vmin) * 255 / (vmax - vmin))
+
+    to the full 8-bit range, rint half-to-even like GDAL's output cast.
+    Returns the stretched histogram (image_id, v_out, n) — same compact
+    whole-raster pin as hist_equalize. Constant images map to 0. The
+    arithmetic is spelled (a - vmin) * 255.0 / denom so a SQL oracle
+    replaying the identical expression gets the identical IEEE double,
+    making the half-to-even tie cases engine-stable."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                a = _decode_row(byts, fmt)[:, :, band].astype(np.float64)
+                vmin, vmax = float(a.min()), float(a.max())
+                if vmax > vmin:
+                    out = np.rint((a - vmin) * 255.0 / (vmax - vmin))
+                else:
+                    out = np.zeros_like(a)
+                vals, counts = np.unique(out.astype(np.int64),
+                                         return_counts=True)
+                rows.extend(
+                    (iid, int(v), int(c)) for v, c in zip(vals, counts)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "v_out", "n"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, v_out int, n long"
+    )
+
+
 def value_hist(images: DataFrame, band: int = 0) -> DataFrame:
     """Per-image value histogram of one band — (image_id, val, n). The
     compact whole-raster pin used by the closed-form cross-engine entries:

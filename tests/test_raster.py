@@ -551,3 +551,16 @@ def test_formula_images_fixture_pinned():
     assert img0[0, 0] == 40 and img0[2, 3] == (9 + 12) % 97 + 40
     digest = hashlib.md5(b"".join(pdf["bytes"])).hexdigest()
     assert digest == "8f03095e0ae35833e006f1c216227253"
+
+
+def test_scale_stretch_tie_half_even(spark):
+    # v in {10, 11, 12}: stretch -> 0, 127.5, 255; rint tie -> 128 (even)
+    df = _tiny_images_df(spark, [np.array([[10, 11, 12]])])
+    got = {r["v_out"]: r["n"] for r in raster.scale_stretch(df).collect()}
+    assert got == {0: 1, 128: 1, 255: 1}
+
+
+def test_scale_stretch_constant_image(spark):
+    df = _tiny_images_df(spark, [np.full((2, 4), 200)])
+    got = raster.scale_stretch(df).collect()
+    assert len(got) == 1 and got[0]["v_out"] == 0 and got[0]["n"] == 8
