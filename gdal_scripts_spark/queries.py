@@ -2140,20 +2140,14 @@ def _q_warp_reduce_2x(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistics have closed forms (q1 = min; med = min of pairwise
     maxima, i.e. the pinned LOWER order statistic floor(q*(n-1)); q3 = max
     of pairwise minima) and the average is exact dyadic, so the DuckDB
-    replay is bit-identical including the half-to-even rint."""
-    import functools
-
+    replay is bit-identical including the half-to-even rint. All six
+    kernels run in ONE decode pass (reduce_modes_hist), not one scan per
+    op."""
     from . import raster as _raster
 
     imgs = fixtures.formula_images_spark(spark, n=12)
-    parts = [
-        _raster.value_hist(
-            _raster.warp_resize(imgs, scale=0.5, method=op, out_fmt="pgm")
-        ).withColumn("op", F.lit(op))
-        for op in ("average", "min", "max", "med", "q1", "q3")
-    ]
-    return functools.reduce(DataFrame.unionByName, parts).select(
-        "image_id", "op", "val", "n"
+    return _raster.reduce_modes_hist(
+        imgs, ops=("average", "min", "max", "med", "q1", "q3"), scale=0.5
     )
 
 _RED_PAIR_MAX = ", ".join(

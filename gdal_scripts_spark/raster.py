@@ -227,6 +227,39 @@ def scale_stretch(images: DataFrame, band: int = 0) -> DataFrame:
     )
 
 
+def reduce_modes_hist(images: DataFrame, ops: tuple = ("average", "min",
+                      "max", "med", "q1", "q3"), scale: float = 0.5,
+                      band: int = 0) -> DataFrame:
+    """Value histograms of SEVERAL footprint-reduce warps in one decode
+    pass — (image_id, op, val, n). Same single-MiP shape as morphology3:
+    each image is decoded once and every requested kernel reduces the same
+    pixel array, instead of one scan + decode per op."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _decode_row(byts, fmt)
+                ow = max(1, int(round(img.shape[1] * scale)))
+                oh = max(1, int(round(img.shape[0] * scale)))
+                for op in ops:
+                    out = np_warp_resize(img, ow, oh, op)[:, :, band]
+                    vals, counts = np.unique(out.astype(np.int64),
+                                             return_counts=True)
+                    rows.extend(
+                        (iid, op, int(v), int(c))
+                        for v, c in zip(vals, counts)
+                    )
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=["image_id", "op", "val", "n"])
+
+    return images.select(*_DEC_COLS).mapInPandas(
+        run, schema="image_id string, op string, val int, n long"
+    )
+
+
 def value_hist(images: DataFrame, band: int = 0) -> DataFrame:
     """Per-image value histogram of one band — (image_id, val, n). The
     compact whole-raster pin used by the closed-form cross-engine entries:

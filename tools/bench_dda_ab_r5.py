@@ -31,7 +31,12 @@ from gdal_scripts_spark.session import get_spark  # noqa: E402
 
 
 def synth_lines(spark, n: int) -> DataFrame:
-    """n deterministic 4-vertex polylines, same value law as _LINES_SQL."""
+    """n deterministic 4-vertex polylines — same CONSTRUCTION as
+    _LINES_SQL (hash-modulo anchor + three small integer-delta segments)
+    but on a 10x larger 0..899.9 coordinate domain (id*7919 % 9000 vs the
+    fixture's % 900), so 2M lines spread instead of stacking; per-segment
+    deltas and therefore per-segment burn lengths are identical to the
+    registry entry's."""
     base = spark.range(n).select(
         (F.col("id") * 7919 % 9000).cast("double").alias("x0r"),
         (F.col("id") * 4099 % 9000).cast("double").alias("y0r"),
