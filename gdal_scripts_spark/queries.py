@@ -650,6 +650,35 @@ wm AS (
 SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wm
 """)
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-n-gram overlap of each training doc
+    against the held-out doc_id %% 37 == 0 benchmark slice (GPT-3 App. C
+    methodology). n=3 here because the synthetic corpus has a ~40-word
+    vocabulary (production default is 8-13); the oracle re-derives the
+    whole pipeline on gram STRINGS while Spark joins 64-bit gram hashes —
+    agreement also certifies the hash-join design loses nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.decontaminate(docs, n=3)
+
+_add("decontam_overlap", _q_decontaminate, r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, CAST(len(t) AS BIGINT) - 2),
+                i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 37 = 0),
+train AS (SELECT doc_id, g FROM ng WHERE doc_id % 37 <> 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM train t JOIN bench b USING (g)
+GROUP BY 1
+""")
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = textops.quality_columns("text")

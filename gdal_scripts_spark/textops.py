@@ -348,6 +348,62 @@ def fingerprint_md5(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
 
 
+def word_ngrams(text_col: str = "text", n: int = 8) -> Column:
+    """``array<string>`` of word-level n-grams (space-joined sliding
+    windows over the whitespace tokens). The whitespace class is spelled
+    out ([ \\t\\n\\r\\f]) so Java regex and RE2/POSIX oracles agree. Pure
+    Column HOFs — transform over a sequence of window starts, whole-stage
+    codegen, no Python. Spark sequences run DESCENDING when start > stop,
+    so short documents are gated to an empty array explicitly."""
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \t\n\r\f]+"), lambda x: x != ""
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.expr("array()").cast("array<string>")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 8,
+    bench_mod: int = 37,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the word-n-gram-overlap scan web-scale
+    training pipelines run before release (public methodology: GPT-3
+    App. C "13-gram overlap", PaLM/Llama data cards): count, per training
+    document, the distinct word n-grams it shares with a held-out
+    benchmark set. Here the benchmark slice is the deterministic
+    ``doc_id % bench_mod == 0`` subset (a stand-in for an eval suite);
+    production swaps in the real benchmark table.
+
+    Shape at 10^12 docs: the benchmark n-gram index is tiny (eval suites
+    are megabytes) -> build once, BROADCAST hash join against it — the
+    training corpus is never shuffled by gram. Per-doc distinct grams is
+    one shuffle on (id, 64-bit hash); gram strings themselves never enter
+    an exchange. Output: (doc_id, n_overlap) for contaminated docs only.
+    """
+    g = (
+        docs.select(
+            F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    bench = g.filter(F.col(id_col) % bench_mod == 0).select("gh").distinct()
+    train = g.filter(F.col(id_col) % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling hash) — Schleimer/Wilkerson/Aiken,
 # "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003.

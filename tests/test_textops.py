@@ -692,3 +692,35 @@ def test_split_assign_validation():
         textops.split_assign(F.lit("x"), (0.8, 0.3))
     with pytest.raises(ValueError, match="sum < 1"):
         textops.split_assign(F.lit("x"), (0.8, -0.1))
+
+
+def test_word_ngrams_windows_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "  a\t b "), (4, ""), (5, "x y z")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", textops.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # shorter than n: no descending-sequence garbage
+    assert got[3] == ["a b"] or got[3] == []  # 2 tokens after trim-split
+    assert got[4] == []
+    assert got[5] == ["x y z"]
+
+
+def test_decontaminate_hand_case(spark):
+    # benchmark doc is id 0 (0 % 37 == 0); train docs 1..3
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "a the quick brown fox here"),   # shares 2 distinct 3-grams
+        (2, "quick brown fox"),              # shares 1
+        (3, "nothing in common at all"),     # shares 0 -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in textops.decontaminate(df, n=3).collect()
+    }
+    assert got == {1: 2, 2: 1}
