@@ -252,6 +252,23 @@ SELECT o_custkey, o_orderkey,
 FROM orders WHERE o_custkey <= 200
 """)
 
+_add_shared("window_ntile_dist", """
+WITH t AS (
+  SELECT o_orderpriority AS pri,
+         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q4,
+         CAST(round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice), 6) AS DOUBLE) AS pr,
+         CAST(round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS DOUBLE) AS cd
+  FROM orders
+)
+SELECT pri, q4, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(min(pr), 6) AS DOUBLE) AS min_pr,
+       CAST(round(max(cd), 6) AS DOUBLE) AS max_cd
+FROM t GROUP BY 1, 2
+""")
+
 _add_shared("window_topk_per_group", """
 SELECT * FROM (
   SELECT l_suppkey, l_orderkey, l_linenumber,
