@@ -385,6 +385,35 @@ def formula_images_spark(spark, n: int = 12):
     return spark.createDataFrame(make_formula_images_pdf(n), schema=IMAGES_SCHEMA)
 
 
+def make_formula_gcps_pdf(n: int = 12) -> pd.DataFrame:
+    """Corner GCPs for the formula images under the exact affine
+    ``gx = 1000 + 10*i + 3*px + py``, ``gy = 500 + 7*i + px + 2*py``.
+    The linear part has determinant 5, so inverse-mapped source
+    coordinates are multiples of 1/5 — never on a 0.5 rounding tie —
+    making the GCP-warp nearest resample bit-stable against the
+    ~1e-13 least-squares fit noise and SQL-replayable exactly."""
+    rows = []
+    for i in range(n):
+        w = 24 + 4 * (i % 3)
+        h = 18 + 6 * (i % 2)
+        ox, oy = 1000 + 10 * i, 500 + 7 * i
+        for px, py in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1)):
+            rows.append({
+                "image_id": f"fim{i:04d}",
+                "px": float(px), "py": float(py),
+                "gx": float(ox + 3 * px + py),
+                "gy": float(oy + px + 2 * py),
+            })
+    return pd.DataFrame(rows)
+
+
+GCPS_SCHEMA = "image_id string, px double, py double, gx double, gy double"
+
+
+def formula_gcps_spark(spark, n: int = 12):
+    return spark.createDataFrame(make_formula_gcps_pdf(n), schema=GCPS_SCHEMA)
+
+
 def make_audio_pdf(n: int = 16, seed: int = SEED + 4) -> pd.DataFrame:
     """Deterministic WAV clips: sine mixtures + noise at varied rates/
     channels — exercises the real RIFF/PCM decode path (no external data)."""

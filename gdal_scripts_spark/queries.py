@@ -2276,6 +2276,40 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_warp_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP-driven affine warp (gdal_translate -gcp + gdalwarp -order 1,
+    GDALGCPsToGeoTransform least squares): corner GCPs pin the exact
+    det-5 affine, the engine fits it by lstsq and nearest-resamples onto
+    the integer-aligned warped footprint; the oracle replays the closed-
+    form inverse ((2u-v)/5, (3v-u)/5 — never on a rounding tie) and the
+    pixel law. v_out = -1 counts outside-footprint pixels, pinning the
+    footprint geometry too."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    gcps = fixtures.formula_gcps_spark(spark, n=12)
+    return _raster.warp_gcp_affine(imgs, gcps)
+
+_add("warp_gcp_affine", _q_warp_gcp, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+grid AS (
+  SELECT i, w, h,
+         CAST(floor((2 * u - v) / 5.0e0 + 5.0e-1) AS BIGINT) AS pxr,
+         CAST(floor((3 * v - u) / 5.0e0 + 5.0e-1) AS BIGINT) AS pyr
+  FROM dims, range(0, 140) ru(u), range(0, 120) rv(v)
+  WHERE u <= 3 * (w - 1) + (h - 1) AND v <= (w - 1) + 2 * (h - 1)
+),
+r AS (
+  SELECT i, CASE WHEN pxr BETWEEN 0 AND w - 1 AND pyr BETWEEN 0 AND h - 1
+                 THEN CAST((pxr * pxr + 3 * pyr * pyr + i * 37) % 97 + 40 AS INT)
+                 ELSE -1 END AS v_out
+  FROM grid
+)
+SELECT printf('fim%04d', i) AS image_id, v_out, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""")
+
+
 def _q_proximity_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDALComputeProximity (R8) with a TRUE cross-engine oracle: exact
     Euclidean pixel distance to the nearest v=40 pixel of the closed-form

@@ -564,3 +564,34 @@ def test_scale_stretch_constant_image(spark):
     df = _tiny_images_df(spark, [np.full((2, 4), 200)])
     got = raster.scale_stretch(df).collect()
     assert len(got) == 1 and got[0]["v_out"] == 0 and got[0]["n"] == 8
+
+
+def test_gcps_to_geotransform_exact_recovery_and_degenerate():
+    # exact affine: gx = 10 + 2px + py, gy = -5 + px - 3py
+    pts = [(0, 0), (7, 0), (0, 5), (7, 5), (3, 2)]
+    g = np.array([[px, py, 10 + 2 * px + py, -5 + px - 3 * py]
+                  for px, py in pts], dtype=float)
+    M = raster.gcps_to_geotransform(g)
+    assert np.allclose(M, [[10, 2, 1], [-5, 1, -3]], atol=1e-9)
+    with pytest.raises(ValueError, match="collinear"):
+        raster.gcps_to_geotransform(
+            np.array([[0, 0, 0, 0], [1, 1, 1, 1], [2, 2, 2, 2]], float))
+    with pytest.raises(ValueError, match="shape"):
+        raster.gcps_to_geotransform(np.zeros((2, 4)))
+
+
+def test_np_warp_gcp_nearest_identity_and_nodata():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    # pure translation: geo = (100 + px, 200 + py) -> identity resample
+    M = np.array([[100.0, 1.0, 0.0], [200.0, 0.0, 1.0]])
+    out, x0, y0 = raster.np_warp_gcp_nearest(img, M)
+    assert (x0, y0) == (100, 200)
+    assert out.shape == (3, 4)
+    assert np.array_equal(out, img[:, :, 0].astype(np.int64))
+    # det-5 shear: footprint grows, outside pixels get the nodata count
+    M2 = np.array([[0.0, 3.0, 1.0], [0.0, 1.0, 2.0]])
+    out2, _, _ = raster.np_warp_gcp_nearest(img, M2, nodata=-1)
+    assert out2.shape == (2 * 2 + 3 + 1, 3 * 3 + 2 + 1)  # (w-1)+2(h-1), 3(w-1)+(h-1) +1
+    assert (out2 == -1).any() and (out2 >= 0).any()
+    # every source pixel value appears (det>0 affine is injective on centers)
+    assert set(np.unique(img)) <= set(np.unique(out2))
