@@ -2276,6 +2276,44 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_isobands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p isoband regions over the formula images: band =
+    floor((v-40)/24)+1, connected 4-conn regions per band through the
+    distributed polygonizer; the oracle recomputes the full connected-
+    component structure with a recursive reachability CTE on the closed-
+    form pixels (components are <=24 px, so reach sets stay tiny)."""
+    from . import contour as _contour
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    return _contour.isoband_regions(imgs, interval=24.0, base=40.0)
+
+_add("contour_isobands", _q_isobands, f"""
+WITH RECURSIVE dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, x, y, y * w + x AS id,
+         ((x * x + 3 * y * y + i * 37) % 97) // 24 + 1 AS band
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x < w AND y < h
+),
+e AS (
+  SELECT a.i, a.id AS u, b.id AS v
+  FROM px a JOIN px b ON a.i = b.i AND a.band = b.band
+   AND ((a.x = b.x AND abs(a.y - b.y) = 1) OR (a.y = b.y AND abs(a.x - b.x) = 1))
+),
+reach AS (
+  SELECT i, id, band, id AS r FROM px
+  UNION
+  SELECT reach.i, reach.id, reach.band, e.v AS r
+  FROM reach JOIN e ON e.i = reach.i AND e.u = reach.r
+),
+lab AS (SELECT i, id, band, min(r) AS lbl FROM reach GROUP BY 1, 2, 3)
+SELECT printf('fim%04d', i) AS image_id, CAST(band AS INT) AS band,
+       CAST(count(DISTINCT lbl) AS BIGINT) AS n_regions,
+       CAST(count(*) AS BIGINT) AS n_pixels
+FROM lab GROUP BY 1, 2
+""")
+
+
 def _q_warp_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GCP-driven affine warp (gdal_translate -gcp + gdalwarp -order 1,
     GDALGCPsToGeoTransform least squares): corner GCPs pin the exact

@@ -267,3 +267,23 @@ def test_delaunay_cocircular_grid_no_gaps():
     got = np_tin_interpolate(pts, vals, qx, qy)
     assert not np.isnan(got).any()
     assert np.allclose(got, 2.0 + 0.3 * qx + 0.7 * qy, atol=1e-9)
+
+
+def test_isoband_regions_hand_case(spark):
+    from gdal_scripts_spark import codecs
+    import pandas as pd
+    # band 1 (v<10): two diagonal corners -> 2 regions of 1 px each;
+    # band 2 (10<=v<20): the 4-connected remainder -> 1 region of 7 px
+    img = np.array([
+        [5, 15, 15],
+        [15, 15, 15],
+        [15, 15, 5],
+    ], dtype=np.uint8)
+    pdf = pd.DataFrame([{"image_id": "t0", "bytes": codecs.encode(img, "pgm"),
+                         "fmt": "pgm"}])
+    df = spark.createDataFrame(pdf, "image_id string, bytes binary, fmt string")
+    got = {
+        (r["image_id"], r["band"]): (r["n_regions"], r["n_pixels"])
+        for r in contour.isoband_regions(df, interval=10.0, base=0.0).collect()
+    }
+    assert got == {("t0", 1): (2, 2), ("t0", 2): (1, 7)}
