@@ -1221,3 +1221,73 @@ def parse_geojson_feature(line: str) -> tuple[str, list, dict]:
     else:
         parts = [[[tuple(p) for p in ring] for ring in poly] for poly in c]
     return kind, parts, obj.get("properties") or {}
+
+
+# ---------------------------------------------------------------------------
+# Convex hull aggregate — OGRGeometry::ConvexHull (GEOS-backed in the public
+# tree, ogr/ogrgeometry.cpp); here a two-level hull-of-hulls reduction.
+# ---------------------------------------------------------------------------
+
+def convex_hull_agg(
+    pts: DataFrame,
+    grp_col: str = "grp",
+    x_col: str = "x",
+    y_col: str = "y",
+    fanin: int = 16,
+) -> DataFrame:
+    """Per-group convex hull metrics: (grp, n_pts, hull_area2, hull_perim).
+
+    ``hull_area2`` is the raw shoelace sum (2x area) — integer-exact for
+    integer coordinates below 2^52, so no tolerance is needed across
+    engines; perimeter is rounded to 6 decimals. Vertex COUNT is
+    deliberately not emitted: collinear boundary points make it
+    convention-dependent, while area/perimeter are invariant.
+
+    Scale shape (the reason this is not one grouped map): the convex hull
+    is ASSOCIATIVE — hull(A ∪ B) = hull(hull(A) ∪ hull(B)) — so stage 1
+    reduces each (grp, salt) bucket to its <= O(h) extreme vertices with
+    Andrew's monotone chain, and stage 2 computes the exact hull of the
+    tiny union. A billion-point group shuffles only ``fanin * h`` vertex
+    rows into the final task; raw points never concentrate on one key.
+    Both stages are Arrow-batched grouped maps, no per-row Python.
+    """
+    from . import geom as _geom
+
+    salted = pts.select(
+        F.col(grp_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).withColumn(
+        "_salt", F.pmod(F.xxhash64("_x", "_y"), F.lit(int(fanin)))
+    )
+
+    def local_hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _geom.np_convex_hull(pdf[["_x", "_y"]].to_numpy())
+        n = len(pdf.drop_duplicates(["_x", "_y"]))
+        return pd.DataFrame({
+            "_g": pdf["_g"].iloc[0], "_x": h[:, 0], "_y": h[:, 1], "_n": n,
+        })
+
+    def final_hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _geom.np_convex_hull(pdf[["_x", "_y"]].to_numpy())
+        area2, perim = _geom.hull_metrics(h)
+        # salt buckets partition DISTINCT (x, y) pairs (salt is a function
+        # of the point), so the global distinct count is the sum of one
+        # per-bucket count each
+        n = int(pdf.groupby("_salt")["_n"].first().sum())
+        return pd.DataFrame({
+            "grp": [pdf["_g"].iloc[0]], "n_pts": [n],
+            "hull_area2": [int(round(area2))],
+            "hull_perim": [round(perim, 6)],
+        })
+
+    # carry the salt through so the final stage can de-duplicate the
+    # per-bucket distinct counts
+    partial = salted.groupBy("_g", "_salt").applyInPandas(
+        lambda pdf: local_hull(pdf).assign(_salt=pdf["_salt"].iloc[0]),
+        schema="_g long, _x double, _y double, _n long, _salt long",
+    )
+    return partial.groupBy("_g").applyInPandas(
+        final_hull,
+        schema="grp long, n_pts long, hull_area2 long, hull_perim double",
+    )

@@ -367,3 +367,49 @@ def pip_batch(
     if not out_i:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(out_i), np.concatenate(out_p)
+
+
+def np_convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Convex hull vertices of an (n, 2) point array by Andrew's monotone
+    chain (public algorithm; OGR delegates the same operation to GEOS as
+    ``OGRGeometry::ConvexHull``). Strict turns only — collinear boundary
+    points are dropped, which leaves hull AREA and PERIMETER unchanged.
+    Returns the hull in counter-clockwise order starting from the
+    lexicographically smallest vertex; degenerate inputs (<=2 distinct
+    points, or all collinear) return the 1-2 extreme points."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # lex-sorted
+    if len(p) <= 2:
+        return p
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for q in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (q[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (q[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 3:  # all collinear: keep the two extremes
+        return np.array([p[0], p[-1]])
+    return hull
+
+
+def hull_metrics(hull: np.ndarray) -> tuple[float, float]:
+    """(2*area, perimeter) of a hull returned by :func:`np_convex_hull`.
+    2*area (the raw shoelace sum) stays integer-exact for integer inputs
+    below 2^52, so cross-engine comparison needs no tolerance."""
+    if len(hull) < 2:
+        return 0.0, 0.0
+    x, y = hull[:, 0], hull[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    if len(hull) == 2:
+        return 0.0, 2.0 * float(np.hypot(x[1] - x[0], y[1] - y[0]))
+    area2 = float(np.sum(x * yn - xn * y))
+    perim = float(np.sum(np.hypot(xn - x, yn - y)))
+    return abs(area2), perim

@@ -2276,6 +2276,68 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::ConvexHull as a distributed hull-of-hulls aggregate
+    over integer points derived from events. The oracle finds boundary
+    points by the half-plane extremity test (exact integer cross
+    products), orders them by angle about the group centroid, and replays
+    shoelace + perimeter — a fully independent O(n^3) derivation vs the
+    engine's monotone chain."""
+    from . import formats as _formats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 1200
+    )
+    pts = ev.select(
+        (F.col("user_id") % 8).alias("grp"),
+        ((F.col("event_id") * 37) % 101).alias("x"),
+        ((F.col("event_id") * 73) % 97).alias("y"),
+    )
+    return _formats.convex_hull_agg(pts)
+
+_add("convex_hull_groups", _q_convex_hull, """
+WITH pts AS (
+  SELECT DISTINCT user_id % 8 AS grp,
+         CAST((event_id * 37) % 101 AS BIGINT) AS x,
+         CAST((event_id * 73) % 97 AS BIGINT) AS y
+  FROM events WHERE event_id < 1200
+),
+bnd AS (
+  SELECT p.grp, p.x, p.y FROM pts p
+  WHERE EXISTS (
+    SELECT 1 FROM pts q WHERE q.grp = p.grp AND (q.x <> p.x OR q.y <> p.y)
+      AND NOT EXISTS (
+        SELECT 1 FROM pts r WHERE r.grp = p.grp
+          AND (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) < 0
+      )
+  )
+),
+ctr AS (SELECT grp, avg(x) AS cx, avg(y) AS cy FROM pts GROUP BY 1),
+ord AS (
+  SELECT b.grp, b.x, b.y,
+         atan2(CAST(b.y AS DOUBLE) - c.cy, CAST(b.x AS DOUBLE) - c.cx) AS ang
+  FROM bnd b JOIN ctr c USING (grp)
+),
+seq AS (
+  SELECT grp, x, y,
+         lead(x) OVER w AS xn, lead(y) OVER w AS yn,
+         first_value(x) OVER w AS x0, first_value(y) OVER w AS y0
+  FROM ord WINDOW w AS (PARTITION BY grp ORDER BY ang)
+),
+eg AS (SELECT grp, x, y, coalesce(xn, x0) AS xn, coalesce(yn, y0) AS yn FROM seq),
+m AS (
+  SELECT grp, abs(SUM(x * yn - xn * y)) AS area2,
+         SUM(sqrt(CAST((xn - x) * (xn - x) + (yn - y) * (yn - y) AS DOUBLE))) AS perim
+  FROM eg GROUP BY 1
+),
+n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pts FROM pts GROUP BY 1)
+SELECT CAST(n.grp AS BIGINT) AS grp, n.n_pts,
+       CAST(m.area2 AS BIGINT) AS hull_area2,
+       CAST(round(m.perim, 6) AS DOUBLE) AS hull_perim
+FROM n JOIN m USING (grp)
+""")
+
+
 def _q_isobands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_contour -p isoband regions over the formula images: band =
     floor((v-40)/24)+1, connected 4-conn regions per band through the

@@ -798,3 +798,35 @@ def test_segmentize_invariants_random_batch(spark):
         assert r["maxseg"] <= r["ml"] + 1e-9, r
         assert r["n1"] >= r["n0"], r
         assert r["head_ok"] and r["tail_ok"], r
+
+
+def test_np_convex_hull_degenerate_and_collinear_drop():
+    from gdal_scripts_spark.geom import hull_metrics, np_convex_hull
+
+    # single + duplicate points
+    assert len(np_convex_hull(np.array([[2.0, 3.0], [2.0, 3.0]]))) == 1
+    # all collinear -> the two extremes, zero area, doubled length
+    h = np_convex_hull(np.array([[0, 0], [1, 1], [3, 3], [2, 2]], float))
+    assert np.array_equal(h, [[0, 0], [3, 3]])
+    a2, p = hull_metrics(h)
+    assert a2 == 0.0 and abs(p - 2 * np.hypot(3, 3)) < 1e-12
+    # collinear boundary points on a square edge are dropped
+    h2 = np_convex_hull(
+        np.array([[0, 0], [2, 0], [4, 0], [4, 4], [0, 4]], float))
+    assert len(h2) == 4
+    assert hull_metrics(h2) == (32.0, 16.0)
+
+
+def test_convex_hull_agg_fanin_invariance(spark):
+    # hull-of-hulls associativity: any fan-in gives the identical answer
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "grp": rng.integers(0, 3, 400),
+        "x": rng.integers(0, 50, 400),
+        "y": rng.integers(0, 50, 400),
+    })
+    df = spark.createDataFrame(pdf, "grp long, x long, y long")
+    a = sorted(map(tuple, formats.convex_hull_agg(df, fanin=1).collect()))
+    b = sorted(map(tuple, formats.convex_hull_agg(df, fanin=16).collect()))
+    assert a == b and len(a) == 3
