@@ -123,3 +123,43 @@ def read_table(spark, src: str, fmt: str | None = None) -> DataFrame:
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(src)
     return spark.read.format(fmt).load(src)
+
+
+def merge_upsert(
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str = "doc_id",
+    payload: str = "text",
+) -> DataFrame:
+    """MERGE INTO semantics for incremental corpus ingest (the Iceberg
+    ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED ... WHEN NOT
+    MATCHED ...`` shape a training-data pipeline runs per crawl batch):
+    full-outer equi-join of the current corpus with the incoming batch,
+    classifying every row as
+
+      - ``insert``    key only in incoming
+      - ``update``    key in both, payload differs
+      - ``unchanged`` key in both, payload identical
+      - ``keep``      key only in current
+
+    Returns (key, action, payload) with the winning payload per row —
+    exactly the post-merge table plus its change audit. One shuffle on
+    the key; payloads ride the join but never fan out. At Iceberg scale
+    the same plan runs as a storage-side MERGE; this is the engine-level
+    equivalent with an explicit audit column."""
+    c = current.select(
+        F.col(key).alias("_ck"), F.col(payload).alias("_cv"))
+    i = incoming.select(
+        F.col(key).alias("_ik"), F.col(payload).alias("_iv"))
+    j = c.join(i, c["_ck"] == i["_ik"], "full_outer")
+    action = (
+        F.when(F.col("_ck").isNull(), F.lit("insert"))
+        .when(F.col("_ik").isNull(), F.lit("keep"))
+        .when(F.col("_cv") == F.col("_iv"), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return j.select(
+        F.coalesce(F.col("_ik"), F.col("_ck")).alias(key),
+        action.alias("action"),
+        F.coalesce(F.col("_iv"), F.col("_cv")).alias(payload),
+    )

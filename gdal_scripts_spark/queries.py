@@ -2276,6 +2276,52 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus MERGE (Iceberg MERGE INTO shape): a
+    deterministic crawl batch — revised texts (%5==0), re-crawled
+    identical texts (%7==3, disjoint), and brand-new docs (%11==0,
+    shifted ids) — merged into the corpus with a full audit column. The
+    batch branches are mutually disjoint on doc_id so the merge key
+    stays unique."""
+    from . import etl as _etl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    inc = (
+        docs.filter(did % 5 == 0)
+        .select(did.alias("doc_id"), F.concat("text", F.lit(" [rev2]")).alias("text"))
+        .unionByName(
+            docs.filter((did % 5 != 0) & (did % 7 == 3)).select("doc_id", "text"))
+        .unionByName(
+            docs.filter(did % 11 == 0)
+            .select((did + 100000).alias("doc_id"), "text"))
+    )
+    merged = _etl.merge_upsert(docs, inc, key="doc_id", payload="text")
+    return merged.select(
+        "doc_id", "action", F.length("text").cast("long").alias("n_chars_out")
+    )
+
+_add("corpus_upsert", _q_corpus_upsert, """
+WITH inc AS (
+  SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+m AS (
+  SELECT coalesce(i.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN c.doc_id IS NULL THEN 'insert'
+              WHEN i.doc_id IS NULL THEN 'keep'
+              WHEN c.text = i.text THEN 'unchanged'
+              ELSE 'update' END AS action,
+         coalesce(i.text, c.text) AS text
+  FROM documents c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id
+)
+SELECT doc_id, action, CAST(length(text) AS BIGINT) AS n_chars_out FROM m
+""")
+
+
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGRGeometry::ConvexHull as a distributed hull-of-hulls aggregate
     over integer points derived from events. The oracle finds boundary

@@ -65,3 +65,18 @@ def test_ingest_exact_corpus_dup_dropped(spark):
     batch = [(501, "  " + BASE.upper() + "  ", "en")]  # normalizes to equal
     kept = _kept(spark, batch, corpus, min_chars=40)
     assert kept == set()
+
+
+def test_merge_upsert_actions(spark):
+    from gdal_scripts_spark import etl
+
+    cur = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (9, "new")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["action"], r["text"])
+           for r in etl.merge_upsert(cur, inc).collect()}
+    assert got == {
+        1: ("keep", "a"), 2: ("unchanged", "b"),
+        3: ("update", "C2"), 9: ("insert", "new"),
+    }
