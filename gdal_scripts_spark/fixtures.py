@@ -410,6 +410,31 @@ def make_formula_gcps_pdf(n: int = 12) -> pd.DataFrame:
 GCPS_SCHEMA = "image_id string, px double, py double, gx double, gy double"
 
 
+def make_formula_tps_gcps_pdf(n: int = 12) -> pd.DataFrame:
+    """TPS GCP sets: the four exact-affine corners of
+    :func:`make_formula_gcps_pdf` plus a CENTER point displaced by a
+    (+4, -3) bend — so the thin-plate spline is genuinely non-affine
+    (nonzero kernel weights) while staying anchored at the corners."""
+    base = make_formula_gcps_pdf(n)
+    rows = []
+    for i in range(n):
+        w = 24 + 4 * (i % 3)
+        h = 18 + 6 * (i % 2)
+        ox, oy = 1000 + 10 * i, 500 + 7 * i
+        cx, cy = (w - 1) // 2, (h - 1) // 2
+        rows.append({
+            "image_id": f"fim{i:04d}",
+            "px": float(cx), "py": float(cy),
+            "gx": float(ox + 3 * cx + cy + 4),
+            "gy": float(oy + cx + 2 * cy - 3),
+        })
+    return pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+
+
+def formula_tps_gcps_spark(spark, n: int = 12):
+    return spark.createDataFrame(make_formula_tps_gcps_pdf(n), schema=GCPS_SCHEMA)
+
+
 def formula_gcps_spark(spark, n: int = 12):
     return spark.createDataFrame(make_formula_gcps_pdf(n), schema=GCPS_SCHEMA)
 

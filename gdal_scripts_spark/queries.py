@@ -2276,6 +2276,22 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_warp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -tps: thin-plate spline fitted to the corner GCPs plus a
+    bent center point (genuinely non-affine). Transcendental kernel =>
+    no closed-form SQL twin; pinned as a committed VALUES golden, with
+    the spline's exact-interpolation and affine-degeneration properties
+    pinned independently in tests (the fit uses a fixed-order solver, no
+    BLAS, so the golden is machine-stable)."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+    gcps = fixtures.formula_tps_gcps_spark(spark, n=12)
+    return _raster.warp_tps(imgs, gcps)
+
+_add("warp_tps_gcp", _q_warp_tps, None)  # golden-pinned (transcendental TPS)
+
+
 def _q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus MERGE (Iceberg MERGE INTO shape): a
     deterministic crawl batch — revised texts (%5==0), re-crawled

@@ -1716,3 +1716,150 @@ def footprint(images: DataFrame, nodata: float = 0.0,
         schema=("image_id string, part_id long, n_px long, xmin int, "
                 "ymin int, xmax int, ymax int, n_vertices int, wkt string"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Thin-plate-spline warp — gdalwarp -tps (public GDAL alg/thinplatespline.cpp
+# solves the same radial-basis system; the -tps path fits FORWARD and
+# INVERSE splines from the GCPs and inverse-maps the destination grid).
+# ---------------------------------------------------------------------------
+
+def _solve_fixed(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Gaussian elimination with partial pivoting in fixed evaluation
+    order — identical IEEE result on every machine, unlike LAPACK/BLAS
+    reductions whose instruction dispatch varies by CPU (the pansharpen
+    ulp-drift lesson). Systems here are tiny (n_gcps + 3)."""
+    A = A.astype(np.float64).copy()
+    b = b.astype(np.float64).copy()
+    n = len(A)
+    for k in range(n):
+        p = k + int(np.argmax(np.abs(A[k:, k])))
+        if A[p, k] == 0.0:
+            raise ValueError("TPS system is singular — degenerate GCPs")
+        if p != k:
+            A[[k, p]] = A[[p, k]]
+            b[[k, p]] = b[[p, k]]
+        for i in range(k + 1, n):
+            m = A[i, k] / A[k, k]
+            A[i, k:] = A[i, k:] - m * A[k, k:]
+            b[i] = b[i] - m * b[k]
+    x = np.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        x[i] = (b[i] - A[i, i + 1:] @ x[i + 1:]) / A[i, i]
+    return x
+
+
+def _tps_u(r2: np.ndarray) -> np.ndarray:
+    """U(r) = r^2 * ln(r), written as 0.5 * r2 * ln(r2) so only r^2 is
+    ever formed; U(0) = 0 by convention."""
+    out = np.zeros_like(r2)
+    nz = r2 > 0
+    out[nz] = 0.5 * r2[nz] * np.log(r2[nz])
+    return out
+
+
+def np_tps_fit(src: np.ndarray, dst: np.ndarray):
+    """Fit the 2D thin-plate spline interpolating ``src (n,2) -> dst
+    (n,2)`` (one scalar spline per output coordinate, shared kernel
+    matrix). Returns (src, W) where W is (n+3, 2): n kernel weights then
+    the affine part (a0, ax, ay). The spline passes through every GCP
+    exactly (interpolation, not smoothing — lambda = 0, the gdalwarp
+    -tps behavior)."""
+    src = np.asarray(src, dtype=np.float64)
+    dst = np.asarray(dst, dtype=np.float64)
+    n = len(src)
+    if n < 3:
+        raise ValueError("np_tps_fit: need >= 3 GCPs")
+    d2 = (
+        (src[:, None, 0] - src[None, :, 0]) ** 2
+        + (src[:, None, 1] - src[None, :, 1]) ** 2
+    )
+    K = _tps_u(d2)
+    P = np.column_stack([np.ones(n), src])
+    A = np.zeros((n + 3, n + 3))
+    A[:n, :n] = K
+    A[:n, n:] = P
+    A[n:, :n] = P.T
+    W = np.zeros((n + 3, 2))
+    for c in range(2):
+        rhs = np.zeros(n + 3)
+        rhs[:n] = dst[:, c]
+        W[:, c] = _solve_fixed(A, rhs)
+    return src, W
+
+
+def np_tps_eval(fit, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a fitted TPS at arrays (x, y) -> (u, v). Fixed-order
+    accumulation (per-GCP loop) keeps the sum machine-stable."""
+    src, W = fit
+    u = W[len(src), 0] + W[len(src) + 1, 0] * x + W[len(src) + 2, 0] * y
+    v = W[len(src), 1] + W[len(src) + 1, 1] * x + W[len(src) + 2, 1] * y
+    for i in range(len(src)):
+        r2 = (x - src[i, 0]) ** 2 + (y - src[i, 1]) ** 2
+        uu = _tps_u(r2)
+        u = u + W[i, 0] * uu
+        v = v + W[i, 1] * uu
+    return u, v
+
+
+def np_warp_tps_nearest(
+    img: np.ndarray, gcps: np.ndarray, nodata: int = -1, band: int = 0,
+) -> np.ndarray:
+    """gdalwarp -tps, nearest kernel: forward TPS maps the source corners
+    to fix the (rounded) destination window; the INVERSE spline — fitted
+    from the swapped GCP pairs, exactly GDAL's approach — maps each dest
+    pixel back to source coordinates for sampling. Outside-footprint
+    pixels get ``nodata``."""
+    h, w = img.shape[0], img.shape[1]
+    g = np.asarray(gcps, dtype=np.float64)
+    fwd = np_tps_fit(g[:, 0:2], g[:, 2:4])
+    inv = np_tps_fit(g[:, 2:4], g[:, 0:2])
+    cx = np.array([0.0, w - 1.0, 0.0, w - 1.0])
+    cy = np.array([0.0, 0.0, h - 1.0, h - 1.0])
+    gx, gy = np_tps_eval(fwd, cx, cy)
+    x0, x1 = int(np.rint(gx.min())), int(np.rint(gx.max()))
+    y0, y1 = int(np.rint(gy.min())), int(np.rint(gy.max()))
+    u, v = np.meshgrid(
+        np.arange(x0, x1 + 1, dtype=np.float64),
+        np.arange(y0, y1 + 1, dtype=np.float64),
+    )
+    px, py = np_tps_eval(inv, u, v)
+    pxr = np.floor(px + 0.5).astype(np.int64)
+    pyr = np.floor(py + 0.5).astype(np.int64)
+    ok = (pxr >= 0) & (pxr < w) & (pyr >= 0) & (pyr < h)
+    out = np.full(u.shape, nodata, dtype=np.int64)
+    out[ok] = img[pyr[ok], pxr[ok], band].astype(np.int64)
+    return out
+
+
+def warp_tps(
+    images: DataFrame, gcps: DataFrame, nodata: int = -1, band: int = 0,
+) -> DataFrame:
+    """``gdalwarp -tps`` over the images table: per-image thin-plate
+    spline fitted to its (broadcast) GCP set, nearest resample onto the
+    rounded warped window. Same scale shape as :func:`warp_gcp_affine`:
+    tiny GCP table broadcast, one Arrow pass, pixels never shuffle.
+    Returns the dest-value histogram (image_id, v_out, n)."""
+    gl = gcps.groupBy("image_id").agg(
+        F.collect_list(F.array("px", "py", "gx", "gy")).alias("_gcps")
+    )
+    joined = images.select(*_DEC_COLS).join(F.broadcast(gl), "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, byts, fmt, g in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values,
+                b["_gcps"].values,
+            ):
+                img = _decode_row(byts, fmt)
+                out = np_warp_tps_nearest(
+                    img, np.array([list(r) for r in g]), nodata, band)
+                vals, counts = np.unique(out, return_counts=True)
+                rows.extend(
+                    (iid, int(vv), int(c)) for vv, c in zip(vals, counts)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "v_out", "n"])
+
+    return joined.mapInPandas(run, schema="image_id string, v_out int, n long")

@@ -595,3 +595,36 @@ def test_np_warp_gcp_nearest_identity_and_nodata():
     assert (out2 == -1).any() and (out2 >= 0).any()
     # every source pixel value appears (det>0 affine is injective on centers)
     assert set(np.unique(img)) <= set(np.unique(out2))
+
+
+def test_tps_interpolates_gcps_exactly_and_degenerates_to_affine():
+    g = np.array([[0, 0, 0, 0], [20, 0, 60, 22], [0, 15, 17, 33],
+                  [20, 15, 80, 55], [10, 7, 42, 30.5]])
+    fit = raster.np_tps_fit(g[:, 0:2], g[:, 2:4])
+    u, v = raster.np_tps_eval(fit, g[:, 0], g[:, 1])
+    assert np.max(np.abs(u - g[:, 2])) < 1e-9
+    assert np.max(np.abs(v - g[:, 3])) < 1e-9
+    # purely-affine GCPs: kernel weights vanish, TPS == the affine map
+    ga = np.array([[0., 0, 100, 200], [10, 0, 120, 210],
+                   [0, 8, 108, 184], [10, 8, 128, 194]])
+    f2 = raster.np_tps_fit(ga[:, 0:2], ga[:, 2:4])
+    xs, ys = np.array([3.3, 7.1]), np.array([2.2, 5.5])
+    u2, v2 = raster.np_tps_eval(f2, xs, ys)
+    assert np.allclose(u2, 100 + 2 * xs + ys, atol=1e-9)
+    assert np.allclose(v2, 200 + xs - 2 * ys, atol=1e-9)
+    with pytest.raises(ValueError, match="singular"):
+        raster.np_tps_fit(np.zeros((3, 2)), np.zeros((3, 2)))
+
+
+def test_warp_tps_affine_gcps_matches_affine_warp():
+    # with corner-only (exact affine) GCPs, -tps must reproduce -order 1
+    img = ((np.arange(72).reshape(8, 9) * 7) % 97).astype(np.uint8)[:, :, None]
+    h, w = 8, 9
+    gcps = np.array([
+        [px, py, 3 * px + py, px + 2 * py]
+        for px, py in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))
+    ], dtype=float)
+    out_tps = raster.np_warp_tps_nearest(img, gcps)
+    M = raster.gcps_to_geotransform(gcps)
+    out_aff, _, _ = raster.np_warp_gcp_nearest(img, M)
+    assert np.array_equal(out_tps, out_aff)
