@@ -696,6 +696,38 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity quality filter (the CCNet-style
+    LM score, engine-reproducible MLE form): add-one-smoothed bigram NLL
+    per document; the oracle re-derives counts, smoothing, and the log
+    average in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.bigram_nll(docs)
+
+_add("perplexity_filter", _q_bigram_nll, r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vv FROM uni),
+big AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+sc AS (
+  SELECT big.doc_id, ln((bc.cb + 1.0e0) / (uni.cu + v.vv)) AS lp
+  FROM big JOIN bc USING (w1, w2) JOIN uni ON uni.w = big.w1, v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(-avg(lp), 6) AS DOUBLE) AS nll
+FROM sc GROUP BY 1
+""")
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = textops.quality_columns("text")

@@ -692,3 +692,55 @@ def split_assign(
     for name, hexthr in reversed(bounds):
         out = F.when(bucket < F.lit(hexthr), F.lit(name)).otherwise(out)
     return out
+
+
+def _ws_tokens(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.col(text_col), "[ \t\n\r\f]+"), lambda x: x != ""
+    )
+
+
+def bigram_nll(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram model trained on the corpus itself — the classic LM-perplexity
+    quality filter of web-scale pipelines (CCNet/Wenzek et al. 2020 score
+    with a KenLM model; this is the self-trained MLE equivalent, fully
+    engine-reproducible):
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        nll(doc)   = -mean(ln P) over the doc's bigrams
+
+    Documents with fewer than 2 tokens drop out. Shape at scale: bigram
+    and unigram count tables are plain hash aggregates; scoring is two
+    equi-joins on token keys (broadcast here — a corpus-wide LM table is
+    small relative to the corpus; shuffle-join if not). Returns
+    (doc_id, n_bigrams, nll) with nll rounded to 6."""
+    toks = docs.select(F.col(id_col), _ws_tokens(text_col).alias("t"))
+    tok = toks.select(id_col, F.explode("t").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("cu"))
+    vocab = uni.count()  # driver scalar: |V| (bounded — vocabulary size)
+    big = toks.filter(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .select(
+            id_col,
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.lit(float(vocab))))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("nll"),
+    )

@@ -724,3 +724,22 @@ def test_decontaminate_hand_case(spark):
         for r in textops.decontaminate(df, n=3).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+    # corpus: "a b a b" (doc 1), "a a" (doc 2), "z" (doc 3: no bigrams)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "z")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+           for r in textops.bigram_nll(df).collect()}
+    # V=3 (a, b, z); c(a)=4, c(b)=2
+    # bigrams: ab x2, ba x1, aa x1 -> c(ab)=2, c(ba)=1, c(aa)=1
+    p_ab = (2 + 1) / (4 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_aa = (1 + 1) / (4 + 3)
+    nll1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    nll2 = -math.log(p_aa)
+    assert 3 not in got
+    assert got[1][0] == 3 and abs(got[1][1] - round(nll1, 6)) < 1e-9
+    assert got[2][0] == 1 and abs(got[2][1] - round(nll2, 6)) < 1e-9
