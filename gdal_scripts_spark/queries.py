@@ -696,6 +696,49 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus token stream (Cormode &
+    Muthukrishnan 2005): md5-arithmetic sketch, so DuckDB re-derives the
+    identical counters, estimates, AND the one-sided-error guarantee
+    column — a true cross-engine sketch oracle, same doctrine as KMV."""
+    from . import sketches as _sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", "[ \t\n\r\f]+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    return _sketches.cm_heavy_hitters(toks, "tok", depth=4, width=512, topn=40)
+
+_add("cmsketch_heavy_hitters", _q_cm_heavy_hitters, r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS k
+  FROM documents
+),
+buck AS (
+  SELECT k, j,
+         CAST('0x' || substr(md5('cm' || j || '|' || k), 1, 12) AS BIGINT) % 512 AS b
+  FROM toks, range(0, 4) r(j)
+),
+counters AS (SELECT j, b, count(*) AS c FROM buck GROUP BY 1, 2),
+exact AS (SELECT k, count(*) AS exact FROM toks GROUP BY 1),
+probes AS (
+  SELECT e.k, e.exact, r.j,
+         CAST('0x' || substr(md5('cm' || r.j || '|' || e.k), 1, 12) AS BIGINT) % 512 AS b
+  FROM exact e, range(0, 4) r(j)
+),
+est AS (
+  SELECT p.k, p.exact, min(c.c) AS est
+  FROM probes p JOIN counters c USING (j, b) GROUP BY 1, 2
+)
+SELECT k, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+       est >= exact AS est_ge
+FROM est ORDER BY exact DESC, k LIMIT 40
+""")
+
+
 def _q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM perplexity quality filter (the CCNet-style
     LM score, engine-reproducible MLE form): add-one-smoothed bigram NLL

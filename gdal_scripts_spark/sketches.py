@@ -381,3 +381,62 @@ def priority_sample(
             .alias("w_hat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms 2005.
+# ---------------------------------------------------------------------------
+
+def _cm_bucket(key: Column, j: int, width: int) -> Column:
+    """Row-j counter index for a key: 12-hex md5 prefix (exact in a
+    double/long) mod width — the same engine-portable-arithmetic doctrine
+    as the KMV hash, so a SQL oracle replays the sketch bit-for-bit."""
+    h = F.md5(F.concat(F.lit(f"cm{j}|"), key).cast("binary"))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % width
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    topn: int = 40,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch, with the exact counts kept
+    alongside to surface the one-sided error: (key, exact, est, est_ge)
+    for the ``topn`` keys by exact count. ``est_ge`` (est >= exact) is the
+    CM guarantee and must be uniformly true.
+
+    Scale shape: the sketch IS a hash aggregate over (row, bucket) — at
+    any input size the shuffled state is at most ``depth * width``
+    counters (map-side partial aggregation collapses each partition to
+    that bound first), which is the whole point of sketching a 100-TB
+    stream. Queries probe the broadcast counter table with ``depth``
+    equi-join rows per distinct key."""
+    keyed = df.select(F.col(key_col).cast("string").alias("k"))
+    jb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cm_bucket(F.col("k"), j, width).alias("b"))
+        for j in range(depth)
+    ])).alias("jb")
+    counters = (
+        keyed.select(jb)
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = keyed.groupBy("k").agg(F.count("*").alias("exact"))
+    probes = exact.select("k", "exact", jb).select(
+        "k", "exact", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("k", "exact")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    return (
+        est.orderBy(F.desc("exact"), F.asc("k"))
+        .limit(int(topn))
+        .select("k", F.col("exact").cast("long").alias("exact"), "est",
+                (F.col("est") >= F.col("exact")).alias("est_ge"))
+    )

@@ -272,3 +272,20 @@ def test_priority_sample_validation(spark):
         [("g", 1, 0.0)], "g string, id long, w double")
     with pytest.raises(Exception, match="weight must be > 0"):
         sketches.priority_sample(bad, ["g"], "id", "w", k=2).collect()
+
+
+def test_cm_sketch_guarantee_and_exactness_when_sparse(spark):
+    from gdal_scripts_spark import sketches
+
+    # 3 distinct keys in a 512-wide sketch: collisions are possible but the
+    # one-sided bound est >= exact must hold; with no collision est == exact
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, "k string")
+    rows = sketches.cm_heavy_hitters(df, "k", depth=4, width=512).collect()
+    got = {r["k"]: (r["exact"], r["est"], r["est_ge"]) for r in rows}
+    assert got["a"][0] == 7 and got["b"][0] == 3 and got["c"][0] == 1
+    assert all(v[2] for v in got.values())          # CM guarantee
+    assert all(v[1] >= v[0] for v in got.values())
+    # the min over 4 independent rows of width 512 with 3 keys: at least
+    # one collision-free row is near-certain -> est == exact
+    assert all(v[1] == v[0] for v in got.values())
