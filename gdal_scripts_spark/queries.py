@@ -696,6 +696,18 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus (Sennrich ACL'16): 8 merge
+    rounds over the word-frequency table. Iterative argmax => no
+    single-SQL twin; golden-pinned, with the whole merge sequence
+    verified against an independent plain-Python BPE reference in
+    tests/test_textops.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.bpe_merges(docs, n_merges=8)
+
+_add("bpe_vocab_merges", _q_bpe_merges, None)  # golden-pinned (iterative)
+
+
 def _q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over the corpus token stream (Cormode &
     Muthukrishnan 2005): md5-arithmetic sketch, so DuckDB re-derives the

@@ -744,3 +744,83 @@ def bigram_nll(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("nll"),
     )
+
+
+def _apply_merge(s: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one BPE merge (left, right) ->
+    left+right over a symbol array, as a pure-Column fold: the classic
+    tokenizer merge step with correct overlap handling ('a a a' under
+    (a,a) becomes ['aa','a'])."""
+    return F.aggregate(
+        s,
+        F.expr("array()").cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge learning on the corpus (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016 — the tokenizer-training algorithm): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair (ties broken
+    lexicographically). Returns (step, lhs, rhs, pair_count)
+    (named to dodge the LEFT/RIGHT reserved words in ANSI oracles).
+
+    Scale shape: all heavy work happens on the WORD-FREQUENCY table (one
+    row per distinct word — millions of rows for a 100-TB corpus, not
+    trillions), exactly how production BPE trainers operate. Each round
+    is one pair-explode + hash aggregate; the argmax is a driver-bounded
+    single-row collect (the graph.py convergence-scalar pattern), and the
+    merge applies as a codegen'd array fold — no Python in any hot path.
+    """
+    words = (
+        docs.select(F.explode(_ws_tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    cur = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .alias("s"),
+        "cnt",
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(int(n_merges)):
+        pairs = (
+            cur.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("s", 1, F.size("s") - 1).alias("l"),
+                        F.slice("s", 2, F.size("s") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()  # driver-bounded: exactly one row per round
+        if not best:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, left, right, c))
+        cur = cur.select(
+            _apply_merge(F.col("s"), left, right).alias("s"), "cnt"
+        ).localCheckpoint()  # truncate the per-round lineage
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )

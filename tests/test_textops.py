@@ -743,3 +743,55 @@ def test_bigram_nll_hand_computed(spark):
     assert 3 not in got
     assert got[1][0] == 3 and abs(got[1][1] - round(nll1, 6)) < 1e-9
     assert got[2][0] == 1 and abs(got[2][1] - round(nll2, 6)) < 1e-9
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Independent plain-Python BPE (Sennrich'16 alg. 1) for cross-checking
+    the DataFrame implementation."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for step in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, l, r, c))
+        nv = {}
+        for syms, cnt in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r); i += 2
+                else:
+                    ns.append(syms[i]); i += 1
+            nv[tuple(ns)] = nv.get(tuple(ns), 0) + cnt
+        vocab = nv
+    return out
+
+
+def test_bpe_merges_matches_independent_reference(spark):
+    rows = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "low low new",
+         "wider wide wide", "newest lowest"] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["step"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in textops.bpe_merges(df, n_merges=6).collect()]
+    wc = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    exp = _bpe_reference(wc, 6)
+    assert got == exp and len(got) == 6
+
+
+def test_bpe_overlapping_merge_is_greedy_left(spark):
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    got = [(r["lhs"], r["rhs"], r["pair_count"])
+           for r in textops.bpe_merges(df, n_merges=2).collect()]
+    # 'aaa' x2: pair (a,a) count = 2 occurrences/word * 2 words = 4;
+    # greedy left fold turns 'aaa' into ['aa','a'], so round 2 merges
+    # ('aa','a') with count 2
+    assert got == [("a", "a", 4), ("aa", "a", 2)]
