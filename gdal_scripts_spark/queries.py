@@ -696,6 +696,38 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. ACL'22, k-gram
+    formulation, k=24): oracle re-derives positions on gram STRINGS while
+    Spark shuffles only 64-bit hashes — agreement certifies the hash
+    design, same doctrine as decontam_overlap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.dup_substring_spans(docs, k=24)
+
+_add("dup_substring_spans", _q_dup_spans, """
+WITH g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 23)) AS pos,
+         unnest(list_transform(generate_series(1, length(text) - 23),
+                i -> substr(text, CAST(i AS INT), 24))) AS gram
+  FROM documents WHERE length(text) >= 24
+),
+c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram) WHERE c.n >= 2),
+i AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM d
+),
+r AS (SELECT doc_id, isl, count(*) AS run_len FROM i GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_dup_positions,
+       CAST(max(run_len) + 23 AS BIGINT) AS max_dup_len
+FROM r GROUP BY 1
+""")
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the corpus (Sennrich ACL'16): 8 merge
     rounds over the word-frequency table. Iterative argmax => no

@@ -824,3 +824,50 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long"
     )
+
+
+def dup_substring_spans(
+    docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication spans — the strongest dedup signal of
+    web-scale pipelines (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022, use a suffix array; this is the
+    distributed k-gram formulation): a position is DUPLICATED if its
+    k-char gram occurs >= 2 times in the corpus; consecutive duplicated
+    positions coalesce into spans (gaps-and-islands window), and
+    ``max_dup_len = longest_run + k - 1`` is the length of the longest
+    exactly-repeated substring through the doc.
+
+    Scale shape: positions explode to one row per character offset, but
+    only (id, pos, 64-bit gram hash) — text itself never re-shuffles; the
+    occurrence count is a hash aggregate; the island window partitions by
+    doc. Returns (doc_id, n_runs, n_dup_positions, max_dup_len) for docs
+    with at least one duplicated position."""
+    t = F.col(text_col)
+    g = (
+        docs.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(t.substr(i, F.lit(k))).alias("gh"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+    )
+    cnt = g.groupBy("gh").agg(F.count("*").alias("n"))
+    dup = g.join(cnt.filter(F.col("n") >= 2), "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    runs = isl.groupBy(id_col, "isl").agg(F.count("*").alias("run_len"))
+    return runs.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_dup_positions"),
+        (F.max("run_len") + F.lit(k - 1)).cast("long").alias("max_dup_len"),
+    )

@@ -795,3 +795,23 @@ def test_bpe_overlapping_merge_is_greedy_left(spark):
     # greedy left fold turns 'aaa' into ['aa','a'], so round 2 merges
     # ('aa','a') with count 2
     assert got == [("a", "a", 4), ("aa", "a", 2)]
+
+
+def test_dup_substring_spans_hand_case(spark):
+    # doc 1 and 2 share the exact 30-char block "0123456789012345678901234567xy"
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcd"   # 30 chars
+    # the characters ADJACENT to the block differ per doc, so the true
+    # repeated substring is exactly the 30-char block (no boundary bleed)
+    rows = [
+        (1, "prefix-one." + shared + ",tail-1"),
+        (2, "other-start:" + shared + ";end-2"),
+        (3, "совершенно unrelated text with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_runs"], r["n_dup_positions"], r["max_dup_len"])
+           for r in textops.dup_substring_spans(df, k=24).collect()}
+    # 30-char shared block => 30-24+1 = 7 consecutive dup positions/doc,
+    # one run, max_dup_len = 7 + 23 = 30 = the true repeated length
+    assert got[1] == (1, 7, 30)
+    assert got[2] == (1, 7, 30)
+    assert 3 not in got
