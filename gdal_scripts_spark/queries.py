@@ -3986,6 +3986,81 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over GENERAL polygons — an L-shape with a hole
+    and a concave pentagon (x-offset 0.25 so no pixel center ever sits on
+    a diagonal edge; axis-aligned integer edges never hit half-integer
+    centers). Same broadcast-pack + partial-moments engine path as
+    zonal_stats_rects; the oracle replays the EVEN-ODD RAY CAST itself in
+    SQL: per (pixel, zone) crossing counts over a VALUES edge list, odd
+    parity = inside — holes fall out of parity with no special casing."""
+    from . import codecs as _codecs, geom as _geom, zonal as _zonal
+
+    recs = []
+    for k in range(1, 61):
+        r = np.arange(12)[:, None]
+        c = np.arange(16)[None, :]
+        img = ((k + 7 * r + 13 * c) % 256).astype(np.uint8)
+        recs.append(
+            (f"img{k}", _codecs.encode(img, "pgm"), "pgm",
+             float(k % 5), float((k * 3) % 5 + 12))
+        )
+    images = spark.createDataFrame(
+        recs, schema="image_id string, bytes binary, fmt string, x0 double, y1 double"
+    ).repartition(8)
+    zones = [
+        (1, [np.array([[1.0, 1.0], [9.0, 1.0], [9.0, 5.0], [5.0, 5.0],
+                       [5.0, 9.0], [1.0, 9.0]]),          # L-shape exterior
+             np.array([[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0]])]),  # hole
+        (2, [np.array([[10.25, 2.0], [16.25, 2.0], [12.25, 6.0],
+                       [16.25, 10.0], [10.25, 10.0]])]),  # concave pentagon
+    ]
+    pack = _geom.PolygonPack.from_rings(zones)
+    out = _zonal.zonal_stats(images, pack)
+    return out.select(
+        "zone_id", "n_images", "n_pixels", "v_sum", "v_min", "v_max",
+        F.round("v_mean", 6).alias("v_mean"),
+    )
+
+_add("zonal_stats_polygons", _q_zonal_general, """
+WITH imgs AS (
+  SELECT p_partkey AS k, CAST(p_partkey % 5 AS DOUBLE) AS x0,
+         CAST((p_partkey * 3) % 5 + 12 AS DOUBLE) AS y1
+  FROM part WHERE p_partkey BETWEEN 1 AND 60
+), px AS (
+  SELECT i.k, CAST((i.k + 7 * r.r + 13 * c.c) % 256 AS DOUBLE) AS v,
+         i.x0 + c.c + 0.5 AS wx, i.y1 - r.r - 0.5 AS wy
+  FROM imgs i, range(12) r(r), range(16) c(c)
+), edges AS (
+  SELECT * FROM (VALUES
+    (1, 1.0e0, 1.0e0, 9.0e0, 1.0e0), (1, 9.0e0, 1.0e0, 9.0e0, 5.0e0),
+    (1, 9.0e0, 5.0e0, 5.0e0, 5.0e0), (1, 5.0e0, 5.0e0, 5.0e0, 9.0e0),
+    (1, 5.0e0, 9.0e0, 1.0e0, 9.0e0), (1, 1.0e0, 9.0e0, 1.0e0, 1.0e0),
+    (1, 2.0e0, 2.0e0, 4.0e0, 2.0e0), (1, 4.0e0, 2.0e0, 4.0e0, 4.0e0),
+    (1, 4.0e0, 4.0e0, 2.0e0, 4.0e0), (1, 2.0e0, 4.0e0, 2.0e0, 2.0e0),
+    (2, 1.025e1, 2.0e0, 1.625e1, 2.0e0), (2, 1.625e1, 2.0e0, 1.225e1, 6.0e0),
+    (2, 1.225e1, 6.0e0, 1.625e1, 1.0e1), (2, 1.625e1, 1.0e1, 1.025e1, 1.0e1),
+    (2, 1.025e1, 1.0e1, 1.025e1, 2.0e0)
+  ) AS e(zone_id, ex1, ey1, ex2, ey2)
+), par AS (
+  SELECT px.k, px.v, e.zone_id,
+         count(*) FILTER (WHERE ((e.ey1 > px.wy) <> (e.ey2 > px.wy))
+           AND px.wx < e.ex1 + (px.wy - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)
+         ) AS nc
+  FROM px, edges e
+  GROUP BY 1, 2, px.wx, px.wy, 3
+), hits AS (
+  SELECT zone_id, k, v FROM par WHERE nc % 2 = 1
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       COUNT(DISTINCT k) AS n_images,
+       COUNT(*) AS n_pixels,
+       SUM(v) AS v_sum, MIN(v) AS v_min, MAX(v) AS v_max,
+       ROUND(SUM(v) / COUNT(*), 6) AS v_mean
+FROM hits GROUP BY zone_id
+""")
+
+
 _add("zonal_stats_rects", _q_zonal_stats, """
 WITH imgs AS (
   SELECT p_partkey AS k, CAST(p_partkey % 5 AS DOUBLE) AS x0,
