@@ -696,6 +696,18 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA of the embeddings table: distributed covariance moments
+    (one Arrow pass, d+d^2 doubles per partition) + fixed-order power
+    iteration on the driver (no BLAS => machine-stable goldens).
+    Eigensolve verified against numpy.linalg.eigh in tests; entry pinned
+    as a committed golden (eigendecomposition has no SQL twin)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return vectorops.embedding_pca(emb, k=4)
+
+_add("embedding_pca", _q_embedding_pca, None)  # golden-pinned (eigensolve)
+
+
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans (Lee et al. ACL'22, k-gram
     formulation, k=24): oracle re-derives positions on gram STRINGS while

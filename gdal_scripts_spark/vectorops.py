@@ -597,3 +597,112 @@ def pq_topk_ivf(
         .filter(F.col("rank") <= kk)
         .select("qid", "rank", "neighbor_id", F.round("dist", 6).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA via distributed moments + fixed-order power iteration — the standard
+# embedding-pipeline whitening/compression step (public algorithm; cf.
+# Halko et al. SIAM Rev. 2011 for the randomized large-d variants).
+# ---------------------------------------------------------------------------
+
+def covariance_moments(emb: DataFrame, vec_col: str = "embedding"):
+    """(n, sum_vec (d,), sum_outer (d,d)) accumulated distributively: one
+    Arrow pass emits per-partition partial moments (d + d^2 doubles per
+    partition, NOT per row), the driver combines them. At 10^12 rows the
+    shuffle is n_partitions tiny rows — the covariance of a 100-TB
+    embedding table costs one scan."""
+    def partials(batches):
+        n = 0
+        s = None
+        ss = None
+        for b in batches:
+            m = np.stack(b[vec_col].values).astype(np.float64)
+            n += len(m)
+            cs = m.sum(axis=0)
+            co = m.T @ m
+            s = cs if s is None else s + cs
+            ss = co if ss is None else ss + co
+        if n:
+            yield pd.DataFrame({
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.ravel().tolist()],
+            })
+
+    rows = emb.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, ss array<double>"
+    ).collect()  # driver-bounded: one row per partition
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r["s"])
+        ss += np.array(r["ss"]).reshape(d, d)
+    return n, s, ss
+
+
+def _matvec_fixed(A: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """A @ v accumulated column-by-column in fixed order — elementwise
+    IEEE ops only, no BLAS reduction, so results are bit-identical on any
+    machine (the committed-golden requirement)."""
+    out = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        out += A[:, j] * v[j]
+    return out
+
+
+def pca_power(
+    cov: np.ndarray, k: int = 4, iters: int = 200,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k eigenpairs of a symmetric PSD matrix by power iteration with
+    deflation. Deterministic start vectors (unit basis of the largest
+    diagonal entry, then subsequent basis vectors), fixed-order matvec.
+    Sign convention: the component's largest-|coordinate| entry is
+    positive. Returns (eigvals (k,), eigvecs (k, d))."""
+    A = cov.astype(np.float64).copy()
+    d = A.shape[0]
+    vals = np.zeros(k)
+    vecs = np.zeros((k, d))
+    for c in range(k):
+        v = np.zeros(d)
+        v[int(np.argmax(np.diag(A)))] = 1.0
+        for _ in range(iters):
+            w = _matvec_fixed(A, v)
+            nw = math.sqrt(float(np.sum(w * w)))
+            if nw == 0.0:
+                break
+            v = w / nw
+        lam = float(np.sum(v * _matvec_fixed(A, v)))
+        i_max = int(np.argmax(np.abs(v)))
+        if v[i_max] < 0:
+            v = -v
+        vals[c] = lam
+        vecs[c] = v
+        A = A - lam * np.outer(v, v)  # deflate
+    return vals, vecs
+
+
+def embedding_pca(
+    emb: DataFrame, vec_col: str = "embedding", k: int = 4,
+) -> DataFrame:
+    """Top-k PCA summary of an embedding table:
+    (comp, eigenvalue, explained_var_ratio, top_coord) — eigenvalues of
+    the exact covariance (distributed moments, driver eigensolve on the
+    tiny d x d matrix), rounded to 4 decimals for cross-machine
+    stability. ``top_coord`` is the dominant coordinate of each
+    component (sign-normalized)."""
+    n, s, ss = covariance_moments(emb, vec_col)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    vals, vecs = pca_power(cov, k=k)
+    total = float(np.trace(cov))
+    spark = emb.sparkSession
+    rows = [
+        (c, round(float(vals[c]), 4), round(float(vals[c]) / total, 4),
+         int(np.argmax(np.abs(vecs[c]))))
+        for c in range(k)
+    ]
+    return spark.createDataFrame(
+        rows, "comp int, eigenvalue double, explained_var_ratio double, top_coord int"
+    )

@@ -289,3 +289,41 @@ def test_cm_sketch_guarantee_and_exactness_when_sparse(spark):
     # the min over 4 independent rows of width 512 with 3 keys: at least
     # one collision-free row is near-certain -> est == exact
     assert all(v[1] == v[0] for v in got.values())
+
+
+def test_embedding_pca_matches_eigh(spark):
+    from gdal_scripts_spark import vectorops
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    X = (rng.standard_normal((400, 12)) @ np.diag(np.linspace(2.5, 0.2, 12))
+         ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400),
+                        "embedding": [v.tolist() for v in X]})
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    got = {r["comp"]: r for r in vectorops.embedding_pca(df, k=3).collect()}
+    Xd = X.astype(np.float64)
+    C = np.cov(Xd.T, bias=True)
+    ev = np.sort(np.linalg.eigh(C)[0])[::-1]
+    for c in range(3):
+        assert abs(got[c]["eigenvalue"] - round(float(ev[c]), 4)) < 2e-4
+        assert abs(got[c]["explained_var_ratio"]
+                   - round(float(ev[c] / np.trace(C)), 4)) < 2e-4
+
+
+def test_covariance_moments_partition_invariance(spark):
+    from gdal_scripts_spark import vectorops
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((100, 5))
+    pdf = pd.DataFrame({"embedding": [v.tolist() for v in X]})
+    d1 = spark.createDataFrame(pdf, "embedding array<double>").repartition(1)
+    d8 = spark.createDataFrame(pdf, "embedding array<double>").repartition(8)
+    n1, s1, ss1 = vectorops.covariance_moments(d1)
+    n8, s8, ss8 = vectorops.covariance_moments(d8)
+    assert n1 == n8 == 100
+    assert np.allclose(s1, s8, atol=1e-9) and np.allclose(ss1, ss8, atol=1e-9)
+    assert np.allclose(s1, X.sum(axis=0)) and np.allclose(ss1, X.T @ X)
