@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import (
@@ -695,6 +695,42 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
 FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
+
+def _q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (the one window feature the registry lacked): a
+    7-row trailing moving average (ROWS BETWEEN, unique-key tiebreak) and
+    a 1-hour trailing event count (RANGE BETWEEN over epoch seconds —
+    tie-safe because RANGE includes all peers). Epoch arithmetic is
+    spelled identically in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 300
+    )
+    es = F.unix_timestamp("ts")
+    w_rows = (
+        Window.partitionBy("user_id").orderBy(es.asc(), F.col("event_id").asc())
+        .rowsBetween(-6, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy(es.asc()).rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w_rows), 6).alias("mov_avg7"),
+        F.count("*").over(w_range).cast("long").alias("n_last_hour"),
+    )
+
+_add("window_rolling_frames", _q_rolling_frames, """
+SELECT user_id, event_id,
+       CAST(round(avg(value) OVER (PARTITION BY user_id
+                                   ORDER BY epoch(ts), event_id
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+            AS DOUBLE) AS mov_avg7,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_last_hour
+FROM events WHERE user_id < 300
+""")
+
 
 def _q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-4 PCA of the embeddings table: distributed covariance moments
