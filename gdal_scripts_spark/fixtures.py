@@ -348,7 +348,7 @@ def labels_spark(spark, n: int = 8, seed: int = SEED + 3):
     return spark.createDataFrame(make_labels_pdf(n, seed), schema=IMAGES_SCHEMA)
 
 
-def make_formula_images_pdf(n: int = 12) -> pd.DataFrame:
+def make_formula_images_pdf(n: int = 12, law_shift: int = 0) -> pd.DataFrame:
     """Closed-form grayscale PGM images: ``v(x,y,i) = (x*x + 3*y*y + i*37)
     % 97 + 40``, w = 24+4*(i%3), h = 18+6*(i%2).
 
@@ -364,7 +364,7 @@ def make_formula_images_pdf(n: int = 12) -> pd.DataFrame:
         w = 24 + 4 * (i % 3)
         h = 18 + 6 * (i % 2)
         ys, xs = np.mgrid[0:h, 0:w]
-        img = ((xs * xs + 3 * ys * ys + i * 37) % 97 + 40).astype(np.uint8)
+        img = ((xs * xs + 3 * ys * ys + (i + law_shift) * 37) % 97 + 40).astype(np.uint8)
         rows.append(
             {
                 "image_id": f"fim{i:04d}",
@@ -381,8 +381,12 @@ def make_formula_images_pdf(n: int = 12) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def formula_images_spark(spark, n: int = 12):
-    return spark.createDataFrame(make_formula_images_pdf(n), schema=IMAGES_SCHEMA)
+def formula_images_spark(spark, n: int = 12, law_shift: int = 0):
+    """law_shift offsets the per-image parameter i in the pixel law ONLY
+    (ids and dims unchanged) — a second deterministic raster set aligned
+    with the first, for multi-raster algebra entries."""
+    return spark.createDataFrame(
+        make_formula_images_pdf(n, law_shift), schema=IMAGES_SCHEMA)
 
 
 def make_formula_gcps_pdf(n: int = 12) -> pd.DataFrame:

@@ -2443,6 +2443,33 @@ FROM r GROUP BY 1, 2
 """)
 
 
+def _q_band_calc_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc with TWO raster inputs (-A -B --calc): B is the same
+    deterministic raster set under a shifted pixel law (ids/dims equal),
+    calc = abs(A-B) + min(A,B)%7 — pure integer arithmetic, so the
+    oracle regenerates both laws and replays the expression exactly."""
+    from . import raster as _raster
+
+    a = fixtures.formula_images_spark(spark, n=12)
+    b = fixtures.formula_images_spark(spark, n=12, law_shift=100)
+    return _raster.band_calc_two(a, b, "abs(A - B) + minimum(A, B) % 7")
+
+_add("band_calc_two_rasters", _q_band_calc_two, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i,
+         CAST({_fim_val('x', 'y')} AS BIGINT) AS va,
+         CAST((x * x + 3 * y * y + (i + 100) * 37) % 97 + 40 AS BIGINT) AS vb
+  FROM dims, range(0, 32) rx(x), range(0, 32) ry(y)
+  WHERE x < w AND y < h
+)
+SELECT printf('fim%04d', i) AS image_id,
+       CAST(abs(va - vb) + least(va, vb) % 7 AS INT) AS v_out,
+       CAST(count(*) AS BIGINT) AS n
+FROM px GROUP BY 1, 2
+""")
+
+
 def _q_warp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalwarp -tps: thin-plate spline fitted to the corner GCPs plus a
     bent center point (genuinely non-affine). Transcendental kernel =>

@@ -734,6 +734,47 @@ def band_calc(images: DataFrame, calc: str, out_fmt: str = "pgm") -> DataFrame:
     )
 
 
+def band_calc_two(
+    images_a: DataFrame, images_b: DataFrame, calc: str, band: int = 0,
+) -> DataFrame:
+    """``gdal_calc -A a.tif -B b.tif --calc`` with TWO raster inputs —
+    the multi-dataset path of the public gdal_calc.py (same eval trust
+    model as :func:`band_calc`). Inputs join on image_id (one shuffle of
+    encoded bytes, co-partitionable/bucketable at scale), then one Arrow
+    pass decodes both and evaluates. Returns the result histogram
+    (image_id, v_out, n) — uint8-clipped like gdal_calc's default
+    Byte output."""
+    code = compile(calc, "<band_calc_two>", "eval")
+    a = images_a.select(
+        "image_id", F.col("bytes").alias("bytes_a"), F.col("fmt").alias("fmt_a"))
+    b = images_b.select(
+        "image_id", F.col("bytes").alias("bytes_b"), F.col("fmt").alias("fmt_b"))
+    joined = a.join(b, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for iid, ba, fa, bb, fb in zip(
+                batch["image_id"].values, batch["bytes_a"].values,
+                batch["fmt_a"].values, batch["bytes_b"].values,
+                batch["fmt_b"].values,
+            ):
+                A = _decode_row(ba, fa)[:, :, band].astype(np.float64)
+                B = _decode_row(bb, fb)[:, :, band].astype(np.float64)
+                val = eval(code, _CALC_GLOBALS, {"A": A, "B": B})  # noqa: S307
+                out = np.clip(
+                    np.rint(np.asarray(val, np.float64)), 0, 255
+                ).astype(np.int64)
+                vals, counts = np.unique(out, return_counts=True)
+                rows.extend(
+                    (iid, int(v), int(c)) for v, c in zip(vals, counts)
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "v_out", "n"])
+
+    return joined.mapInPandas(run, schema="image_id string, v_out int, n long")
+
+
 def translate(images: DataFrame, dst_fmt: str, bands: list[int] | None = None) -> DataFrame:
     """gdal_translate: format conversion + band select (lossless tier)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
