@@ -696,6 +696,31 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key via the max_by/min_by aggregates (the
+    Catalyst MaxBy node — a different physical path than the row_number
+    window the registry already covers): ordering key is the composite
+    bigint epoch*10^7 + event_id, unique and identical in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.unix_timestamp("ts") * F.lit(10000000) + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.round(F.max_by("value", key), 6).alias("last_value"),
+        F.min_by("event_type", key).alias("first_type"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+_add("latest_per_key", _q_latest_per_key, """
+SELECT user_id,
+       max_by(event_type, epoch(ts) * 10000000 + event_id) AS last_type,
+       CAST(round(max_by(value, epoch(ts) * 10000000 + event_id), 6) AS DOUBLE)
+         AS last_value,
+       min_by(event_type, epoch(ts) * 10000000 + event_id) AS first_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""")
+
+
 def _q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAMES (the one window feature the registry lacked): a
     7-row trailing moving average (ROWS BETWEEN, unique-key tiebreak) and
