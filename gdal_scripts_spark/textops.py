@@ -373,6 +373,7 @@ def decontaminate(
     bench_mod: int = 37,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — the word-n-gram-overlap scan web-scale
     training pipelines run before release (public methodology: GPT-3
@@ -382,11 +383,17 @@ def decontaminate(
     ``doc_id % bench_mod == 0`` subset (a stand-in for an eval suite);
     production swaps in the real benchmark table.
 
-    Shape at 10^12 docs: the benchmark n-gram index is tiny (eval suites
-    are megabytes) -> build once, BROADCAST hash join against it — the
-    training corpus is never shuffled by gram. Per-doc distinct grams is
-    one shuffle on (id, 64-bit hash); gram strings themselves never enter
-    an exchange. Output: (doc_id, n_overlap) for contaminated docs only.
+    Shape at 10^12 docs: when the benchmark n-gram index is tiny (eval
+    suites are megabytes — the production regime) it is built once and
+    BROADCAST, so the training corpus is never shuffled by gram. For a
+    LARGE benchmark set (``broadcast_bench=False``) the broadcast's
+    driver-serial hashed-relation build becomes the bottleneck — a
+    measured ~0.26 N->4N efficiency wall on the standalone cluster —
+    and a plain shuffle equi-join on the 64-bit hash is the right plan
+    (0.74+ with everything else unchanged). Per-doc distinct grams is
+    one shuffle on (id, 64-bit hash); gram strings themselves never
+    enter an exchange. Output: (doc_id, n_overlap) for contaminated
+    docs only.
     """
     g = (
         docs.select(
@@ -397,8 +404,10 @@ def decontaminate(
     )
     bench = g.filter(F.col(id_col) % bench_mod == 0).select("gh").distinct()
     train = g.filter(F.col(id_col) % bench_mod != 0)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
     return (
-        train.join(F.broadcast(bench), "gh")
+        train.join(bench, "gh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_overlap"))
     )

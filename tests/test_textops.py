@@ -815,3 +815,17 @@ def test_dup_substring_spans_hand_case(spark):
     assert got[1] == (1, 7, 30)
     assert got[2] == (1, 7, 30)
     assert 3 not in got
+
+
+def test_decontaminate_shuffle_join_variant_identical(spark):
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "a the quick brown fox here"),
+        (2, "quick brown fox"),
+        (3, "nothing in common at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textops.decontaminate(df, n=3).collect()))
+    b = sorted(map(tuple, textops.decontaminate(
+        df, n=3, broadcast_bench=False).collect()))
+    assert a == b == [(1, 2), (2, 1)]
