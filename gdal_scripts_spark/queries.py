@@ -696,6 +696,36 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON parsing (the OGR GeoJSON-properties analog
+    for attribute payloads): from_json with an explicit schema pulls
+    props.k out of the JSON string column; per-type aggregates of the
+    extracted value. DuckDB's bundled json extension is the independent
+    parser on the oracle side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    k = F.from_json("props", StructType([StructField("k", LongType())]))["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_parsed"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+_add("json_props_extract", _q_json_props, """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 1
+""")
+
+
 def _q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key via the max_by/min_by aggregates (the
     Catalyst MaxBy node — a different physical path than the row_number
