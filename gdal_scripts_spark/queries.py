@@ -696,6 +696,45 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: daily counts per event type ZERO-FILLED
+    over a generated per-type date spine (F.sequence over dates +
+    explode, left join) — the calendar-spine pattern every time-series
+    rollup needs so missing days read 0 instead of vanishing. Spine
+    generation is per-group arithmetic, no driver loop."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+_add("timeseries_gapfill", _q_gapfill, """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+)
+SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+""")
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON parsing (the OGR GeoJSON-properties analog
     for attribute payloads): from_json with an explicit schema pulls
