@@ -696,6 +696,66 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark eqNullSafe / <=>, ANSI IS NOT
+    DISTINCT FROM): NULL keys — synthesized via nullif — match each
+    other instead of dropping, the semantics attribute joins need when
+    'unknown' is itself a join key."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.select(F.nullif(F.col("o_custkey") % 100, F.lit(50)).alias("k"))
+    b = a.groupBy("k").agg(F.count("*").alias("nb")).withColumnRenamed("k", "kb")
+    j = a.join(b, F.col("k").eqNullSafe(F.col("kb")), "left").select("k", "nb")
+    # output key coalesced: the driver canon sorts raw values, so NULL keys
+    # stay internal to the join and surface as the -1 sentinel row
+    return j.groupBy(F.coalesce("k", F.lit(-1)).alias("k")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+
+_add("null_safe_join", _q_null_safe_join, """
+WITH a AS (SELECT nullif(o_custkey % 100, 50) AS k FROM orders),
+b AS (SELECT k, count(*) AS nb FROM a GROUP BY 1),
+j AS (
+  SELECT a.k, b.nb FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+)
+SELECT coalesce(k, -1) AS k, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(nb) AS BIGINT) AS nb
+FROM j GROUP BY 1
+""")
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (DataFrame.unpivot, Spark 4's melt): per-user
+    event-type counts pivoted wide then unpivoted back — the inverse of
+    conditional_pivot, closing the reshape pair."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 100
+    )
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("purchase"),
+    )
+    return wide.unpivot(
+        "user_id", ["click", "view", "purchase"], "etype", "n"
+    )
+
+_add("unpivot_counts", _q_unpivot, """
+WITH wide AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+  FROM events WHERE user_id < 100 GROUP BY 1
+)
+SELECT user_id, etype, n
+FROM wide UNPIVOT INCLUDE NULLS (n FOR etype IN (click, view, purchase))
+""")
+
+
 def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: daily counts per event type ZERO-FILLED
     over a generated per-type date spine (F.sequence over dates +
