@@ -696,6 +696,28 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+_add_shared("edit_distance_hist", """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 400
+),
+pairs AS (
+  SELECT levenshtein(a.p_name, b.p_name) AS d
+  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+)
+SELECT CAST(floor(d / 5.0e0) AS BIGINT) AS d_bucket, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+""")
+
+_add_shared("stats_corr_agg", """
+SELECT l_returnflag,
+       CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qp_corr,
+       CAST(round(covar_pop(l_quantity, l_discount), 6) AS DOUBLE) AS qd_covar,
+       CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS q_sd,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""")
+
+
 def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (Spark eqNullSafe / <=>, ANSI IS NOT
     DISTINCT FROM): NULL keys — synthesized via nullif — match each
