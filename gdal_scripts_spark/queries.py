@@ -696,6 +696,108 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_linear_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref-style linear referencing (public GDAL
+    apps/ogrlineref.cpp: locate points along a line by measure): each
+    point is projected onto every segment of the reference polyline
+    (segment table exploded from a literal — broadcast-shaped, never a
+    cartesian), the closest projection wins (d2 then segment index, a
+    deterministic tie order), and the output is the measure along the
+    line. The arithmetic is spelled identically in the oracle so doubles
+    match bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 500
+    )
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 13) % 21 - 2).cast("double").alias("px"),
+        ((F.col("event_id") * 7) % 13 - 2).cast("double").alias("py"),
+    )
+    segs = [  # polyline (0,0)-(10,0)-(10,8)-(4,8): cum lengths 0,10,18
+        (0, 0.0, 0.0, 10.0, 0.0, 0.0),
+        (1, 10.0, 0.0, 10.0, 8.0, 10.0),
+        (2, 10.0, 8.0, 4.0, 8.0, 18.0),
+    ]
+    seg = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("si"), F.lit(ax).alias("ax"), F.lit(ay).alias("ay"),
+            F.lit(bx).alias("bx"), F.lit(by).alias("by"), F.lit(c).alias("cum"),
+        )
+        for i, ax, ay, bx, by, c in segs
+    ])).alias("s")
+    e = pts.select("pid", "px", "py", seg).select(
+        "pid", "px", "py", "s.si", "s.ax", "s.ay", "s.bx", "s.by", "s.cum"
+    )
+    tn = (F.col("px") - F.col("ax")) * (F.col("bx") - F.col("ax")) \
+        + (F.col("py") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    td = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) \
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    t = F.least(F.greatest(tn / td, F.lit(0.0)), F.lit(1.0))
+    dx = F.col("px") - (F.col("ax") + t * (F.col("bx") - F.col("ax")))
+    dy = F.col("py") - (F.col("ay") + t * (F.col("by") - F.col("ay")))
+    d2 = dx * dx + dy * dy
+    m = F.col("cum") + t * F.sqrt(td)
+    scored = e.select(
+        "pid", "si", d2.alias("d2"), F.round(m, 6).alias("measure")
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d2"), F.asc("si"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pid", F.round(F.sqrt("d2"), 6).alias("dist"), "measure")
+    )
+
+_add("linear_reference_points", _q_linear_reference, """
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST((event_id * 13) % 21 - 2 AS DOUBLE) AS px,
+         CAST((event_id * 7) % 13 - 2 AS DOUBLE) AS py
+  FROM events WHERE event_id < 500
+),
+segs AS (
+  SELECT * FROM (VALUES
+    (0, 0.0e0, 0.0e0, 1.0e1, 0.0e0, 0.0e0),
+    (1, 1.0e1, 0.0e0, 1.0e1, 8.0e0, 1.0e1),
+    (2, 1.0e1, 8.0e0, 4.0e0, 8.0e0, 1.8e1)
+  ) AS s(si, ax, ay, bx, by, cum)
+),
+sc AS (
+  SELECT pid, si,
+         (px - (ax + least(greatest(
+            ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+            / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 0.0e0), 1.0e0)
+            * (bx - ax))) AS dx,
+         (py - (ay + least(greatest(
+            ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+            / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 0.0e0), 1.0e0)
+            * (by - ay))) AS dy,
+         round(cum + least(greatest(
+            ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+            / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 0.0e0), 1.0e0)
+            * sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay)), 6) AS measure
+  FROM pts, segs
+),
+r AS (
+  SELECT pid, dx * dx + dy * dy AS d2, measure,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY dx * dx + dy * dy, si) AS rn
+  FROM sc
+)
+SELECT pid, CAST(round(sqrt(d2), 6) AS DOUBLE) AS dist,
+       CAST(measure AS DOUBLE) AS measure
+FROM r WHERE rn = 1
+""")
+
+_add_shared("grouping_flags_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+
+
 _add_shared("edit_distance_hist", """
 WITH p AS (
   SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 400
