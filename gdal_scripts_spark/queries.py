@@ -696,6 +696,89 @@ FROM train t JOIN bench b USING (g)
 GROUP BY 1
 """)
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TEXT-CURATION composite — the pipeline a training-data
+    release actually runs, each stage an already-oracled engine operator:
+    normalize -> exact-dedup on normalized text -> drop the benchmark
+    slice -> min-length quality gate -> n-gram decontamination (>= 2
+    shared 3-grams) -> deterministic md5 train/val/test split -> per
+    (split, lang) rollup. The oracle re-derives every stage in one
+    chained-CTE SQL program — the text twin of ingest_pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = docs.select(
+        "doc_id", "lang", textops.normalize_text("text").alias("t")
+    )
+    keep = norm.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    d1 = norm.join(keep.select("doc_id"), "doc_id")
+    d2 = d1.filter(F.col("doc_id") % 37 != 0)
+    ntok = F.size(F.filter(F.split(F.col("t"), " "), lambda x: x != ""))
+    d3 = d2.withColumn("ntok", ntok).filter(F.col("ntok") >= 10)
+    contaminated = (
+        textops.decontaminate(norm, n=3, text_col="t")
+        .filter(F.col("n_overlap") >= 2)
+        .select("doc_id")
+    )
+    d4 = d3.join(contaminated, "doc_id", "left_anti")
+    return (
+        d4.withColumn("split", textops.split_assign(F.col("doc_id"), (0.8, 0.1)))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("sum_tokens"),
+        )
+    )
+
+_add("curation_pipeline", _q_curation_pipeline, r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS t
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY t),
+d1 AS (SELECT n.doc_id, n.lang, n.t FROM norm n JOIN keep USING (doc_id)),
+d2 AS (SELECT * FROM d1 WHERE doc_id % 37 <> 0),
+d3 AS (
+  SELECT doc_id, lang, t,
+         len(list_filter(string_split(t, ' '), x -> x <> '')) AS ntok
+  FROM d2
+  WHERE len(list_filter(string_split(t, ' '), x -> x <> '')) >= 10
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS tk
+  FROM norm
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, CAST(len(tk) AS BIGINT) - 2),
+                i -> array_to_string(tk[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 37 = 0),
+cont AS (
+  SELECT tr.doc_id
+  FROM (SELECT doc_id, g FROM ng WHERE doc_id % 37 <> 0) tr
+  JOIN bench USING (g)
+  GROUP BY 1 HAVING count(*) >= 2
+),
+d4 AS (
+  SELECT d3.* FROM d3 LEFT JOIN cont ON d3.doc_id = cont.doc_id
+  WHERE cont.doc_id IS NULL
+),
+f AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'val'
+              ELSE 'test' END AS split,
+         lang, ntok
+  FROM d4
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS sum_tokens
+FROM f GROUP BY 1, 2
+""")
+
+
 def _q_linear_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogrlineref-style linear referencing (public GDAL
     apps/ogrlineref.cpp: locate points along a line by measure): each
