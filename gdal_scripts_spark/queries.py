@@ -871,6 +871,70 @@ SELECT pid, CAST(round(sqrt(d2), 6) AS DOUBLE) AS dist,
 FROM r WHERE rn = 1
 """)
 
+def _q_locate_at_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref's inverse operation: the point AT a given measure along
+    the reference polyline (apps/ogrlineref.cpp -m). Measures derive from
+    the events value column, clamped to [0, total_length]; the segment is
+    selected by cumulative-length interval, then linear interpolation —
+    all Column arithmetic, spelled identically in the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 400
+    )
+    total = 24.0  # polyline (0,0)-(10,0)-(10,8)-(4,8)
+    m = F.least(F.greatest(F.col("value") % total, F.lit(0.0)), F.lit(total))
+    # segment intervals: [0,10) len 10, [10,18) len 8, [18,24] len 6
+    x = (
+        F.when(m < 10.0, m)
+        .when(m < 18.0, F.lit(10.0))
+        .otherwise(F.lit(10.0) - (m - F.lit(18.0)))
+    )
+    y = (
+        F.when(m < 10.0, F.lit(0.0))
+        .when(m < 18.0, m - F.lit(10.0))
+        .otherwise(F.lit(8.0))
+    )
+    return ev.select(
+        F.col("event_id").alias("pid"),
+        F.round(m, 6).alias("measure"),
+        F.round(x, 6).alias("x"),
+        F.round(y, 6).alias("y"),
+    )
+
+_add("locate_at_measure", _q_locate_at_measure, """
+WITH m AS (
+  SELECT event_id AS pid,
+         least(greatest(fmod(value, 2.4e1), 0.0e0), 2.4e1) AS mm
+  FROM events WHERE event_id < 400
+)
+SELECT pid, CAST(round(mm, 6) AS DOUBLE) AS measure,
+       CAST(round(CASE WHEN mm < 1.0e1 THEN mm
+                       WHEN mm < 1.8e1 THEN 1.0e1
+                       ELSE 1.0e1 - (mm - 1.8e1) END, 6) AS DOUBLE) AS x,
+       CAST(round(CASE WHEN mm < 1.0e1 THEN 0.0e0
+                       WHEN mm < 1.8e1 THEN mm - 1.0e1
+                       ELSE 8.0e0 END, 6) AS DOUBLE) AS y
+FROM m
+""")
+
+_add_shared("regression_aggs", """
+SELECT l_returnflag,
+       CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) AS slope,
+       CAST(round(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE) AS icept,
+       CAST(round(regr_r2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""")
+
+_add_shared("bitwise_aggs", """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS key_and,
+       CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS key_or,
+       CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS key_xor,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""")
+
+
 _add_shared("grouping_flags_cube", """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
