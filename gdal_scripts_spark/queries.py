@@ -925,6 +925,40 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY 1
 """)
 
+_add_shared("moments_aggs", """
+SELECT l_returnflag,
+       CAST(round(avg(l_quantity), 6) AS DOUBLE) AS m1,
+       CAST(round(avg(l_quantity * l_quantity), 6) AS DOUBLE) AS m2,
+       CAST(round(avg(l_quantity * l_quantity * l_quantity) / 1.0e3, 6)
+            AS DOUBLE) AS m3_k,
+       CAST(round(avg(l_quantity * l_quantity * l_quantity * l_quantity)
+                  / 1.0e6, 6) AS DOUBLE) AS m4_m
+FROM lineitem GROUP BY 1
+""")
+
+def _q_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation made deterministic: collect_list is
+    order-nondeterministic under parallelism, so the canonical form is
+    sort_array(collect_list(...)) — flattened to CSV because the driver
+    canon hashes scalar columns (the round-4 nested-schema lesson)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") <= 120
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ","
+        ).alias("keys_csv"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+_add("sorted_list_agg", _q_sorted_list_agg, """
+SELECT o_custkey,
+       array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS keys_csv,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_custkey <= 120
+GROUP BY 1
+""")
+
 _add_shared("bitwise_aggs", """
 SELECT o_orderstatus,
        CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS key_and,
