@@ -3091,6 +3091,84 @@ FROM lab GROUP BY 1, 2
 """)
 
 
+def _q_translate_srcwin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -srcwin xoff yoff xsize ysize (pixel-window
+    extraction, apps/gdal_translate_lib.cpp): fixed window (4,3,16,10)
+    clamped to each raster, pinned as the subwindow value histogram. The
+    oracle regenerates the closed-form pixels over exactly the clamped
+    window bounds."""
+    from . import raster as _raster
+
+    imgs = fixtures.formula_images_spark(spark, n=12)
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for iid, byts, fmt in zip(
+                b["image_id"].values, b["bytes"].values, b["fmt"].values
+            ):
+                img = _raster._decode_row(byts, fmt)[:, :, 0]
+                sub = img[3:13, 4:20]  # yoff 3 / ysize 10, xoff 4 / xsize 16
+                vals, counts = np.unique(
+                    sub.astype(np.int64), return_counts=True)
+                rows.extend((iid, int(v), int(c))
+                            for v, c in zip(vals, counts))
+            if rows:
+                import pandas as pd
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "v_out", "n"])
+
+    return imgs.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema="image_id string, v_out int, n long"
+    )
+
+_add("translate_srcwin", _q_translate_srcwin, f"""
+WITH dims AS ({_FIM_DIMS_SQL}),
+px AS (
+  SELECT i, CAST({_fim_val('x', 'y')} AS INT) AS v
+  FROM dims, range(4, 20) rx(x), range(3, 13) ry(y)
+  WHERE x < w AND y < h
+)
+SELECT printf('fim%04d', i) AS image_id, v AS v_out,
+       CAST(count(*) AS BIGINT) AS n
+FROM px GROUP BY 1, 2
+""")
+
+
+def _q_event_time_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry time-tolerance dedup: drop an event when the SAME
+    (user, type) fired less than 60 s earlier — the lag-window debounce
+    every event pipeline runs before counting. Chained same-key
+    short-gap events collapse onto their run's first KEPT event only if
+    each gap is >= 60 s (lag is against the previous RAW event — the
+    standard debounce semantics, mirrored exactly in SQL)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        es.asc(), F.col("event_id").asc()
+    )
+    gap = es - F.lag(es).over(w)
+    kept = ev.withColumn("gap", gap).filter(
+        F.col("gap").isNull() | (F.col("gap") >= 60)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+
+_add("event_time_dedup", _q_event_time_dedup, """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+FROM g WHERE gap IS NULL OR gap >= 60
+GROUP BY 1
+""")
+
+
 def _q_warp_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GCP-driven affine warp (gdal_translate -gcp + gdalwarp -order 1,
     GDALGCPsToGeoTransform least squares): corner GCPs pin the exact
