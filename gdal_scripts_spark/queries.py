@@ -925,6 +925,24 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY 1
 """)
 
+_add_shared("filter_clause_aggs", """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (WHERE o_totalprice > 1.0e5) AS BIGINT) AS n_big,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+       CAST(round(avg(o_totalprice) FILTER (WHERE o_orderpriority <> '5-LOW'), 4)
+            AS DOUBLE) AS avg_not_low,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""")
+
+_add_shared("try_cast_parsing", """
+SELECT CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS BIGINT) AS prio_num,
+       CAST(TRY_CAST(o_orderstatus AS INT) AS BIGINT) AS status_num,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2
+""")
+
 _add_shared("moments_aggs", """
 SELECT l_returnflag,
        CAST(round(avg(l_quantity), 6) AS DOUBLE) AS m1,
